@@ -1,38 +1,44 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (semantic search + rerank over the
+sf0.001 corpus). ``queries()`` / ``oracle_sql()`` expose every implemented
+operator from SURVEY.md §2 via gistdex_spark.queries.REGISTRY, each paired
+with DuckDB oracle SQL for the driver's hash comparison.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from gistdex_spark.queries import ORACLES, REGISTRY  # noqa: E402
+
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: hybrid semantic search with rerank over the RAG corpus."""
+    from pyspark.sql import functions as F
+
+    from gistdex_spark.operators.search import rerank
+    from gistdex_spark.queries import QN_DOC, QV_DOC, Q_DOC_TEXT, _corpus, with_score
+
+    corpus = _corpus(spark, SMOKE_SF_DIR)
+    scored = with_score(corpus, QV_DOC, QN_DOC)
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+    return rerank(top, Q_DOC_TEXT, 0.1, content_col="text").select(
+        "doc_id", "text", "lang", "source", "score"
+    ).orderBy(F.desc("score"), F.asc("doc_id"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(REGISTRY)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLES)

@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Query set: the scalable headliners from gistdex_spark.queries.REGISTRY —
+relational aggregates/joins, kNN search (single + batched), rerank/hybrid,
+dedup (exact, MinHash-LSH, SimHash), text analysis, and event windows.
+The O(n^2) exact-pair oracles (dedup_embedding_cosine, dedup_ngram_jaccard)
+are correctness-only and excluded here; their scale path is the LSH/blocked
+variant which IS benchmarked.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_region_nation_revenue",
+    "top_order_per_customer",
+    "order_priority_stats",
+    "knn_topk",
+    "knn_batch_topk",
+    "semantic_search_rerank",
+    "hybrid_search",
+    "search_lang_filter",
+    "keyword_frequency",
+    "docs_by_source",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "simhash_signatures",
+    "lang_id",
+    "quality_score",
+    "token_count",
+    "ann_lsh_bucket",
+    "events_hourly",
+    "events_sessionize",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from gistdex_spark.session import get_spark
+
+    spark = get_spark("gistdex-spark-bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from gistdex_spark.queries import REGISTRY
+
+    # Warm up the JVM/codegen path once so per-query numbers measure the
+    # engine, not first-job session setup.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in BENCH_QUERIES:
+        fn = REGISTRY[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.2f}s rows={n}", file=sys.stderr, flush=True)
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        ),
+        flush=True,
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,93 @@
+"""Text primitives: tokenization, word-match scoring, stop words.
+
+Reference semantics ported (not copied):
+- query tokenization: ``lower().split(/\\s+/)`` keep non-empty
+  (`src/core/search/search.ts:14-19`).
+- word-match count: number of query words contained as case-insensitive
+  substrings of the content (`search.ts:34-40,116-124`).
+- multilingual tokenizer: split on whitespace + CJK punctuation
+  (`src/mcp/utils/stop-words.ts:222-253`); stop-word lists are data — we
+  ship a compact EN+JA list of our own rather than copying the reference's.
+
+Each helper has a Spark-Column form and a SQL-string form so the DuckDB
+oracle runs the byte-identical formula.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Compact stop lists (our own data, same role as stop-words.ts:8-207).
+STOP_WORDS_EN = [
+    "a", "an", "the", "and", "or", "but", "if", "then", "else", "of", "at",
+    "by", "for", "with", "about", "into", "to", "from", "in", "on", "is",
+    "are", "was", "were", "be", "been", "it", "its", "this", "that", "these",
+    "those", "as", "not", "no", "so", "too", "very", "can", "will", "just",
+    "do", "does", "did", "have", "has", "had", "i", "you", "he", "she", "we",
+    "they",
+]
+STOP_WORDS_JA = ["の", "に", "は", "を", "た", "が", "で", "て", "と", "し", "れ", "さ"]
+STOP_WORDS = set(STOP_WORDS_EN) | set(STOP_WORDS_JA)
+
+# Whitespace + CJK punctuation splitter (role of stop-words.ts:229).
+TOKEN_SPLIT_RE = r"[\s　、。，．？！]+"
+
+
+def query_words(query: str) -> list[str]:
+    """lower().split(whitespace), non-empty — reference `search.ts:14-19`."""
+    return [w for w in re.split(r"\s+", query.lower()) if w]
+
+
+def match_count(content: Column | str, words: list[str]) -> Column:
+    """#query words contained (case-insensitive substring) in content."""
+    content = F.col(content) if isinstance(content, str) else content
+    if not words:
+        return F.lit(0)
+    low = F.lower(content)
+    terms = [F.when(F.instr(low, w.lower()) > 0, 1).otherwise(0) for w in words]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def sql_match_count(content_sql: str, words: list[str]) -> str:
+    """DuckDB SQL for the same substring match count."""
+    if not words:
+        return "0"
+    terms = [
+        f"(CASE WHEN instr(lower({content_sql}), '{w.lower()}') > 0 THEN 1 ELSE 0 END)"
+        for w in words
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def tokens(content: Column | str) -> Column:
+    """Multilingual token array: split + lower, drop empties."""
+    content = F.col(content) if isinstance(content, str) else content
+    return F.filter(
+        F.split(F.lower(content), TOKEN_SPLIT_RE), lambda w: F.length(w) > 0
+    )
+
+
+def sql_tokens(content_sql: str) -> str:
+    """DuckDB equivalent of :func:`tokens` (regexp split, drop empties)."""
+    return (
+        f"list_filter(regexp_split_to_array(lower({content_sql}), "
+        f"'{TOKEN_SPLIT_RE}'), w -> length(w) > 0)"
+    )
+
+
+def sql_stopword_list() -> str:
+    return "[" + ", ".join(f"'{w}'" for w in sorted(STOP_WORDS)) + "]"
+
+
+def sql_stopword_list_en() -> str:
+    return "[" + ", ".join(f"'{w}'" for w in sorted(STOP_WORDS_EN)) + "]"
+
+
+def stopword_array() -> Column:
+    return F.array(*[F.lit(w) for w in sorted(STOP_WORDS)])

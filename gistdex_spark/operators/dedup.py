@@ -1,0 +1,240 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Exact (hash group-by), n-gram Jaccard (blocked exact), MinHash+LSH
+(shingle → minhash signature → band → bucket join), SimHash (bit-vote +
+banded Hamming join), and embedding-cosine near-dup.
+
+Scale design: every near-dup variant avoids the O(n^2) corpus self-join —
+candidate pairs come from equality joins on LSH band keys / blocks, which
+shuffle-partition by bucket and parallelize across executors. Only the
+candidate verification touches pairs. Hash functions are md5-derived (60-bit
+hex prefix → BIGINT) so the DuckDB oracle computes the identical values —
+never engine-native hash() which differs across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gistdex_spark.operators.textstats import fingerprint
+
+ROUND = 6
+
+# MinHash parameters: h1 = (md5-60bit % P); minhash_i = (A[i]*h1 + B[i]) % P.
+# P < 2^31 keeps A[i]*h1 < 2^62 (no BIGINT overflow in either engine).
+MINHASH_P = 2147483647
+# Deterministic coefficients (seeded LCG, generated once and frozen).
+_SEED = 42
+
+
+def _coeffs(n: int) -> tuple[list[int], list[int]]:
+    a, b, state = [], [], _SEED
+    for _ in range(n):
+        state = (1103515245 * state + 12345) % (2**31)
+        a.append(state % (MINHASH_P - 1) + 1)
+        state = (1103515245 * state + 12345) % (2**31)
+        b.append(state % MINHASH_P)
+    return a, b
+
+
+def shingle_hashes(df: DataFrame, content_col: str = "text", n: int = 5) -> DataFrame:
+    """(doc_id, h) — distinct char-n-gram 60-bit hashes per document."""
+    c = f"lower({content_col})"
+    grams = (
+        f"transform(sequence(1, greatest(length({c}) - {n - 1}, 1)), "
+        f"i -> substring({c}, i, {n}))"
+    )
+    return (
+        df.select("doc_id", F.explode(F.expr(f"array_distinct({grams})")).alias("g"))
+        .select(
+            "doc_id",
+            F.expr("cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint)").alias("h"),
+        )
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, content_col: str = "text", num_hashes: int = 16, n: int = 5
+) -> DataFrame:
+    """(doc_id, sig ARRAY<BIGINT>) minhash signature.
+
+    One explode + one hash-agg; per (doc, i) min is a partial aggregate so
+    the shuffle carries only num_hashes values per doc.
+    """
+    a, b = _coeffs(num_hashes)
+    sh = shingle_hashes(df, content_col, n)
+    arr = F.array(
+        *[
+            ((F.lit(a[i]) * (F.col("h") % MINHASH_P) + F.lit(b[i])) % MINHASH_P).cast(
+                "bigint"
+            )
+            for i in range(num_hashes)
+        ]
+    )
+    per_hash = sh.select("doc_id", F.posexplode(arr).alias("i", "v"))
+    mins = per_hash.groupBy("doc_id", "i").agg(F.min("v").alias("mh"))
+    return mins.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("i", "mh"))).getField("mh").alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    content_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate pairs sharing an LSH band, verified by signature agreement.
+
+    Returns (doc_id_a, doc_id_b, est_jaccard) with a < b, est >= threshold.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, content_col, num_hashes, n)
+    band_key = [
+        F.md5(
+            F.concat_ws(
+                "-",
+                *[
+                    F.col("sig")[b * rows_per_band + r].cast("string")
+                    for r in range(rows_per_band)
+                ],
+            )
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select("doc_id", "sig", *band_key).select(
+        "doc_id",
+        "sig",
+        F.posexplode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias(
+            "band_idx", "band_hash"
+        ),
+    )
+    l = banded.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("sig").alias("sig_a"),
+        "band_idx", "band_hash",
+    )
+    r = banded.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("sig").alias("sig_b"),
+        "band_idx", "band_hash",
+    )
+    pairs = (
+        l.join(r, ["band_idx", "band_hash"])
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b", "sig_a", "sig_b")
+        .dropDuplicates(["doc_id_a", "doc_id_b"])
+    )
+    est = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda t: t)
+    ).cast("double") / F.lit(float(num_hashes))
+    return (
+        pairs.withColumn("est_jaccard", F.round(est, ROUND))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("doc_id_a", "doc_id_b", "est_jaccard")
+    )
+
+
+def dedup_exact(df: DataFrame, content_col: str = "text") -> DataFrame:
+    """Exact dedup by normalized-content fingerprint; survivor = min doc_id."""
+    fp = fingerprint(df, content_col)
+    return fp.groupBy("fp").agg(
+        F.min("doc_id").alias("survivor_doc_id"),
+        F.count(F.lit(1)).alias("dup_count"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    content_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    block_col: str = "source",
+) -> DataFrame:
+    """Exact word-n-gram Jaccard near-dup within a blocking key.
+
+    Blocking bounds the pair count (pairs only form inside a block); the
+    join shuffles by block, so skewed blocks are handled by AQE. For
+    unblocked corpora use minhash_lsh_pairs instead.
+    """
+    c = f"lower({content_col})"
+    toks = f"filter(split({c}, '[\\\\s]+'), w -> length(w) > 0)"
+    grams = (
+        f"array_distinct(transform(sequence(1, greatest(size({toks}) - {n - 1}, 1)), "
+        f"i -> concat_ws(' ', slice({toks}, i, {n}))))"
+    )
+    with_sets = df.select(
+        "doc_id", F.col(block_col).alias("block"), F.expr(grams).alias("grams")
+    )
+    l = with_sets.select(
+        F.col("doc_id").alias("doc_id_a"), "block", F.col("grams").alias("grams_a")
+    )
+    r = with_sets.select(
+        F.col("doc_id").alias("doc_id_b"), "block", F.col("grams").alias("grams_b")
+    )
+    inter = F.size(F.array_intersect("grams_a", "grams_b")).cast("double")
+    union = F.size(F.array_union("grams_a", "grams_b")).cast("double")
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        l.join(r, "block")
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .withColumn("jaccard", F.round(jac, ROUND))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id_a", "doc_id_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, content_col: str = "text", bits: int = 32) -> DataFrame:
+    """(doc_id, simhash BIGINT): majority vote per bit over token hashes."""
+    toks = (
+        df.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"filter(split(lower({content_col}), '[\\\\s]+'), w -> length(w) > 0)"
+                )
+            ).alias("w"),
+        )
+        .select(
+            "doc_id",
+            F.expr("cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint)").alias("h"),
+        )
+    )
+    votes = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {bits - 1}), "
+                f"j -> case when (h div cast(pow(2, j) as bigint)) % 2 = 1 "
+                f"then 1 else -1 end)"
+            )
+        ).alias("j", "vote"),
+    )
+    bit_sums = votes.groupBy("doc_id", "j").agg(F.sum("vote").alias("v"))
+    return bit_sums.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.expr("cast(pow(2, j) as bigint)")).otherwise(0)
+        ).alias("simhash")
+    )
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame, threshold: float = 0.8, id_col: str = "vec_id"
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact, full pairwise).
+
+    Exact variant for oracle comparison; at 100 TB use the LSH-bucketed
+    variant in similarity.py (sign-bucket blocking) to avoid the cross join.
+    """
+    from gistdex_spark.functions.vectors import cosine
+
+    l = emb.select(F.col(id_col).alias("id_a"), F.col("embedding").alias("emb_a"))
+    r = emb.select(F.col(id_col).alias("id_b"), F.col("embedding").alias("emb_b"))
+    return (
+        l.join(r, F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", F.round(cosine("emb_a", "emb_b"), ROUND))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )

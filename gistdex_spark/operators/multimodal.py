@@ -1,0 +1,137 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Extension beyond the reference surface (BASELINE.json north star): a
+training-data pipeline carries images/audio/video as `BINARY` columns with
+a typed metadata struct. The Spark-side plumbing here is real — schema,
+Arrow-batched mapInPandas, partition-friendly shapes — while the actual
+codec work is stubbed (this container ships no image/audio libs):
+
+- ``decode_stub`` raises NotImplementedError where PIL/ffmpeg would run.
+- ``fake_decode`` is the deterministic stand-in used by tests: it derives
+  "pixels" from the payload bytes, so downstream feature extraction has
+  stable, assertable values.
+
+At 100 TB the binary column dominates I/O: keep it in its own parquet
+column (columnar pruning skips it unless selected), size row groups so one
+batch of payloads fits executor memory, and never collect it.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("kind", StringType()),  # image | audio | video
+        StructField("payload", BinaryType()),
+        StructField("mime", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("duration_ms", LongType()),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("kind", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("content_hash", StringType()),
+        StructField("features", ArrayType(FloatType())),
+    ]
+)
+
+
+def decode_stub(payload: bytes, mime: str) -> np.ndarray:
+    """Real decoder slot — PIL.Image.open / soundfile.read would go here."""
+    raise NotImplementedError(
+        "media decoding requires image/audio libraries not present in this "
+        "container; use fake_decode for deterministic tests"
+    )
+
+
+def fake_decode(payload: bytes, dim: int = 8) -> np.ndarray:
+    """Deterministic stand-in decoder: sha256(payload) → dim float32 values
+    in [0, 1). Stable across runs/engines, so tests can assert exact math."""
+    h = hashlib.sha256(payload or b"").digest()
+    vals = [
+        int.from_bytes(h[(4 * i) % 32 : (4 * i) % 32 + 4], "big") / 2**32
+        for i in range(dim)
+    ]
+    return np.asarray(vals, dtype=np.float32)
+
+
+def synthetic_media_df(spark, n: int = 16) -> DataFrame:
+    """Deterministic media rows for tests (payload = repeated id bytes)."""
+    rows = []
+    kinds = ["image", "audio", "video"]
+    for i in range(n):
+        kind = kinds[i % 3]
+        payload = (f"media-{i}-".encode() * 8)[:64]
+        rows.append(
+            (
+                f"m{i:04d}",
+                kind,
+                payload,
+                {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
+                64 if kind != "audio" else None,
+                48 if kind != "audio" else None,
+                1000 * (i + 1) if kind != "image" else None,
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def extract_features(
+    media: DataFrame, dim: int = 8, decoder=fake_decode
+) -> DataFrame:
+    """Decode + feature-extract via mapInPandas (Arrow batch per partition).
+
+    The UDF signature and batch shape are production-real; only `decoder`
+    is swapped when codec libs exist. Payload bytes stay inside the worker —
+    nothing wide crosses a shuffle (output is id + small feature vector).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "n_bytes": pdf["payload"].map(lambda b: len(b or b"")).astype("int64"),
+                "content_hash": pdf["payload"].map(
+                    lambda b: hashlib.sha256(b or b"").hexdigest()
+                ),
+                "features": pdf["payload"].map(
+                    lambda b: decoder(b, dim).tolist()
+                ),
+            }
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "kind", "payload").mapInPandas(run, FEATURE_SCHEMA)
+
+
+def media_stats(media: DataFrame) -> DataFrame:
+    """Per-kind census over metadata only — payload column never read
+    (columnar pruning: the scan schema excludes BINARY)."""
+    return media.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.avg("width"), 2).alias("avg_width"),
+        F.round(F.avg("duration_ms"), 2).alias("avg_duration_ms"),
+    )

@@ -1,0 +1,157 @@
+"""Search operators: kNN top-k, batched kNN, rerank, hybrid, pagination.
+
+Maps SURVEY.md §2 J3/W1/W2/W3/W6/F7/F8. Reference behavior:
+- kNN: score candidates by cosine, ORDER BY score DESC LIMIT k
+  (`sqlite-storage-operations.ts:182-218`, `memory-adapter.ts:50-88`).
+- rerank (W2): score' = score + boost_factor * match_count, resort
+  (`search.ts:21-49`).
+- hybrid (W3): re-SCORES the semantic candidate set (not a second
+  retrieval): score' = score*(1-w) + (matches/#words)*w (`search.ts:98-136`).
+- pagination (W6): over-fetch k = page_size*3, slice by offset
+  (`agent-query-tool.ts:900-941`).
+
+Scale notes: the query vector is a literal (broadcast by value); scoring is
+a narrow map over the scan (no shuffle); top-k compiles to
+TakeOrderedAndProject (per-partition heap + driver merge of k rows — no full
+sort even at 100 TB). Batched kNN broadcasts the query set and takes top-k
+per query with one window shuffle partitioned by query id.
+
+Scores are rounded to 6 dp *before* ordering with an id tiebreak, so result
+sets are deterministic and engine-independent (the DuckDB oracle sorts the
+same way).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from gistdex_spark.functions.text import match_count, query_words
+from gistdex_spark.functions.vectors import cosine, vector_literal
+
+ROUND = 6
+
+
+def score_against(
+    df: DataFrame,
+    query_vec: list[float],
+    vec_col: str = "embedding",
+    score_col: str = "score",
+) -> DataFrame:
+    """Attach a rounded cosine score against a literal query vector."""
+    return df.withColumn(
+        score_col, F.round(cosine(F.col(vec_col), vector_literal(query_vec)), ROUND)
+    )
+
+
+def top_k(df: DataFrame, k: int, id_col: str = "vec_id", score_col: str = "score") -> DataFrame:
+    """ORDER BY score DESC, id ASC LIMIT k — TakeOrderedAndProject."""
+    return df.orderBy(F.desc(score_col), F.asc(id_col)).limit(k)
+
+
+def knn(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    where: Column | None = None,
+) -> DataFrame:
+    """J3: brute-force exact kNN. Filter first so the scan prunes."""
+    if where is not None:
+        df = df.filter(where)
+    return top_k(score_against(df, query_vec, vec_col), k, id_col)
+
+
+def knn_batch(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Batched kNN: broadcast the (small) query set, window top-k per query.
+
+    One shuffle (partition by query_id); at scale the corpus side stays
+    partition-local until the rank shuffle, and AQE handles skew.
+    """
+    scored = corpus.crossJoin(F.broadcast(queries)).withColumn(
+        "score", F.round(cosine(F.col(vec_col), F.col(query_vec_col)), ROUND)
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn", query_vec_col)
+    )
+
+
+def rerank(
+    df: DataFrame,
+    query: str,
+    boost_factor: float = 0.1,
+    content_col: str = "text",
+    score_col: str = "score",
+) -> DataFrame:
+    """W2: score + boost_factor * #query-words-contained (then re-sort)."""
+    words = query_words(query)
+    if not words:
+        return df
+    return df.withColumn(
+        score_col,
+        F.round(F.col(score_col) + match_count(content_col, words) * F.lit(boost_factor), ROUND),
+    )
+
+
+def hybrid_score(
+    df: DataFrame,
+    query: str,
+    keyword_weight: float = 0.3,
+    content_col: str = "text",
+    score_col: str = "score",
+) -> DataFrame:
+    """W3: blend semantic score with keyword-match ratio over the SAME rows."""
+    words = query_words(query)
+    ratio = (
+        (match_count(content_col, words) / F.lit(float(len(words))))
+        if words
+        else F.lit(0.0)
+    )
+    return df.withColumn(
+        score_col,
+        F.round(
+            F.col(score_col) * F.lit(1.0 - keyword_weight) + ratio * F.lit(keyword_weight),
+            ROUND,
+        ),
+    )
+
+
+def exclude_ids(df: DataFrame, ids: list, id_col: str = "vec_id") -> DataFrame:
+    """F8: drop rows whose id is in the exclusion list (small, literal)."""
+    return df.filter(~F.col(id_col).isin(ids))
+
+
+def threshold(df: DataFrame, t: float, score_col: str = "score") -> DataFrame:
+    """F7: keep rows with score >= t (default 0.7 in the reference ci:doc)."""
+    return df.filter(F.col(score_col) >= F.lit(t))
+
+
+def paginate(
+    df: DataFrame,
+    page: int,
+    page_size: int,
+    id_col: str = "vec_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """W6: global rank slice [page*size, (page+1)*size) after over-fetch.
+
+    The reference over-fetches k = page_size*3 then slices in memory; here
+    the rank is a window over an already-top-k'd (small) result set, so the
+    single-partition window is bounded by the over-fetch, never the corpus.
+    """
+    w = Window.orderBy(F.desc(score_col), F.asc(id_col))
+    rn = F.row_number().over(w)
+    lo, hi = page * page_size, (page + 1) * page_size
+    return df.withColumn("rn", rn).filter((F.col("rn") > lo) & (F.col("rn") <= hi)).drop("rn")

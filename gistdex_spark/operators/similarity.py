@@ -1,0 +1,104 @@
+"""Similarity search: exact brute-force top-k, LSH-bucketed ANN, and the
+semantic similarity join (reference J6, `doc-service.ts:228-341`).
+
+Scale design:
+- Brute-force kNN is a narrow scan + TakeOrderedAndProject — exact, and at
+  100 TB it parallelizes perfectly (no shuffle until the final k-row merge).
+- The LSH-bucketed variant prunes the scan to matching sign-buckets: the
+  bucket id is derivable at write time (partition/Z-order by it) so bucket
+  probes become partition pruning at the source.
+- similarity_join broadcasts the (small) query side; per-query top-k /
+  per-doc best-match are window aggregates partitioned by the join key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from gistdex_spark.functions.vectors import cosine, vector_literal
+
+ROUND = 6
+
+
+def sign_bucket(vec: Column | str, nbits: int = 8) -> Column:
+    """LSH bucket id from the sign bits of the first `nbits` dimensions."""
+    vec = F.col(vec) if isinstance(vec, str) else vec
+    out = F.lit(0)
+    for i in range(nbits):
+        out = out + F.when(vec[i] > 0, F.lit(2**i)).otherwise(F.lit(0))
+    return out.cast("int")
+
+
+def sign_bucket_py(vec: list[float], nbits: int = 8) -> int:
+    return sum(2**i for i in range(nbits) if vec[i] > 0)
+
+
+def ann_lsh(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int,
+    nbits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN: probe only the query's sign-bucket, exact top-k inside it.
+
+    Approximate by construction (recall < 1); deterministic, so the oracle
+    reproduces it. At scale the bucket filter prunes partitions when the
+    table is written partitioned by bucket.
+    """
+    qb = sign_bucket_py(query_vec, nbits)
+    pruned = emb.filter(sign_bucket(vec_col, nbits) == F.lit(qb))
+    scored = pruned.withColumn(
+        "score", F.round(cosine(F.col(vec_col), vector_literal(query_vec)), ROUND)
+    )
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def similarity_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    threshold: float = 0.7,
+    k_per_query: int | None = 10,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """J6: every query scored against the corpus; threshold + top-k/query.
+
+    The reference runs a sequential per-query loop (`doc-service.ts:291-334`);
+    here it is ONE broadcast join — queries are small (<=30 in ci:doc), the
+    corpus side streams, and per-query top-k is a single window shuffle.
+    """
+    scored = corpus.crossJoin(F.broadcast(queries)).withColumn(
+        "sim", F.round(cosine(F.col(corpus_vec), F.col(query_vec)), ROUND)
+    )
+    out = scored.filter(F.col("sim") >= F.lit(threshold))
+    if k_per_query is not None:
+        w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc(corpus_id))
+        out = out.withColumn("rn", F.row_number().over(w)).filter(
+            F.col("rn") <= k_per_query
+        ).drop("rn")
+    return out.drop(query_vec)
+
+
+def best_match_per_doc(
+    matches: DataFrame,
+    doc_col: str = "vec_id",
+    sim_col: str = "sim",
+    query_col: str = "query_id",
+) -> DataFrame:
+    """W5: per doc keep the max-similarity match + the set of matched queries."""
+    w = Window.partitionBy(doc_col).orderBy(F.desc(sim_col), F.asc(query_col))
+    best = matches.withColumn("rn", F.row_number().over(w))
+    agg = matches.groupBy(doc_col).agg(
+        F.array_sort(F.collect_set(query_col)).alias("matched_queries"),
+        F.count(F.lit(1)).alias("match_count"),
+    )
+    return (
+        best.filter(F.col("rn") == 1)
+        .select(doc_col, F.col(sim_col).alias("best_sim"), F.col(query_col).alias("best_query"))
+        .join(agg, doc_col)
+    )

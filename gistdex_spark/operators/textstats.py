@@ -1,0 +1,104 @@
+"""Text-analysis pipeline operators for LLM training-data prep.
+
+Beyond the reference surface (sanctioned by BASELINE.json north star):
+language-ID heuristic, quality scoring, token counting, document
+fingerprinting. All pure Catalyst expressions — no Python in the hot path,
+so a 100 TB documents scan stays in whole-stage codegen with the text column
+as the only wide column read.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gistdex_spark.functions.text import STOP_WORDS_EN, tokens
+
+ROUND = 6
+
+# Word-ish pieces: letter runs, digit runs, single other non-space chars —
+# a BPE-ish pre-tokenization regex (same string used in the DuckDB oracle).
+BPE_ISH_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def _en_stop_hits(content=None):
+    content = F.col("text") if content is None else content
+    toks = tokens(content)
+    stop = F.array(*[F.lit(w) for w in sorted(STOP_WORDS_EN)])
+    return F.size(F.filter(toks, lambda w: F.array_contains(stop, w)))
+
+
+def lang_id(df: DataFrame, content_col: str = "text") -> DataFrame:
+    """Heuristic language ID: ASCII-alpha ratio + EN stop-word hits.
+
+    ascii_ratio > 0.9 and >=1 EN stop word -> 'en'; ascii_ratio > 0.9 ->
+    'latin'; else 'other'. (n-gram profile models don't fit in a SQL oracle;
+    this is the deterministic heuristic variant.)
+    """
+    c = F.col(content_col)
+    n_alpha = F.length(F.regexp_replace(c, "[^A-Za-z]", ""))
+    n_nonspace = F.length(F.regexp_replace(c, "\\s", ""))
+    ratio = F.when(n_nonspace > 0, n_alpha.cast("double") / n_nonspace).otherwise(F.lit(0.0))
+    pred = (
+        F.when((ratio > 0.9) & (_en_stop_hits(c) >= 1), F.lit("en"))
+        .when(ratio > 0.9, F.lit("latin"))
+        .otherwise(F.lit("other"))
+    )
+    return df.select(
+        "doc_id",
+        F.round(ratio, ROUND).alias("alpha_ratio"),
+        pred.alias("lang_pred"),
+    )
+
+
+def quality_score(df: DataFrame, content_col: str = "text") -> DataFrame:
+    """Length/stopword/alpha-ratio quality heuristic (Gopher-rules flavor).
+
+    quality = 0.3*min(n_tokens/100, 1) + 0.4*stop_ratio + 0.3*alpha_ratio;
+    all plain arithmetic so the oracle reproduces it bit-for-bit.
+    """
+    c = F.col(content_col)
+    toks = tokens(c)
+    n_tokens = F.size(toks)
+    stop_ratio = F.when(
+        n_tokens > 0, _en_stop_hits(c).cast("double") / n_tokens
+    ).otherwise(F.lit(0.0))
+    n_alpha = F.length(F.regexp_replace(c, "[^A-Za-z]", ""))
+    n_nonspace = F.length(F.regexp_replace(c, "\\s", ""))
+    alpha_ratio = F.when(n_nonspace > 0, n_alpha.cast("double") / n_nonspace).otherwise(
+        F.lit(0.0)
+    )
+    quality = (
+        F.least(n_tokens.cast("double") / 100.0, F.lit(1.0)) * 0.3
+        + stop_ratio * 0.4
+        + alpha_ratio * 0.3
+    )
+    return df.select(
+        "doc_id",
+        n_tokens.cast("bigint").alias("n_tokens"),
+        F.round(stop_ratio, ROUND).alias("stop_ratio"),
+        F.round(alpha_ratio, ROUND).alias("alpha_ratio"),
+        F.round(quality, ROUND).alias("quality"),
+    )
+
+
+def token_count(df: DataFrame, content_col: str = "text") -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count (X24 analogue)."""
+    c = F.col(content_col)
+    return df.select(
+        "doc_id",
+        F.size(tokens(c)).cast("bigint").alias("ws_tokens"),
+        F.regexp_count(c, F.lit(BPE_ISH_RE)).cast("bigint").alias("bpe_ish_tokens"),
+        F.ceil(F.length(c) / 4.0).cast("bigint").alias("est_llm_tokens"),
+    )
+
+
+def fingerprint(df: DataFrame, content_col: str = "text") -> DataFrame:
+    """Deterministic document fingerprint: md5 of normalized text.
+
+    Normalization: lowercase, collapse whitespace runs to single spaces,
+    trim. The fingerprint is the dedup key for exact dedup.
+    """
+    c = F.col(content_col)
+    norm = F.trim(F.regexp_replace(F.lower(c), "\\s+", " "))
+    return df.select("doc_id", F.md5(norm).alias("fp"))

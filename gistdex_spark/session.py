@@ -1,0 +1,43 @@
+"""SparkSession factory with scale-aware defaults.
+
+Local testing runs ``local[$SPARK_GRAFT_CPUS]`` (default 32); the same
+configs are the ones we would set on a 1000-executor cluster, with the
+shuffle-partition count scaled to ~2-3x total cores there.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "gistdex-spark",
+    cpus: int | str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = str(cpus or os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle = int(shuffle_partitions or os.environ.get("SPARK_GRAFT_SHUFFLE", cpus))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # One shuffle partition per core locally; AQE coalesces small ones
+        # and splits skewed ones, so this is safe at any SF.
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow for every pandas_udf / toPandas hop.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # events.parquet carries TIMESTAMP(NANOS); read as LONG nanos and
+        # convert in the loader (Spark has no nanos timestamp type).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Keep parquet scans splittable at 128MB; on 100 TB this yields
+        # ~800k input splits which Spark schedules fine.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()

@@ -1,0 +1,130 @@
+"""Ingestion pipeline (SURVEY.md §2.1 S1-S6, J7, S9).
+
+Reference flow (`src/core/indexer/indexer.ts:40-282`): text → chunk →
+embed → assign source_id/chunk_index → save. Re-expressed Spark-first:
+
+    read (wholetext / literal DF)
+      → chunk_documents (mapInPandas UDTF, narrow)
+      → embed pandas_udf (Arrow batches — the reference's <=100-per-request
+        batching becomes columnar batch inference)
+      → deterministic ids (sha2(source_id || chunk_index) — testable,
+        unlike the reference's randomUUID, `database-service.ts:103-119`)
+      → write parquet partitioned by source_type
+
+The writer replaces the reference's sequential per-row inserts
+(`common-operations.ts:8-18`) with one bulk columnar write — the single
+biggest scale win called out in SURVEY.md §4.
+
+Incremental indexing (J7, `doc-service.ts:54-74`): files-on-disk LEFT ANTI
+already-indexed file paths. Delete + source GC (S9,
+`sqlite-storage-operations.ts:147-177`): anti-join rewrite.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gistdex_spark.functions.embedder import embed_udf
+from gistdex_spark.operators.chunking import chunk_documents, optimal_chunk_settings
+
+CHUNKS_TABLE = "chunks"
+SOURCES_TABLE = "sources"
+
+
+def index_text_df(
+    texts: DataFrame,
+    strategy: str = "fixed",
+    size: int = 1000,
+    overlap: int = 200,
+    dim: int = 64,
+) -> DataFrame:
+    """S1: (source_id, content[, source_type, title, url]) → chunk rows with
+    embeddings and deterministic ids. Pure narrow pipeline — no shuffle."""
+    chunks = chunk_documents(texts, strategy=strategy, size=size, overlap=overlap)
+    meta_cols = [c for c in ("source_type", "title", "url", "file_path") if c in texts.columns]
+    if meta_cols:
+        chunks = chunks.join(
+            F.broadcast(texts.select(F.col("source_id").cast("string").alias("source_id"), *meta_cols)),
+            "source_id",
+        )
+    return (
+        chunks.withColumn(
+            "id",
+            F.sha2(F.concat_ws("#", F.col("source_id"), F.col("chunk_index")), 256),
+        )
+        .withColumn("embedding", embed_udf(dim)(F.col("content")))
+        .withColumn("created_at", F.current_timestamp())
+    )
+
+
+def index_files(
+    spark: SparkSession,
+    glob_path: str,
+    strategy: str | None = None,
+    dim: int = 64,
+) -> DataFrame:
+    """S2/S3: read whole files (Spark globs natively), chunk per-extension.
+
+    ``input_file_name`` is the source identity; chunk settings follow the
+    X13 optimizer for the glob's dominant extension when not forced.
+    """
+    raw = (
+        spark.read.text(glob_path, wholetext=True)
+        .withColumn("file_path", F.input_file_name())
+        .select(
+            F.col("file_path").alias("source_id"),
+            "file_path",
+            F.col("value").alias("content"),
+            F.lit("file").alias("source_type"),
+        )
+    )
+    ext = os.path.splitext(glob_path)[1] or ".txt"
+    size, overlap = optimal_chunk_settings(ext)
+    strat = strategy or (
+        "markdown" if ext in (".md", ".mdx") else ("code" if ext in (".py", ".ts", ".js") else "fixed")
+    )
+    return index_text_df(raw, strategy=strat, size=size, overlap=overlap, dim=dim)
+
+
+def write_chunk_store(chunks: DataFrame, path: str, mode: str = "append") -> None:
+    """S6 sink: bulk columnar write, partitioned by source_type when present.
+
+    At 100 TB: partition by a low-cardinality routing key only; file sizing
+    is left to maxPartitionBytes + AQE coalesce on the read side.
+    """
+    writer = chunks.write.mode(mode)
+    if "source_type" in chunks.columns:
+        writer = writer.partitionBy("source_type")
+    writer.parquet(path)
+
+
+def sources_from_chunks(chunks: DataFrame) -> DataFrame:
+    """Derive the `sources` table: one row per source (the reference hoists
+    originalContent out of chunk 0 — `indexer.ts:110-112`)."""
+    cols = [F.first(c, ignorenulls=True).alias(c) for c in ("source_type", "title", "url", "file_path") if c in chunks.columns]
+    return chunks.groupBy("source_id").agg(
+        F.max("total_chunks").alias("total_chunks"),
+        F.min("created_at").alias("created_at"),
+        *cols,
+    )
+
+
+def incremental_filter(
+    candidates: DataFrame, indexed_chunks: DataFrame, key: str = "file_path"
+) -> DataFrame:
+    """J7: drop candidates whose key already exists in the chunk store.
+
+    LEFT ANTI against the distinct indexed keys; at scale the distinct is a
+    cheap pre-aggregated shuffle and the anti-join broadcasts when small.
+    """
+    seen = indexed_chunks.select(key).distinct()
+    return candidates.join(seen, key, "left_anti")
+
+
+def delete_sources(chunks: DataFrame, source_ids: list[str]) -> DataFrame:
+    """S9 rewrite: deletion = anti-join; source GC falls out for free since
+    `sources` is derived from the surviving chunks."""
+    return chunks.filter(~F.col("source_id").isin(source_ids))

@@ -1,0 +1,58 @@
+"""Structured Streaming ingestion demo over the `events` table.
+
+The reference is strictly batch (SURVEY.md §2.8) — this module is the
+sanctioned extension: the incremental-indexing idea (J7) re-expressed as a
+real stream. Batch equivalents of these aggregations live in
+gistdex_spark/queries.py (events_hourly / events_sessionize) where the
+DuckDB oracle checks them; the streaming forms are checked by
+tests/test_streaming.py via in-memory sinks on the SAME input rows, so
+batch and stream results must agree (the Dataflow-model invariant).
+
+Scale notes: tumbling-window counts with a watermark bound state; the
+dedup operator keeps only ids younger than the watermark. State store is
+partitioned by group key — on a 1000-executor cluster each key's state is
+local to its shuffle partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def hourly_counts_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1h window per event_type; late rows beyond the watermark drop."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Exactly-once-per-event_id stream: dropDuplicates bounded by watermark."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def run_availablenow(stream_df: DataFrame, query_name: str, output_mode: str):
+    """Drain all available input with Trigger.AvailableNow into a memory sink.
+
+    AvailableNow processes the backlog in bounded batches then stops —
+    the pattern for periodic incremental ingest jobs (vs a 24/7 cluster).
+    """
+    return (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )

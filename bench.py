@@ -41,8 +41,21 @@ BENCH_QUERIES = [
     "quality_score",
     "token_count",
     "ann_lsh_bucket",
+    "ann_ivf_probe",
     "events_hourly",
     "events_sessionize",
+    "events_dedup_count",
+    "chunk_fixed",
+    "reconstruct_roundtrip",
+    "query_chain",
+    "cidoc_similarity_join",
+    "cidoc_best_match",
+    "topic_clusters",
+    "coherence_diversity",
+    "keyword_coverage",
+    "code_language_census",
+    "multimodal_features",
+    "index_pipeline_stats",
 ]
 
 

@@ -103,9 +103,9 @@ def doc_impact(
     spark: SparkSession,
     queries: list[dict],
     corpus: DataFrame,
+    embed,
     threshold: float = 0.7,
     k_per_query: int = 10,
-    embed,
     doc_col: str = "doc_id",
     vec_col: str = "embedding",
 ) -> DataFrame:

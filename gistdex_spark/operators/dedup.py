@@ -45,13 +45,14 @@ def shingle_hashes(df: DataFrame, content_col: str = "text", n: int = 5) -> Data
         f"transform(sequence(1, greatest(length({c}) - {n - 1}, 1)), "
         f"i -> substring({c}, i, {n}))"
     )
+    # array_distinct dedupes per doc locally; no global distinct — MIN is
+    # duplicate-insensitive, so the extra shuffle would buy nothing.
     return (
         df.select("doc_id", F.explode(F.expr(f"array_distinct({grams})")).alias("g"))
         .select(
             "doc_id",
             F.expr("cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint)").alias("h"),
         )
-        .distinct()
     )
 
 
@@ -60,23 +61,23 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, sig ARRAY<BIGINT>) minhash signature.
 
-    One explode + one hash-agg; per (doc, i) min is a partial aggregate so
-    the shuffle carries only num_hashes values per doc.
-    """
+    ONE shuffle: each of the num_hashes permutations is its own MIN
+    aggregate (partial map-side combine ⇒ the exchange carries num_hashes
+    values per doc, not num_hashes values per shingle — at 100 TB the
+    difference is the whole job)."""
     a, b = _coeffs(num_hashes)
     sh = shingle_hashes(df, content_col, n)
-    arr = F.array(
+    h1 = F.col("h") % MINHASH_P
+    mins = sh.groupBy("doc_id").agg(
         *[
-            ((F.lit(a[i]) * (F.col("h") % MINHASH_P) + F.lit(b[i])) % MINHASH_P).cast(
-                "bigint"
+            F.min(((F.lit(a[i]) * h1 + F.lit(b[i])) % MINHASH_P).cast("bigint")).alias(
+                f"mh{i}"
             )
             for i in range(num_hashes)
         ]
     )
-    per_hash = sh.select("doc_id", F.posexplode(arr).alias("i", "v"))
-    mins = per_hash.groupBy("doc_id", "i").agg(F.min("v").alias("mh"))
-    return mins.groupBy("doc_id").agg(
-        F.array_sort(F.collect_list(F.struct("i", "mh"))).getField("mh").alias("sig")
+    return mins.select(
+        "doc_id", F.array(*[F.col(f"mh{i}") for i in range(num_hashes)]).alias("sig")
     )
 
 

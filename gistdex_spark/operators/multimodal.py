@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
-    FloatType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -54,7 +54,7 @@ FEATURE_SCHEMA = StructType(
         StructField("kind", StringType()),
         StructField("n_bytes", LongType()),
         StructField("content_hash", StringType()),
-        StructField("features", ArrayType(FloatType())),
+        StructField("features", ArrayType(DoubleType())),
     ]
 )
 
@@ -75,7 +75,8 @@ def fake_decode(payload: bytes, dim: int = 8) -> np.ndarray:
         int.from_bytes(h[(4 * i) % 32 : (4 * i) % 32 + 4], "big") / 2**32
         for i in range(dim)
     ]
-    return np.asarray(vals, dtype=np.float32)
+    # float64 keeps int/2^32 exact — bit-identical to a SQL engine's DOUBLE.
+    return np.asarray(vals, dtype=np.float64)
 
 
 def synthetic_media_df(spark, n: int = 16) -> DataFrame:

@@ -1,0 +1,60 @@
+"""Multimodal binary-column plumbing: schema, Arrow batch shape, the
+deterministic fake decoder, and the NotImplementedError decode stub."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from gistdex_spark.operators.multimodal import (
+    decode_stub,
+    extract_features,
+    fake_decode,
+    media_stats,
+    synthetic_media_df,
+)
+
+
+def test_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        decode_stub(b"bytes", "image/png")
+
+
+def test_fake_decode_deterministic():
+    a = fake_decode(b"payload", dim=8)
+    b = fake_decode(b"payload", dim=8)
+    assert list(a) == list(b)
+    assert len(a) == 8
+    assert all(0.0 <= v < 1.0 for v in a)
+    # first feature == first 4 digest bytes / 2^32
+    h = hashlib.sha256(b"payload").digest()
+    assert a[0] == int.from_bytes(h[0:4], "big") / 2**32
+
+
+def test_extract_features_end_to_end(spark):
+    media = synthetic_media_df(spark, n=12)
+    feats = extract_features(media, dim=4).collect()
+    assert len(feats) == 12
+    by_id = {r.media_id: r for r in feats}
+    for r in feats:
+        assert len(r.features) == 4
+        assert r.n_bytes == 64
+    # hash matches a locally computed one for a known payload
+    payload = (b"media-0-" * 8)[:64]
+    assert by_id["m0000"].content_hash == hashlib.sha256(payload).hexdigest()
+    assert list(by_id["m0000"].features) == list(fake_decode(payload, 4))
+
+
+def test_media_stats_prunes_payload(spark, tmp_path):
+    media = synthetic_media_df(spark, n=9)
+    rows = {r.kind: r.n_items for r in media_stats(media).collect()}
+    assert rows == {"image": 3, "audio": 3, "video": 3}
+    # against a real parquet scan, column pruning must drop the BINARY
+    # payload from the read schema entirely
+    path = str(tmp_path / "media.parquet")
+    media.write.parquet(path)
+    on_disk = spark.read.parquet(path)
+    plan = media_stats(on_disk)._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [l for l in plan.splitlines() if "FileScan" in l]
+    assert scan_lines and all("payload" not in l for l in scan_lines), plan

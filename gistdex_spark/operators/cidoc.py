@@ -129,6 +129,18 @@ def doc_impact(
     return best_match_per_doc(matches, doc_col=doc_col)
 
 
+def doc_path(
+    file_path: str = "file_path", path: str = "path", repo_root: str = ""
+) -> F.Column:
+    """F10 (`doc-service.ts:247-266`): the doc's display path is
+    coalesce(metadata.filePath, metadata.path), normalized from absolute
+    to repo-relative. Pure column expression — stays in codegen."""
+    p = F.coalesce(F.col(file_path), F.col(path))
+    if repo_root:
+        p = F.regexp_replace(p, "^" + re.escape(repo_root.rstrip("/")) + "/", "")
+    return p
+
+
 def best_relevant_change(
     results: DataFrame,
     changes: list[dict],

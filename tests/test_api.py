@@ -116,3 +116,9 @@ def test_delete_source(engine):
     remaining = engine.delete(["doc-c"])
     assert remaining.filter(F.col("source_id") == "doc-c").count() == 0
     assert remaining.select("source_id").distinct().count() == 2
+
+
+def test_search_strips_embedding(engine):
+    """F9: result rows never carry the embedding column."""
+    assert "embedding" not in engine.search("vector cosine", k=3).columns
+    assert "embedding" not in engine.search_batch(["vector", "cosine"], k=2).columns

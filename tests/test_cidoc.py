@@ -84,3 +84,22 @@ def test_doc_impact_end_to_end(spark):
         assert r.match_count >= 1
         assert r.best_query in {q["query_id"] for q in queries}
         assert sorted(r.matched_queries) == list(r.matched_queries)
+
+
+def test_doc_path_coalesce_and_relativize(spark):
+    """F10: coalesce(filePath, path) + absolute→relative normalization."""
+    from gistdex_spark.operators.cidoc import doc_path
+
+    df = spark.createDataFrame(
+        [
+            ("/repo/docs/a.md", "ignored", 1),
+            (None, "docs/b.md", 2),
+            (None, None, 3),
+        ],
+        schema="file_path STRING, path STRING, id INT",
+    )
+    got = {
+        r.id: r.p
+        for r in df.select("id", doc_path(repo_root="/repo").alias("p")).collect()
+    }
+    assert got == {1: "docs/a.md", 2: "docs/b.md", 3: None}

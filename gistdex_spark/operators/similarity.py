@@ -90,15 +90,29 @@ def best_match_per_doc(
     sim_col: str = "sim",
     query_col: str = "query_id",
 ) -> DataFrame:
-    """W5: per doc keep the max-similarity match + the set of matched queries."""
-    w = Window.partitionBy(doc_col).orderBy(F.desc(sim_col), F.asc(query_col))
-    best = matches.withColumn("rn", F.row_number().over(w))
-    agg = matches.groupBy(doc_col).agg(
-        F.array_sort(F.collect_set(query_col)).alias("matched_queries"),
-        F.count(F.lit(1)).alias("match_count"),
-    )
+    """W5: per doc keep the max-similarity match + the set of matched queries.
+
+    ONE hash aggregate (partial map-side combine): the argmax rides as
+    max(struct(sim, -query)) so ties resolve to the smallest query id —
+    identical to row_number over (sim DESC, query ASC). The window+agg+join
+    form reads `matches` twice and shuffles three times; this reads once
+    and shuffles once. Requires a numeric query id column.
+    """
+    b = F.max(
+        F.struct(F.col(sim_col).alias("s"), (-F.col(query_col)).alias("nq"))
+    ).alias("b")
     return (
-        best.filter(F.col("rn") == 1)
-        .select(doc_col, F.col(sim_col).alias("best_sim"), F.col(query_col).alias("best_query"))
-        .join(agg, doc_col)
+        matches.groupBy(doc_col)
+        .agg(
+            b,
+            F.array_sort(F.collect_set(query_col)).alias("matched_queries"),
+            F.count(F.lit(1)).alias("match_count"),
+        )
+        .select(
+            doc_col,
+            F.col("b.s").alias("best_sim"),
+            (-F.col("b.nq")).alias("best_query"),
+            "matched_queries",
+            "match_count",
+        )
     )

@@ -72,3 +72,44 @@ def test_semantic_search_no_shuffle(q):
 def test_events_sessionize_single_shuffle(q):
     # one hash exchange for the user_id window; the groupBy reuses it
     assert num_shuffles(q("events_sessionize")) <= 2
+
+
+def test_minhash_signature_stage_is_map_only(spark):
+    """The signature computation itself must be a narrow per-row fold —
+    zero exchanges before the LSH band join."""
+    from gistdex_spark.operators.dedup import minhash_signatures
+    from gistdex_spark.sources.tables import load_table
+
+    sig = minhash_signatures(load_table(spark, SF_CORRECTNESS, "documents"))
+    assert num_shuffles(sig) == 0
+
+
+def test_simhash_is_map_only(q):
+    assert num_shuffles(q("simhash_signatures")) == 0
+
+
+def test_best_match_single_aggregate(q):
+    # upstream top-k-per-query window (1 exchange) + ONE hash aggregate;
+    # the old window+agg+join form added three more and read the
+    # similarity join twice
+    assert num_shuffles(q("cidoc_best_match")) <= 2
+
+
+def test_ivf_assignment_no_window_shuffle(q):
+    # centroid argmax folds per row; the only exchanges are the final
+    # top-5 merge and the tiny centroid collect — never a corpus window
+    df = q("ann_ivf_probe")
+    assert num_shuffles(df) <= 2
+    assert has_take_ordered(df)
+
+
+def test_query_chain_scores_narrow_table(q):
+    """Stages must score (id, embedding) only — the documents text column
+    joins in after the top-k, so no stage scan reads text."""
+    df = q("query_chain")
+    s = scan_for(df, "embeddings")
+    assert set(s["columns"]) <= {"vec_id", "embedding"}
+
+
+def test_stratified_sample_single_shuffle(q):
+    assert num_shuffles(q("stratified_sample")) == 1

@@ -74,6 +74,14 @@ def main() -> None:
     # engine, not first-job session setup.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    # Warm the Python/Arrow worker pool too — otherwise the first
+    # pandas-UDF query pays worker fork/startup inside its timed section.
+    from gistdex_spark.functions.embedder import embed_udf  # noqa: PLC0415
+
+    spark.range(256).repartition(int(cpus)).selectExpr(
+        "cast(id as string) as t"
+    ).select(embed_udf(dim=4)("t")).collect()
+
     timings: dict[str, float] = {}
     total = 0.0
     for name in BENCH_QUERIES:

@@ -38,6 +38,17 @@ def _coeffs(n: int) -> tuple[list[int], list[int]]:
     return a, b
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a small-file scan so CPU-heavy per-row
+    expressions use every core. No-op when the source already has enough
+    splits — the 100 TB case, where parquet row groups provide the
+    parallelism and the extra exchange would be pure waste."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def shingle_hashes(df: DataFrame, content_col: str = "text", n: int = 5) -> DataFrame:
     """(doc_id, h) — distinct char-n-gram 60-bit hashes per document."""
     c = f"lower({content_col})"
@@ -75,11 +86,16 @@ def minhash_signatures(
         f"transform({grams}, g -> "
         f"cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint) % {MINHASH_P}L)"
     )
+    # 16 unrolled array_min projections: a rolled transform-over-
+    # permutation-index variant was measured ~5x slower at runtime (nested
+    # lambdas evaluate interpreted, scaling with data); the unrolled form
+    # pays a one-time codegen compile instead, which is the right trade at
+    # any scale.
     sig = ", ".join(
         f"array_min(transform(hs, h -> ({a[i]}L * h + {b[i]}L) % {MINHASH_P}L))"
         for i in range(num_hashes)
     )
-    return df.select("doc_id", F.expr(hs).alias("hs")).select(
+    return _spread(df).select("doc_id", F.expr(hs).alias("hs")).select(
         "doc_id", F.expr(f"array({sig})").alias("sig")
     )
 
@@ -117,18 +133,27 @@ def minhash_lsh_pairs(
             "band_idx", "band_hash"
         ),
     )
-    l = banded.select(
-        F.col("doc_id").alias("doc_id_a"), F.col("sig").alias("sig_a"),
-        "band_idx", "band_hash",
+    # Candidate pairs by grouping each band bucket and expanding the
+    # intra-bucket combinations narrowly. A banded SELF-JOIN would reference
+    # the signature subtree twice — Spark has no cross-join-side CSE, so
+    # every signature would be computed twice; this shape computes them
+    # once and shuffles each (id, sig) exactly `bands` times. members are
+    # sorted by doc_id, so i<j yields doc_id_a < doc_id_b directly.
+    # (Bucket blowup is governed by band tuning, same as the join form.)
+    buckets = (
+        banded.groupBy("band_idx", "band_hash")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "sig"))).alias("m"))
+        .filter(F.size("m") >= 2)
     )
-    r = banded.select(
-        F.col("doc_id").alias("doc_id_b"), F.col("sig").alias("sig_b"),
-        "band_idx", "band_hash",
+    pair_expr = (
+        "flatten(transform(sequence(0, size(m) - 2), i -> "
+        "transform(sequence(i + 1, size(m) - 1), j -> "
+        "struct(m[i].doc_id AS doc_id_a, m[j].doc_id AS doc_id_b, "
+        "m[i].sig AS sig_a, m[j].sig AS sig_b))))"
     )
     pairs = (
-        l.join(r, ["band_idx", "band_hash"])
-        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
-        .select("doc_id_a", "doc_id_b", "sig_a", "sig_b")
+        buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.*")
         .dropDuplicates(["doc_id_a", "doc_id_b"])
     )
     est = F.size(
@@ -197,6 +222,7 @@ def simhash(df: DataFrame, content_col: str = "text", bits: int = 32) -> DataFra
     per-row expression (the explode/groupBy form shuffled rows×bits rows).
     Docs with no tokens are dropped, matching the explode semantics the
     oracle mirrors (unnest of an empty list emits no row)."""
+    df = _spread(df)
     toks = f"filter(split(lower({content_col}), '[\\\\s]+'), w -> length(w) > 0)"
     hs = f"transform({toks}, w -> cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint))"
     vote_j = (

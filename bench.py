@@ -88,11 +88,14 @@ def main() -> None:
         fn = REGISTRY[name]
         t0 = time.time()
         df = fn(spark, sf_dir)
-        n = df.count()
+        # Materialize through a noop sink: every column is fully evaluated,
+        # so Catalyst can't prune the expensive expressions the way a bare
+        # count() would (a count benches the scan, not the work).
+        df.write.format("noop").mode("overwrite").save()
         dt = time.time() - t0
         timings[name] = round(dt, 3)
         total += dt
-        print(f"# {name}: {dt:.2f}s rows={n}", file=sys.stderr, flush=True)
+        print(f"# {name}: {dt:.2f}s", file=sys.stderr, flush=True)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:

@@ -37,11 +37,21 @@ def search_stats(df: DataFrame, score_col: str = "score") -> DataFrame:
     )
 
 
-def detailed_metrics(df: DataFrame, score_col: str = "score") -> DataFrame:
+def detailed_metrics(
+    df: DataFrame, score_col: str = "score", rank_buckets: int = 1024
+) -> DataFrame:
     """A4: variance/stddev (population) + exact ceil-index percentiles.
 
-    The percentile rank lookup is a window over the (small) result set the
-    reference computes this on; the aggregate half is a normal one-pass agg.
+    Scale shape: global ranks WITHOUT a single-partition sort. Scores are
+    range-bucketed on their value domain (bucket = floor((s-min)/span*B),
+    monotone in s, so ties never straddle buckets), ranked locally with a
+    bucket-PARTITIONED window, then shifted by per-bucket cumulative
+    offsets. The offset table is <= B rows (tiny); the per-row work is all
+    parallel. Same rank semantics as row_number() OVER (ORDER BY s) —
+    equal scores may permute within a rank run, but the VALUE at any
+    global rank is identical, which is all ceil-index extraction reads.
+    Heavy ties concentrate in one bucket; that is inherent to ranking by
+    value and no worse than any exact-quantile scheme.
     """
     base = df.select(F.col(score_col).alias("s"))
     aggs = base.agg(
@@ -51,9 +61,43 @@ def detailed_metrics(df: DataFrame, score_col: str = "score") -> DataFrame:
         F.round(F.min("s"), ROUND).alias("min_score"),
         F.round(F.var_pop("s"), ROUND).alias("score_variance"),
         F.round(F.stddev_pop("s"), ROUND).alias("score_stddev"),
+        F.min("s").alias("_mn"),
+        F.max("s").alias("_mx"),
     )
-    w = Window.orderBy(F.asc("s"))
-    ranked = base.withColumn("rn", F.row_number().over(w))
+    span = F.col("_mx") - F.col("_mn")
+    bucket = (
+        F.when(
+            span > 0,
+            F.least(
+                F.lit(rank_buckets - 1),
+                F.floor((F.col("s") - F.col("_mn")) / span * rank_buckets),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+    )
+    joined = base.crossJoin(F.broadcast(aggs)).withColumn("bkt", bucket)
+    # One exchange (hash by bkt) feeds both the local rank and the bucket
+    # count; the firsts/local branches reuse it (ReuseExchange).
+    w_rank = Window.partitionBy("bkt").orderBy(F.asc("s"))
+    w_cnt = Window.partitionBy("bkt")
+    local = joined.withColumn("lrn", F.row_number().over(w_rank)).withColumn(
+        "bcnt", F.count(F.lit(1)).over(w_cnt)
+    )
+    firsts = local.filter(F.col("lrn") == 1).select(
+        "bkt", F.col("bcnt").alias("_c")
+    )
+    # Cumulative offsets over <= B bucket rows via a tiny broadcast
+    # theta-join — no unpartitioned window anywhere in the plan.
+    lower = firsts.select(F.col("bkt").alias("_lb"), F.col("_c").alias("_lc"))
+    offs = (
+        firsts.join(F.broadcast(lower), F.col("_lb") < F.col("bkt"), "left")
+        .groupBy("bkt")
+        .agg(F.coalesce(F.sum("_lc"), F.lit(0)).alias("off"))
+    )
+    ranked = local.join(F.broadcast(offs), "bkt").withColumn(
+        "rn", F.col("off") + F.col("lrn")
+    )
     n = F.col("total_results")
 
     def pct(p: int):
@@ -61,8 +105,7 @@ def detailed_metrics(df: DataFrame, score_col: str = "score") -> DataFrame:
         idx = F.greatest(F.lit(1), F.least(F.ceil(F.lit(p / 100.0) * n), n))
         return idx
 
-    joined = aggs.crossJoin(ranked)
-    return joined.groupBy(
+    return ranked.groupBy(
         "total_results", "avg_score", "max_score", "min_score",
         "score_variance", "score_stddev",
     ).agg(

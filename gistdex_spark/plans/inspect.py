@@ -64,6 +64,27 @@ def has_take_ordered(df: DataFrame) -> bool:
     return "TakeOrderedAndProject" in executed_plan(df)
 
 
+def single_partition_exchanges(df: DataFrame) -> int:
+    """Count dangerous ``Exchange SinglePartition`` nodes — funnels of the
+    whole upstream into ONE task (unpartitioned window/sort), the classic
+    100 TB scale-killer.
+
+    The benign form — final merge of a global scalar aggregate, whose
+    child is a partial aggregate emitting one row per task — is excluded:
+    only partials cross that exchange, not data.
+    """
+    lines = executed_plan(df).splitlines()
+    n = 0
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        child = lines[i + 1] if i + 1 < len(lines) else ""
+        if "partial_" in child and "Aggregate" in child:
+            continue
+        n += 1
+    return n
+
+
 def join_strategies(df: DataFrame) -> list[str]:
     plan = executed_plan(df)
     return re.findall(

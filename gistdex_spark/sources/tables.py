@@ -20,9 +20,14 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is TIMESTAMP(NANOS), which Spark's reader rejects unless
+        # told to surface it as LONG nanos. Set at runtime so the read works
+        # on ANY session (e.g. the correctness driver's), not just ours.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # events.ts is TIMESTAMP(NANOS) in parquet; with nanosAsLong it arrives
-    # as LONG nanos — truncate to micros (same floor DuckDB applies).
+    # With nanosAsLong the ts column arrives as LONG nanos — truncate to
+    # micros (same floor DuckDB applies).
     from pyspark.sql.types import LongType
 
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):

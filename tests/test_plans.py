@@ -11,6 +11,7 @@ from gistdex_spark.plans.inspect import (
     join_strategies,
     num_shuffles,
     scan_for,
+    single_partition_exchanges,
 )
 from gistdex_spark.queries import REGISTRY
 from tests.conftest import SF_CORRECTNESS
@@ -115,3 +116,16 @@ def test_query_chain_scores_narrow_table(q):
 
 def test_stratified_sample_single_shuffle(q):
     assert num_shuffles(q("stratified_sample")) == 1
+
+
+def test_detailed_metrics_no_global_sort(q):
+    # exact ceil-index percentiles must rank via the bucket-partitioned
+    # window + cumulative-offset scheme — NEVER an unpartitioned window
+    # (Exchange SinglePartition) over the scored rows
+    assert single_partition_exchanges(q("detailed_score_metrics")) == 0
+
+
+def test_list_recent_slice_is_heap(q):
+    # LIMIT/OFFSET slice must heap-limit first (TakeOrderedAndProject over
+    # per-partition heaps); the rank window then sees only 30 rows
+    assert has_take_ordered(q("list_recent_slice"))

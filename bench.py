@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "simhash_signatures",
+    "dedup_simhash_pairs",
     "lang_id",
     "quality_score",
     "token_count",

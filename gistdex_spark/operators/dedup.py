@@ -241,6 +241,73 @@ def simhash(df: DataFrame, content_col: str = "text", bits: int = 32) -> DataFra
     )
 
 
+def simhash_pairs(
+    df: DataFrame,
+    content_col: str = "text",
+    bits: int = 32,
+    bands: int = 4,
+    max_distance: int = 3,
+) -> DataFrame:
+    """Near-dup pairs via a banded Hamming join over SimHash signatures.
+
+    EXACT for ``max_distance < bands``: two signatures within Hamming
+    distance d differ in at most d bands, so by pigeonhole they agree on
+    at least one of the ``bands`` bit-segments — the equality-join on
+    (band_idx, band_val) finds every qualifying pair, then
+    ``bit_count(a ^ b) <= d`` verifies. Returns (doc_id_a, doc_id_b,
+    hamming) with a < b.
+
+    Scale shape mirrors minhash_lsh_pairs: signatures are computed ONCE
+    (map-only), each (id, sig) is shuffled exactly ``bands`` times, and
+    candidates expand narrowly inside each bucket — no banded self-join
+    (Spark has no cross-join-side CSE, so a self-join would compute every
+    signature twice). At larger corpora raise ``bits`` to 64 so band
+    values span 16 bits and buckets stay small.
+    """
+    if bits % bands != 0:
+        raise ValueError("bits must be divisible by bands")
+    if max_distance >= bands:
+        raise ValueError("banded join is exact only for max_distance < bands")
+    width = bits // bands
+    mask = (1 << width) - 1
+    sig = simhash(df, content_col, bits)
+    banded = sig.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", b * width).bitwiseAND(F.lit(mask))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    buckets = (
+        banded.groupBy("band_idx", "band_val")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "simhash"))).alias("m"))
+        .filter(F.size("m") >= 2)
+    )
+    pair_expr = (
+        "flatten(transform(sequence(0, size(m) - 2), i -> "
+        "transform(sequence(i + 1, size(m) - 1), j -> "
+        "struct(m[i].doc_id AS doc_id_a, m[j].doc_id AS doc_id_b, "
+        "m[i].simhash AS sim_a, m[j].simhash AS sim_b))))"
+    )
+    pairs = (
+        buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.*")
+        .dropDuplicates(["doc_id_a", "doc_id_b"])
+    )
+    return (
+        pairs.withColumn(
+            "hamming", F.expr("cast(bit_count(sim_a ^ sim_b) as int)")
+        )
+        .filter(F.col("hamming") <= max_distance)
+        .select("doc_id_a", "doc_id_b", "hamming")
+    )
+
+
 def embedding_neardup_pairs(
     emb: DataFrame, threshold: float = 0.8, id_col: str = "vec_id"
 ) -> DataFrame:

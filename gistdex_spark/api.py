@@ -68,6 +68,8 @@ class GistdexSpark:
         written. With ``incremental``, sources already present are skipped
         (J7 anti-join) — the reference's skip-already-indexed behavior."""
         if incremental:
+            from pyspark.errors.exceptions.captured import AnalysisException
+
             try:
                 existing = self.chunks().select("source_id").distinct()
                 texts = texts.join(
@@ -75,18 +77,33 @@ class GistdexSpark:
                     texts.source_id.cast("string") == existing.source_id,
                     "left_anti",
                 )
-            except Exception:
-                pass  # first write — no store yet
+            except AnalysisException:
+                pass  # first write — store path doesn't exist yet
         chunks = index_text_df(
             texts, strategy=strategy, size=size, overlap=overlap, dim=self.dim
         )
         write_chunk_store(chunks, self.store_path)
         return chunks
 
-    def index_files(self, glob_path: str, strategy: str | None = None) -> DataFrame:
+    def index_files(
+        self,
+        glob_path: str,
+        strategy: str | None = None,
+        base_dir: str | None = None,
+        allowed_base_paths: tuple[str, ...] | None = None,
+        validate: bool = True,
+    ) -> DataFrame:
         from gistdex_spark.sources.indexer import index_files
 
-        chunks = index_files(self.spark, glob_path, strategy=strategy, dim=self.dim)
+        chunks = index_files(
+            self.spark,
+            glob_path,
+            strategy=strategy,
+            dim=self.dim,
+            base_dir=base_dir,
+            allowed_base_paths=allowed_base_paths,
+            validate=validate,
+        )
         write_chunk_store(chunks, self.store_path)
         return chunks
 

@@ -154,9 +154,6 @@ def best_relevant_change(
         schema="file_path STRING, symbols STRING, content STRING",
     )
     q = F.col(query_col)
-    by_symbol = ch.filter(F.lit(True)).select(
-        F.col("file_path").alias("sym_file"), F.col("symbols")
-    )
     j = (
         results.crossJoin(F.broadcast(ch))
         .withColumn(

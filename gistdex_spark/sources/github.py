@@ -56,16 +56,32 @@ _REPO_RE = re.compile(
 
 
 def parse_gist_url(url: str) -> dict:
-    """S4: gist URL → {owner?, gist_id}; raises on anything else."""
-    m = _GIST_RE.match(url.strip())
+    """S4: gist URL → {owner?, gist_id}; raises on anything else.
+
+    The HTTPS + domain-allowlist gate (`security.ts:219-237`) runs first;
+    the regex then pins the gist.github.com shape and hex id.
+    """
+    from gistdex_spark.sources.security import validate_external_url
+
+    url = url.strip()
+    validate_external_url(url)
+    m = _GIST_RE.match(url)
     if not m:
         raise ValueError(f"not a gist URL: {url!r}")
     return {"owner": m.group(1), "gist_id": m.group(2)}
 
 
 def parse_repo_url(url: str) -> dict:
-    """S5: repo URL → {owner, repo, branch?} (tree/<branch> suffix allowed)."""
-    m = _REPO_RE.match(url.strip())
+    """S5: repo URL → {owner, repo, branch?} (tree/<branch> suffix allowed).
+
+    Validated by the reference-parity gate (`security.ts:246-297`: HTTPS,
+    domain allowlist, owner/repo charset) before branch extraction.
+    """
+    from gistdex_spark.sources.security import validate_github_repo_url
+
+    url = url.strip()
+    validate_github_repo_url(url)
+    m = _REPO_RE.match(url)
     if not m:
         raise ValueError(f"not a GitHub repo URL: {url!r}")
     return {"owner": m.group(1), "repo": m.group(2), "branch": m.group(3)}

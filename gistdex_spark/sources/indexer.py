@@ -65,12 +65,35 @@ def index_files(
     glob_path: str,
     strategy: str | None = None,
     dim: int = 64,
+    base_dir: str | None = None,
+    allowed_base_paths: tuple[str, ...] | None = None,
+    validate: bool = True,
 ) -> DataFrame:
     """S2/S3: read whole files (Spark globs natively), chunk per-extension.
 
     ``input_file_name`` is the source identity; chunk settings follow the
     X13 optimizer for the glob's dominant extension when not forced.
+
+    Security gate (`security.ts:48-183`, wired like `indexer.ts:213`): the
+    glob's static prefix is validated for traversal / system dirs /
+    base-path containment before any read. Spark's reader only emits files
+    under that (symlink-resolved) prefix, so one driver-side check covers
+    every match — no per-file validation loop at scale.
     """
+    if validate:
+        from gistdex_spark.sources.security import (
+            DEFAULT_SAFE_BASE_PATHS,
+            validate_file_path,
+        )
+
+        wild = min(
+            (i for i in (glob_path.find(c) for c in "*?[") if i >= 0),
+            default=-1,
+        )
+        prefix = glob_path if wild < 0 else os.path.dirname(glob_path[:wild])
+        validate_file_path(
+            prefix or ".", base_dir, allowed_base_paths or DEFAULT_SAFE_BASE_PATHS
+        )
     raw = (
         spark.read.text(glob_path, wholetext=True)
         .withColumn("file_path", F.input_file_name())

@@ -57,20 +57,42 @@ def original_content(
     source_col: str = "source_id",
     index_col: str = "chunk_index",
     content_col: str = "content",
+    original_col: str = "original_content",
 ) -> DataFrame:
     """W7: (source_id, content) — each source's chunks folded back together.
 
-    sort_array(collect_list(struct(idx, content))) keeps ordering inside the
-    aggregation (no global sort); the fold UDF runs once per source row.
+    Chunk-0 fast path (`search.ts:150-175`): when the frame carries a
+    stored-original column and chunk 0 has it, that value is returned
+    verbatim — overlap folding is only the fallback, because trimming can
+    drop whitespace the original had. Sources WITH stored content never
+    enter the Arrow fold at all (union split; the grouped exchange is
+    shared between branches via ReuseExchange).
+
+    sort_array(collect_list(struct(idx, content))) keeps ordering inside
+    the aggregation (no global sort); the fold UDF runs once per source row.
     """
     ordered = F.array_sort(
         F.collect_list(F.struct(F.col(index_col).alias("i"), F.col(content_col).alias("c")))
     )
-    return (
-        chunks.groupBy(source_col)
-        .agg(ordered.getField("c").alias("parts"))
-        .select(source_col, _fold_udf(F.col("parts")).alias("content"))
+    if original_col not in chunks.columns:
+        return (
+            chunks.groupBy(source_col)
+            .agg(ordered.getField("c").alias("parts"))
+            .select(source_col, _fold_udf(F.col("parts")).alias("content"))
+        )
+    stored = F.max(
+        F.when(F.col(index_col) == 0, F.col(original_col))
+    ).alias("stored")
+    agged = chunks.groupBy(source_col).agg(
+        ordered.getField("c").alias("parts"), stored
     )
+    fast = agged.filter(F.col("stored").isNotNull()).select(
+        source_col, F.col("stored").alias("content")
+    )
+    folded = agged.filter(F.col("stored").isNull()).select(
+        source_col, _fold_udf(F.col("parts")).alias("content")
+    )
+    return fast.unionByName(folded)
 
 
 def section_content(

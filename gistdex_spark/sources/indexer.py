@@ -45,11 +45,18 @@ def index_text_df(
     embeddings and deterministic ids. Pure narrow pipeline — no shuffle."""
     chunks = chunk_documents(texts, strategy=strategy, size=size, overlap=overlap)
     meta_cols = [c for c in ("source_type", "title", "url", "file_path") if c in texts.columns]
-    if meta_cols:
-        chunks = chunks.join(
-            F.broadcast(texts.select(F.col("source_id").cast("string").alias("source_id"), *meta_cols)),
-            "source_id",
-        )
+    # The reference stores originalContent once per source (`indexer.ts:
+    # 110-112`) and surfaces it on chunk 0; same here — chunk 0 carries the
+    # verbatim original so reconstruction can skip the overlap fold.
+    extra = texts.select(
+        F.col("source_id").cast("string").alias("source_id"),
+        F.col("content").alias("original_content"),
+        *meta_cols,
+    )
+    chunks = chunks.join(F.broadcast(extra), "source_id").withColumn(
+        "original_content",
+        F.when(F.col("chunk_index") == 0, F.col("original_content")),
+    )
     return (
         chunks.withColumn(
             "id",
@@ -127,7 +134,11 @@ def write_chunk_store(chunks: DataFrame, path: str, mode: str = "append") -> Non
 def sources_from_chunks(chunks: DataFrame) -> DataFrame:
     """Derive the `sources` table: one row per source (the reference hoists
     originalContent out of chunk 0 — `indexer.ts:110-112`)."""
-    cols = [F.first(c, ignorenulls=True).alias(c) for c in ("source_type", "title", "url", "file_path") if c in chunks.columns]
+    cols = [
+        F.first(c, ignorenulls=True).alias(c)
+        for c in ("source_type", "title", "url", "file_path", "original_content")
+        if c in chunks.columns
+    ]
     return chunks.groupBy("source_id").agg(
         F.max("total_chunks").alias("total_chunks"),
         F.min("created_at").alias("created_at"),

@@ -72,3 +72,38 @@ def test_chain_dedup_keeps_max(spark):
     b = spark.createDataFrame([(1, 0, 0.7), (3, 1, 0.6)], "source_id INT, chunk_index INT, score DOUBLE")
     out = {(r.source_id, r.chunk_index): r.score for r in chain_dedup([a, b]).collect()}
     assert out == {(1, 0): 0.9, (2, 0): 0.5, (3, 1): 0.6}
+
+
+def test_chunk0_stored_content_wins(spark):
+    """`search.ts:150-175`: when chunk 0 carries the stored original, it is
+    returned verbatim — here trimming makes the fold differ (the chunks
+    lost a double space), so only the fast path gives the true original."""
+    from gistdex_spark.operators.reconstruct import original_content
+
+    original = "alpha beta  gamma"  # double space chunking won't preserve
+    rows = [
+        ("s1", 0, "alpha beta", original),
+        ("s1", 1, "gamma", None),
+        ("s2", 0, "plain", None),  # no stored original → fold fallback
+        ("s2", 1, "text", None),
+    ]
+    chunks = spark.createDataFrame(
+        rows,
+        schema="source_id STRING, chunk_index INT, content STRING, "
+        "original_content STRING",
+    )
+    out = {r.source_id: r.content for r in original_content(chunks).collect()}
+    assert out["s1"] == original
+    folded = "alpha beta\ngamma"
+    assert out["s1"] != folded  # the fold alone would have been wrong
+    assert out["s2"] == "plain\ntext"
+
+
+def test_no_original_column_keeps_old_behavior(spark):
+    from gistdex_spark.operators.reconstruct import original_content
+
+    chunks = spark.createDataFrame(
+        [("s", 0, "ab"), ("s", 1, "cd")],
+        schema="source_id STRING, chunk_index INT, content STRING",
+    )
+    assert original_content(chunks).collect()[0].content == "ab\ncd"

@@ -155,3 +155,77 @@ def paginate(
     rn = F.row_number().over(w)
     lo, hi = page * page_size, (page + 1) * page_size
     return df.withColumn("rn", rn).filter((F.col("rn") > lo) & (F.col("rn") <= hi)).drop("rn")
+
+
+def encode_cursor(offset: int, query: str, goal: str) -> str:
+    """Resumable-pagination cursor (`agent-query-tool.ts:777-809`):
+    base64 of the {offset, query, goal} JSON envelope."""
+    import base64
+    import json
+
+    payload = json.dumps(
+        {"offset": offset, "query": query, "goal": goal}, separators=(",", ":")
+    )
+    return base64.b64encode(payload.encode("utf-8")).decode("ascii")
+
+
+def decode_cursor(cursor: str) -> dict | None:
+    """Inverse of encode_cursor; returns None on any malformed input
+    (bad base64 / bad JSON / wrong field types), like the reference."""
+    import base64
+    import json
+
+    try:
+        payload = json.loads(base64.b64decode(cursor).decode("utf-8"))
+    except Exception:
+        return None
+    if (
+        not isinstance(payload, dict)
+        or not isinstance(payload.get("offset"), int)
+        or isinstance(payload.get("offset"), bool)
+        or not isinstance(payload.get("query"), str)
+        or not isinstance(payload.get("goal"), str)
+    ):
+        return None
+    return payload
+
+
+def paginate_with_cursor(
+    df: DataFrame,
+    query: str,
+    goal: str,
+    cursor: str | None = None,
+    page_size: int = 5,
+    id_col: str = "vec_id",
+    score_col: str = "score",
+) -> tuple[DataFrame, str | None]:
+    """W6 + the resumable-cursor contract (`agent-query-tool.ts:876-960`):
+    decode/validate the cursor against the current (query, goal) context,
+    slice one page from the over-fetched result set, and hand back the
+    next cursor — or None when the page was not full (no more results).
+
+    Raises ValueError on an invalid or mismatched cursor, mirroring the
+    reference's error responses.
+    """
+    offset = 0
+    if cursor is not None:
+        decoded = decode_cursor(cursor)
+        if decoded is None:
+            raise ValueError("Invalid cursor")
+        if decoded["query"] != query or decoded["goal"] != goal:
+            raise ValueError("Cursor does not match current query context")
+        offset = decoded["offset"]
+    if page_size <= 0:
+        raise ValueError("page_size must be positive")
+    # slice [offset, offset + page_size) — arbitrary offsets allowed, like
+    # the reference's results.slice(offset, offset + pageSize)
+    w = Window.orderBy(F.desc(score_col), F.asc(id_col))
+    ranked = df.withColumn("rn", F.row_number().over(w))
+    page = (
+        ranked.filter(
+            (F.col("rn") > offset) & (F.col("rn") <= offset + page_size)
+        ).drop("rn")
+    )
+    has_more = ranked.filter(F.col("rn") > offset + page_size).limit(1).count() > 0
+    nxt = encode_cursor(offset + page_size, query, goal) if has_more else None
+    return page, nxt

@@ -1,0 +1,154 @@
+"""IVF coarse quantizer: trained centroids, assignment, and cell probe.
+
+The ANN role of the reference's full-scan cosine search (`search.ts` +
+`vector-db` adapters) restructured for 100 TB: k-means|| centroids
+partition the corpus into cells; a query scores only its nearest
+``nprobe`` cells instead of every vector.
+
+Scale design:
+- TRAIN on a sample (MLlib k-means|| is itself distributed; centroids are
+  tiny and broadcast from then on).
+- ASSIGN is a ZERO-shuffle per-row argmax fold over the broadcast centroid
+  array — map-only, linear in corpus size.
+- At rest, write the corpus partitioned by ``cluster`` so a probe is
+  partition PRUNING: nprobe=2 of k=1024 cells reads ~0.2% of the data.
+- Cosine geometry: vectors are L2-normalized before clustering, where
+  euclidean k-means is equivalent to spherical (cosine) k-means — same
+  unit-sphere conversion as the BucketedRandomProjectionLSH path
+  (`functions/mllib_embedder.py`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gistdex_spark.functions.vectors import cosine, normalize
+
+ROUND = 6
+
+
+def train_centroids(
+    emb: DataFrame,
+    k: int = 16,
+    seed: int = 42,
+    max_iter: int = 20,
+    embedding_col: str = "embedding",
+) -> DataFrame:
+    """k-means|| centroids as a tiny (c_id, c_vec) frame.
+
+    Deterministic for a fixed seed. Callers persist this frame (parquet)
+    and broadcast it everywhere else — training never reruns per query.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = emb.select(
+        array_to_vector(normalize(F.col(embedding_col))).alias("features")
+    )
+    model = KMeans(
+        k=k, seed=seed, maxIter=max_iter, initMode="k-means||"
+    ).fit(feats)
+    centers = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    return emb.sparkSession.createDataFrame(
+        centers, schema="c_id BIGINT, c_vec ARRAY<DOUBLE>"
+    )
+
+
+def first_c_centroids(
+    emb: DataFrame, c: int, id_col: str = "vec_id", embedding_col: str = "embedding"
+) -> DataFrame:
+    """The deterministic stand-in (first C vectors) kept for the DuckDB
+    oracle, which cannot train k-means."""
+    return emb.filter(F.col(id_col) < c).select(
+        F.col(id_col).alias("c_id"), F.col(embedding_col).alias("c_vec")
+    )
+
+
+def assign_clusters(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+) -> DataFrame:
+    """(id, embedding, cluster): nearest centroid by cosine, ties → lowest id.
+
+    ZERO-shuffle: the centroid set rides along as ONE broadcast array row
+    (sorted by c_id so a strictly-greater fold keeps the smallest id on
+    ties), and every vector folds over it inside codegen. No row
+    amplification, no window.
+    """
+    cents_arr = centroids.agg(
+        F.array_sort(F.collect_list(F.struct("c_id", "c_vec"))).alias("cents")
+    )
+    init = F.struct(
+        F.lit(-2.0).cast("double").alias("s"), F.lit(-1).cast("bigint").alias("cid")
+    )
+
+    def _merge(acc, c):
+        s = cosine(F.col(embedding_col), c["c_vec"])
+        return F.when(
+            s > acc["s"],
+            F.struct(s.alias("s"), c["c_id"].cast("bigint").alias("cid")),
+        ).otherwise(acc)
+
+    return (
+        emb.crossJoin(F.broadcast(cents_arr))
+        .withColumn("best", F.aggregate("cents", init, _merge))
+        .select(id_col, embedding_col, F.col("best.cid").alias("cluster"))
+    )
+
+
+def probe(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    query_vec: list[float],
+    k: int = 5,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+) -> DataFrame:
+    """Top-k by exact cosine inside the query's ``nprobe`` nearest cells.
+
+    The cell choice scores only the tiny centroid frame; the corpus join
+    is an equality join on ``cluster`` (partition pruning when the store
+    is partitioned by it). Result: (id, score) ordered desc.
+    """
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    qcells = (
+        centroids.withColumn("qs", cosine("c_vec", qlit))
+        .orderBy(F.desc("qs"), F.asc("c_id"))
+        .limit(nprobe)
+        .select(F.col("c_id").alias("cluster"))
+    )
+    probed = assigned.join(F.broadcast(qcells), "cluster")
+    return (
+        probed.withColumn("score", F.round(cosine(embedding_col, qlit), ROUND))
+        .select(id_col, "score")
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def ivf_search(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 5,
+    nprobe: int = 1,
+    n_centroids: int = 16,
+    trained: bool = True,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+) -> DataFrame:
+    """End-to-end IVF search. ``trained=True`` uses k-means|| centroids;
+    ``trained=False`` keeps the first-C stand-in (oracle-comparable)."""
+    cents = (
+        train_centroids(emb, k=n_centroids, seed=seed, embedding_col=embedding_col)
+        if trained
+        else first_c_centroids(emb, n_centroids, id_col, embedding_col)
+    )
+    assigned = assign_clusters(emb, cents, id_col, embedding_col)
+    return probe(assigned, cents, query_vec, k, nprobe, id_col, embedding_col)

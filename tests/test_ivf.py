@@ -1,0 +1,114 @@
+"""IVF coarse quantizer: trained-centroid recall vs exact kNN, assignment
+invariants, and probe plan shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gistdex_spark.functions.vectors import cosine
+from gistdex_spark.operators.ivf import (
+    assign_clusters,
+    first_c_centroids,
+    ivf_search,
+    train_centroids,
+)
+from tests.conftest import SF_CORRECTNESS
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_CORRECTNESS}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def qvec(emb):
+    # a real corpus vector as the query — its cell must contain itself
+    row = emb.filter(F.col("vec_id") == 7).select("embedding").first()
+    return [float(x) for x in row.embedding]
+
+
+def _exact_topk(emb, qvec, k):
+    qlit = F.array(*[F.lit(float(x)) for x in qvec])
+    return [
+        r.vec_id
+        for r in emb.withColumn("s", cosine("embedding", qlit))
+        .orderBy(F.desc("s"), F.asc("vec_id"))
+        .limit(k)
+        .collect()
+    ]
+
+
+def test_training_is_deterministic(emb):
+    a = train_centroids(emb, k=8, seed=42).collect()
+    b = train_centroids(emb, k=8, seed=42).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_every_vector_assigned_exactly_once(emb):
+    cents = train_centroids(emb, k=8, seed=42)
+    assigned = assign_clusters(emb, cents)
+    assert assigned.count() == emb.count()
+    assert assigned.filter(F.col("cluster") < 0).count() == 0
+    # every cluster id is a real centroid
+    ids = {r.c_id for r in cents.collect()}
+    assert {r.cluster for r in assigned.select("cluster").distinct().collect()} <= ids
+
+
+def test_trained_recall_beats_probe_fraction(emb, qvec):
+    """nprobe=2 of k=8 cells scans ~25% of the corpus but must recover
+    most of the exact top-10 — the whole point of a trained quantizer."""
+    exact = set(_exact_topk(emb, qvec, 10))
+    got = {
+        r.vec_id
+        for r in ivf_search(
+            emb, qvec, k=10, nprobe=2, n_centroids=8, trained=True
+        ).collect()
+    }
+    recall = len(got & exact) / 10
+    assert recall >= 0.6, f"recall@10 = {recall}"
+
+
+def test_recall_monotone_in_nprobe(emb, qvec):
+    exact = set(_exact_topk(emb, qvec, 10))
+
+    def recall(nprobe):
+        got = {
+            r.vec_id
+            for r in ivf_search(
+                emb, qvec, k=10, nprobe=nprobe, n_centroids=8, trained=True
+            ).collect()
+        }
+        return len(got & exact) / 10
+
+    r1, r4, r8 = recall(1), recall(4), recall(8)
+    assert r1 <= r4 <= r8
+    assert r8 == 1.0  # probing every cell IS exact search
+
+
+def test_untrained_path_matches_registry_stand_in(emb):
+    cents = first_c_centroids(emb, 4)
+    assert [r.c_id for r in cents.orderBy("c_id").collect()] == [0, 1, 2, 3]
+
+
+def test_probe_never_scans_other_cells(emb, qvec):
+    cents = train_centroids(emb, k=8, seed=42)
+    assigned = assign_clusters(emb, cents).cache()
+    try:
+        from gistdex_spark.operators.ivf import probe
+
+        qlit = F.array(*[F.lit(float(x)) for x in qvec])
+        qcell = (
+            cents.withColumn("qs", cosine("c_vec", qlit))
+            .orderBy(F.desc("qs"), F.asc("c_id"))
+            .first()
+            .c_id
+        )
+        cell_ids = {
+            r.vec_id
+            for r in assigned.filter(F.col("cluster") == qcell).collect()
+        }
+        got = {r.vec_id for r in probe(assigned, cents, qvec, k=100).collect()}
+        assert got <= cell_ids
+    finally:
+        assigned.unpersist()

@@ -20,20 +20,41 @@ import re
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# Compact stop lists (our own data, same role as stop-words.ts:8-207).
-STOP_WORDS_EN = [
-    "a", "an", "the", "and", "or", "but", "if", "then", "else", "of", "at",
-    "by", "for", "with", "about", "into", "to", "from", "in", "on", "is",
-    "are", "was", "were", "be", "been", "it", "its", "this", "that", "these",
-    "those", "as", "not", "no", "so", "too", "very", "can", "will", "just",
-    "do", "does", "did", "have", "has", "had", "i", "you", "he", "she", "we",
-    "they",
-]
-STOP_WORDS_JA = ["の", "に", "は", "を", "た", "が", "で", "て", "と", "し", "れ", "さ"]
+# Stop-word DATA matching the reference's lists verbatim
+# (`stop-words.ts:8-206`) so keyword analytics agree with reference output
+# on both EN and JA text. These are standard public stop-word inventories.
+STOP_WORDS_EN = sorted({
+    "a", "an", "the", "and", "or", "but", "nor", "yet", "so", "in", "on",
+    "at", "to", "for", "of", "with", "by", "from", "about", "into",
+    "through", "during", "before", "after", "above", "below", "between",
+    "under", "over", "i", "you", "he", "she", "it", "we", "they", "me",
+    "him", "her", "us", "them", "my", "your", "his", "its", "our", "their",
+    "this", "that", "these", "those", "is", "am", "are", "was", "were",
+    "be", "been", "being", "have", "has", "had", "having", "do", "does",
+    "did", "doing", "will", "would", "could", "should", "may", "might",
+    "must", "shall", "can", "need", "dare", "ought", "used", "what",
+    "which", "who", "whom", "whose", "when", "where", "why", "how", "not",
+    "no", "too", "very", "just", "only", "quite", "now", "then", "once",
+    "here", "there", "all", "any", "each", "few", "more", "most", "other",
+    "some", "such", "both", "either", "neither", "many", "much", "another",
+    "own", "same", "than", "up", "down", "out", "off", "again", "further",
+    "also", "back", "well", "even", "still", "way", "because", "however",
+    "if", "unless", "until", "while", "although", "though", "since", "as",
+})
+STOP_WORDS_JA = sorted({
+    "の", "に", "は", "を", "た", "が", "で", "て", "と", "し", "れ", "さ",
+    "ある", "いる", "も", "する", "から", "な", "こと", "として", "い",
+    "や", "など", "なる", "へ", "か", "だ", "これ", "それ", "あれ",
+    "この", "その", "あの", "です", "ます", "でした", "ました",
+})
 STOP_WORDS = set(STOP_WORDS_EN) | set(STOP_WORDS_JA)
 
-# Whitespace + CJK punctuation splitter (role of stop-words.ts:229).
-TOKEN_SPLIT_RE = r"[\s　、。，．？！]+"
+# Whitespace + punctuation splitter, verbatim from `stop-words.ts:230`
+# (ASCII + fullwidth CJK punctuation + ideographic space).
+TOKEN_SPLIT_RE = (
+    "[\\s　,;.!?()\\[\\]{}:\"'"
+    "。、！？「」『』（）【】〈〉《》〔〕［］｛｝・]+"
+)
 
 
 def query_words(query: str) -> list[str]:
@@ -75,9 +96,10 @@ def tokens(content: Column | str) -> Column:
 
 def sql_tokens(content_sql: str) -> str:
     """DuckDB equivalent of :func:`tokens` (regexp split, drop empties)."""
+    pat = TOKEN_SPLIT_RE.replace("'", "''")  # SQL-literal quote escape
     return (
         f"list_filter(regexp_split_to_array(lower({content_sql}), "
-        f"'{TOKEN_SPLIT_RE}'), w -> length(w) > 0)"
+        f"'{pat}'), w -> length(w) > 0)"
     )
 
 

@@ -177,11 +177,16 @@ def fetch_repo_files(
     tree: list[str],
     patterns: list[str] | None = None,
     fetch_fn=_no_network_fetch,
+    rate_limiter_factory=None,
 ) -> DataFrame:
     """S5 fan-out: listing (driver) → per-file fetch distributed over
-    executors via mapInPandas. Each worker fetches its partition's files
-    (with whatever rate limiting fetch_fn implements) — contrast with the
-    reference's sequential await loop."""
+    executors via mapInPandas. Each worker fetches its partition's files —
+    contrast with the reference's sequential await loop.
+
+    ``rate_limiter_factory`` (e.g. ``GitHubRateLimiter``) builds ONE
+    limiter per partition; each worker paces its own fetch stream from the
+    X-RateLimit headers (`github-rate-limiter.ts:28-150`). fetch_fn may
+    return (content, headers) to feed the limiter."""
     info = parse_repo_url(repo_url)
     branch = info["branch"] or "main"
     files = filter_tree(tree, patterns)
@@ -190,6 +195,11 @@ def fetch_repo_files(
     owner, repo = info["owner"], info["repo"]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fetch = fetch_fn
+        if rate_limiter_factory is not None:
+            from gistdex_spark.sources.rate_limiter import rate_limited
+
+            fetch = rate_limited(fetch_fn, rate_limiter_factory())
         for pdf in batches:
             rows = []
             for p in pdf["path"]:
@@ -197,7 +207,7 @@ def fetch_repo_files(
                     (
                         f"github:{owner}/{repo}@{branch}:{p}",
                         p,
-                        fetch_fn(p),
+                        fetch(p),
                         "github",
                         build_github_url(owner, repo, branch, p),
                     )

@@ -119,16 +119,21 @@ def index_files(
     return index_text_df(raw, strategy=strat, size=size, overlap=overlap, dim=dim)
 
 
-def write_chunk_store(chunks: DataFrame, path: str, mode: str = "append") -> None:
+def write_chunk_store(
+    chunks: DataFrame, path: str, mode: str = "append", provider: str = "parquet"
+) -> None:
     """S6 sink: bulk columnar write, partitioned by source_type when present.
+
+    ``provider`` selects a registered storage adapter (UDF-2,
+    `registry.ts:23-140`): parquet default, orc/json/csv/memory built in,
+    delta when the package is present.
 
     At 100 TB: partition by a low-cardinality routing key only; file sizing
     is left to maxPartitionBytes + AQE coalesce on the read side.
     """
-    writer = chunks.write.mode(mode)
-    if "source_type" in chunks.columns:
-        writer = writer.partitionBy("source_type")
-    writer.parquet(path)
+    from gistdex_spark.sources.adapters import DEFAULT_REGISTRY
+
+    DEFAULT_REGISTRY.create({"provider": provider}).write(chunks, path, mode)
 
 
 def sources_from_chunks(chunks: DataFrame) -> DataFrame:

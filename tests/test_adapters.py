@@ -1,0 +1,97 @@
+"""Storage-adapter registry (UDF-2; `registry.ts:23-140`): provider ops,
+format round-trips, conditional backends."""
+
+from __future__ import annotations
+
+import pytest
+
+from gistdex_spark.sources.adapters import (
+    StorageAdapter,
+    create_registry,
+)
+
+
+@pytest.fixture()
+def reg():
+    return create_registry()
+
+
+def test_builtin_providers(reg):
+    provs = reg.list_providers()
+    for p in ("parquet", "orc", "json", "csv", "memory"):
+        assert p in provs
+    assert reg.has_provider("parquet")
+    assert not reg.has_provider("sqlite")
+
+
+def test_duplicate_registration_rejected(reg):
+    reg.list_providers()  # force init
+    with pytest.raises(ValueError, match="already registered"):
+        reg.register("parquet", lambda c: None)
+
+
+def test_unregister_and_custom_register(reg):
+    assert reg.unregister("csv")
+    assert not reg.has_provider("csv")
+    assert not reg.unregister("csv")  # second time: nothing to remove
+
+    made = {}
+
+    def factory(config):
+        made.update(config)
+        return StorageAdapter("custom", lambda df, p, m: None, lambda s, p: None)
+
+    reg.register("custom", factory)
+    a = reg.create({"provider": "custom", "options": {"x": 1}})
+    assert a.provider == "custom"
+    assert made["options"] == {"x": 1}
+
+
+def test_unknown_provider_raises(reg):
+    with pytest.raises(ValueError, match="No adapter registered"):
+        reg.create({"provider": "nope"})
+
+
+def test_clear_resets_then_reinitializes(reg):
+    reg.clear()
+    assert reg.has_provider("parquet")  # lazy re-init restores built-ins
+
+
+@pytest.mark.parametrize("provider", ["parquet", "orc", "json"])
+def test_format_roundtrip(reg, spark, tmp_path, provider):
+    df = spark.createDataFrame(
+        [("s1", 0, "hello", "file"), ("s2", 1, "world", "gist")],
+        schema="source_id STRING, chunk_index INT, content STRING, source_type STRING",
+    )
+    a = reg.create({"provider": provider})
+    path = str(tmp_path / provider)
+    a.write(df, path, "append")
+    back = a.read(spark, path)
+    got = {(r.source_id, r.content) for r in back.collect()}
+    assert got == {("s1", "hello"), ("s2", "world")}
+    if provider in ("parquet", "orc"):
+        # columnar adapters keep the source_type partitioning
+        assert any("source_type=" in str(p) for p in (tmp_path / provider).iterdir())
+
+
+def test_memory_adapter_appends(reg, spark):
+    df1 = spark.createDataFrame([("a", 1)], schema="k STRING, v INT")
+    df2 = spark.createDataFrame([("b", 2)], schema="k STRING, v INT")
+    a = reg.create({"provider": "memory"})
+    a.write(df1, "t1", "append")
+    a.write(df2, "t1", "append")
+    assert {r.k for r in a.read(spark, "t1").collect()} == {"a", "b"}
+    a.write(df1, "t1", "overwrite")
+    assert {r.k for r in a.read(spark, "t1").collect()} == {"a"}
+
+
+def test_write_chunk_store_uses_adapter(spark, tmp_path):
+    from gistdex_spark.sources.indexer import write_chunk_store
+
+    df = spark.createDataFrame(
+        [("s", 0, "c", "file")],
+        schema="source_id STRING, chunk_index INT, content STRING, source_type STRING",
+    )
+    write_chunk_store(df, str(tmp_path / "store"), provider="json")
+    back = spark.read.json(str(tmp_path / "store"))
+    assert back.count() == 1

@@ -78,15 +78,18 @@ def detailed_metrics(
     )
     joined = base.crossJoin(F.broadcast(aggs)).withColumn("bkt", bucket)
     # One exchange (hash by bkt) feeds both the local rank and the bucket
-    # count; the firsts/local branches reuse it (ReuseExchange).
+    # count. `firsts` must branch via DISTINCT, not filter(lrn == 1): the
+    # filter form triggers a WindowGroupLimit pushdown BELOW the exchange,
+    # which breaks canonical matching and costs a full re-score of the
+    # input per branch; with distinct the exchange subtrees are identical
+    # and ReuseExchange computes the scored+shuffled data exactly once
+    # (pinned by test_detailed_metrics_reuses_exchange).
     w_rank = Window.partitionBy("bkt").orderBy(F.asc("s"))
     w_cnt = Window.partitionBy("bkt")
     local = joined.withColumn("lrn", F.row_number().over(w_rank)).withColumn(
         "bcnt", F.count(F.lit(1)).over(w_cnt)
     )
-    firsts = local.filter(F.col("lrn") == 1).select(
-        "bkt", F.col("bcnt").alias("_c")
-    )
+    firsts = local.select("bkt", F.col("bcnt").alias("_c")).distinct()
     # Cumulative offsets over <= B bucket rows via a tiny broadcast
     # theta-join — no unpartitioned window anywhere in the plan.
     lower = firsts.select(F.col("bkt").alias("_lb"), F.col("_c").alias("_lc"))

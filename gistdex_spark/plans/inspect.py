@@ -64,6 +64,15 @@ def has_take_ordered(df: DataFrame) -> bool:
     return "TakeOrderedAndProject" in executed_plan(df)
 
 
+def final_plan(df: DataFrame) -> str:
+    """Execute the frame and return the FINAL adaptive plan. AQE-era
+    exchange reuse (ReusedExchange / shared ShuffleQueryStage) only shows
+    here — the static executedPlan prints duplicated subtrees that the
+    runtime will dedupe."""
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
 def single_partition_exchanges(df: DataFrame) -> int:
     """Count dangerous ``Exchange SinglePartition`` nodes — funnels of the
     whole upstream into ONE task (unpartitioned window/sort), the classic

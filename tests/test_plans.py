@@ -7,6 +7,7 @@ from __future__ import annotations
 import pytest
 
 from gistdex_spark.plans.inspect import (
+    final_plan,
     has_take_ordered,
     join_strategies,
     num_shuffles,
@@ -129,3 +130,16 @@ def test_list_recent_slice_is_heap(q):
     # LIMIT/OFFSET slice must heap-limit first (TakeOrderedAndProject over
     # per-partition heaps); the rank window then sees only 30 rows
     assert has_take_ordered(q("list_recent_slice"))
+
+
+def test_detailed_metrics_reuses_exchange(q):
+    # the scored+bucketed shuffle must materialize ONCE and be shared by
+    # the rank/count/offset branches — a filter(lrn == 1) derivation broke
+    # this via WindowGroupLimit pushdown (full re-score per branch)
+    assert "ReusedExchange" in final_plan(q("detailed_score_metrics"))
+
+
+def test_simhash_pairs_shuffle_budget(q):
+    # signatures map-only; each (id, sig) shuffles once per band (4) plus
+    # the candidate dedup — anything above 5 means a self-join crept in
+    assert num_shuffles(q("dedup_simhash_pairs")) <= 5

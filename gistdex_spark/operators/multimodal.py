@@ -128,6 +128,101 @@ def extract_features(
     return media.select("media_id", "kind", "payload").mapInPandas(run, FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("ts_ms", LongType()),
+        StructField("frame_payload", BinaryType()),
+    ]
+)
+
+
+def resize_stub(payload: bytes, width: int, height: int) -> bytes:
+    """Real resizer slot — PIL thumbnail/resize + re-encode would go here."""
+    raise NotImplementedError(
+        "image resizing requires codec libraries not present in this "
+        "container; use fake_resize for deterministic tests"
+    )
+
+
+def fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in: re-encoded payload = sha256(payload|w|h)
+    tiled to w*h//16 bytes (so output size tracks target dims)."""
+    seed = hashlib.sha256(
+        (payload or b"") + f"|{width}x{height}".encode()
+    ).digest()
+    size = max(1, width * height // 16)
+    return (seed * (size // len(seed) + 1))[:size]
+
+
+def resize_images(
+    media: DataFrame, width: int, height: int, resizer=fake_resize
+) -> DataFrame:
+    """Batch image resize via mapInPandas; non-image rows pass through
+    untouched. Output schema == MEDIA_SCHEMA with updated dims/payload.
+
+    Plumbing is production-real (Arrow batches, payload never shuffled);
+    swap ``resizer`` for a PIL-backed callable when codecs exist.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            is_img = pdf["kind"] == "image"
+            pdf = pdf.copy()
+            pdf.loc[is_img, "payload"] = pdf.loc[is_img, "payload"].map(
+                lambda b: resizer(b, width, height)
+            )
+            pdf.loc[is_img, "width"] = width
+            pdf.loc[is_img, "height"] = height
+            yield pdf
+
+    return media.mapInPandas(run, MEDIA_SCHEMA)
+
+
+def frame_sample_stub(payload: bytes, ts_ms: int) -> bytes:
+    """Real frame grab slot — ffmpeg seek+decode would go here."""
+    raise NotImplementedError(
+        "video frame sampling requires ffmpeg, not present in this "
+        "container; use fake_frame for deterministic tests"
+    )
+
+
+def fake_frame(payload: bytes, ts_ms: int) -> bytes:
+    """Deterministic stand-in frame: sha256(payload|ts)."""
+    return hashlib.sha256((payload or b"") + f"|{ts_ms}".encode()).digest()
+
+
+def sample_frames(
+    media: DataFrame, interval_ms: int = 1000, grabber=fake_frame
+) -> DataFrame:
+    """One row PER SAMPLED FRAME from each video (t = 0, interval, ... <
+    duration) — a row-expanding mapInPandas, the shape a real ffmpeg
+    sampler needs (frames yielded per input batch, payload stays in the
+    worker). Non-video rows emit nothing.
+    """
+    if interval_ms <= 0:
+        raise ValueError("interval_ms must be positive")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            vids = pdf[pdf["kind"] == "video"]
+            for _, r in vids.iterrows():
+                duration = int(r["duration_ms"] or 0)
+                for idx, ts in enumerate(range(0, duration, interval_ms)):
+                    rows.append(
+                        (r["media_id"], idx, ts, grabber(r["payload"], ts))
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FRAME_SCHEMA.fields]
+            )
+
+    return media.select(
+        "media_id", "kind", "payload", "duration_ms"
+    ).mapInPandas(run, FRAME_SCHEMA)
+
+
 def media_stats(media: DataFrame) -> DataFrame:
     """Per-kind census over metadata only — payload column never read
     (columnar pruning: the scan schema excludes BINARY)."""

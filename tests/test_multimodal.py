@@ -58,3 +58,63 @@ def test_media_stats_prunes_payload(spark, tmp_path):
     plan = media_stats(on_disk)._jdf.queryExecution().executedPlan().toString()
     scan_lines = [l for l in plan.splitlines() if "FileScan" in l]
     assert scan_lines and all("payload" not in l for l in scan_lines), plan
+
+
+def test_resize_updates_images_only(spark):
+    from gistdex_spark.operators.multimodal import resize_images, synthetic_media_df
+
+    media = synthetic_media_df(spark, 9)
+    out = resize_images(media, 32, 24).collect()
+    by_id = {r.media_id: r for r in out}
+    assert len(out) == 9  # pass-through preserves row count
+    for r in out:
+        if r.kind == "image":
+            assert (r.width, r.height) == (32, 24)
+            assert len(r.payload) == 32 * 24 // 16
+        else:
+            assert r.payload is not None  # untouched
+            assert r.width != 32 or r.width is None
+
+    # deterministic: same input → same resized payload
+    again = {r.media_id: r.payload for r in resize_images(media, 32, 24).collect()}
+    assert all(by_id[k].payload == again[k] for k in again)
+
+
+def test_frame_sampling_expands_videos(spark):
+    from gistdex_spark.operators.multimodal import sample_frames, synthetic_media_df
+
+    media = synthetic_media_df(spark, 9)  # kinds cycle image/audio/video
+    frames = sample_frames(media, interval_ms=1000).collect()
+    vids = {r.media_id: r for r in media.collect() if r.kind == "video"}
+    # every frame belongs to a video; counts = ceil(duration/interval)
+    per_id = {}
+    for f in frames:
+        assert f.media_id in vids
+        per_id.setdefault(f.media_id, []).append(f)
+    for mid, fs in per_id.items():
+        dur = vids[mid].duration_ms
+        assert len(fs) == -(-dur // 1000)
+        assert [f.frame_idx for f in sorted(fs, key=lambda x: x.ts_ms)] == list(
+            range(len(fs))
+        )
+        assert len({bytes(f.frame_payload) for f in fs}) == len(fs)  # distinct frames
+
+
+def test_frame_sampling_rejects_bad_interval(spark):
+    import pytest
+
+    from gistdex_spark.operators.multimodal import sample_frames, synthetic_media_df
+
+    with pytest.raises(ValueError):
+        sample_frames(synthetic_media_df(spark, 3), interval_ms=0)
+
+
+def test_stub_slots_raise(spark):
+    import pytest
+
+    from gistdex_spark.operators.multimodal import frame_sample_stub, resize_stub
+
+    with pytest.raises(NotImplementedError):
+        resize_stub(b"x", 8, 8)
+    with pytest.raises(NotImplementedError):
+        frame_sample_stub(b"x", 0)

@@ -57,6 +57,9 @@ BENCH_QUERIES = [
     "code_language_census",
     "multimodal_features",
     "index_pipeline_stats",
+    "detailed_score_metrics",
+    "query_cache_eviction",
+    "media_frame_census",
 ]
 
 

@@ -143,3 +143,19 @@ def test_simhash_pairs_shuffle_budget(q):
     # signatures map-only; each (id, sig) shuffles once per band (4) plus
     # the candidate dedup — anything above 5 means a self-join crept in
     assert num_shuffles(q("dedup_simhash_pairs")) <= 5
+
+
+def test_query_cache_eviction_is_heap(q):
+    # latest-wins = one max-struct agg; capacity cut = TakeOrdered heap
+    df = q("query_cache_eviction")
+    assert has_take_ordered(df)
+    assert num_shuffles(df) <= 1
+
+
+def test_media_frame_census_is_narrow(q):
+    # video expansion is a map-only Arrow stage over a pruned scan — the
+    # documents scan must read only (doc_id, text), and nothing shuffles
+    df = q("media_frame_census")
+    assert num_shuffles(df) == 0
+    s = scan_for(df, "documents")
+    assert set(s["columns"]) <= {"doc_id", "text"}

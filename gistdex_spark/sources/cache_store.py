@@ -142,6 +142,29 @@ def query_cache_current(
     return latest.orderBy(F.desc("seq")).limit(capacity)
 
 
+def compact_query_cache(
+    spark: SparkSession, store_path: str, capacity: int = CACHE_CAPACITY
+) -> int:
+    """Rewrite the append log as its current view (latest-wins + capacity).
+
+    The MERGE-free upsert pattern needs periodic compaction or the log
+    grows without bound; this is the batch analogue of the reference's
+    whole-file rewrite on every save (`query-cache.ts:118-124`), run once
+    per maintenance window instead of once per write. Returns the surviving
+    row count. On a lakehouse table this becomes OPTIMIZE/rewrite."""
+    current = query_cache_current(spark.read.parquet(store_path), capacity)
+    # restore the full log schema so the compacted store reads like a log
+    log_rows = current.select(
+        F.lit(CACHE_VERSION).alias("version"),
+        *[f.name for f in QUERY_CACHE_SCHEMA.fields if f.name != "version"],
+    )
+    rows = log_rows.collect()  # <= capacity rows by construction
+    spark.createDataFrame(rows, schema=QUERY_CACHE_SCHEMA).write.mode(
+        "overwrite"
+    ).parquet(store_path)
+    return len(rows)
+
+
 def append_knowledge(
     spark: SparkSession,
     store_path: str,

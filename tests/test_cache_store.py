@@ -103,3 +103,28 @@ def test_knowledge_markdown_format():
     assert "Tags: a, b" in md
     assert 'Nested: {"k": 1}' in md
     assert "Plain: v" in md
+
+
+def test_compaction_preserves_current_view(spark, tmp_path):
+    from gistdex_spark.sources.cache_store import compact_query_cache
+
+    store = str(tmp_path / "qcache3")
+    for i in range(7):
+        append_query_cache(
+            spark, store, f"q{i % 4}", "hybrid", _results(i % 3), f"t{i}", seq=i
+        )
+    before = {
+        (r.query, r.seq)
+        for r in query_cache_current(spark.read.parquet(store)).collect()
+    }
+    n = compact_query_cache(spark, store)
+    assert n == 4  # 4 distinct keys survive
+    after_log = spark.read.parquet(store)
+    assert after_log.count() == 4  # log physically shrank (was 7 appends)
+    after = {
+        (r.query, r.seq) for r in query_cache_current(after_log).collect()
+    }
+    assert after == before
+    # compacted store still accepts appends + reads as a log
+    append_query_cache(spark, store, "q9", "hybrid", _results(), "t9", seq=9)
+    assert query_cache_current(spark.read.parquet(store)).count() == 5

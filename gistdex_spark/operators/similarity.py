@@ -56,6 +56,48 @@ def ann_lsh(
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
 
 
+def probe_buckets(query_vec: list[float], nbits: int = 8, radius: int = 1) -> list[int]:
+    """The query's sign-bucket plus every bucket within Hamming distance
+    <= radius (bit flips). radius=1 → nbits+1 buckets."""
+    from itertools import combinations
+
+    qb = sign_bucket_py(query_vec, nbits)
+    out = {qb}
+    for r in range(1, radius + 1):
+        for bits in combinations(range(nbits), r):
+            flipped = qb
+            for b in bits:
+                flipped ^= 1 << b
+            out.add(flipped)
+    return sorted(out)
+
+
+def ann_lsh_multiprobe(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int,
+    nbits: int = 8,
+    radius: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multiprobe ANN: exact top-k inside the query's bucket PLUS its
+    Hamming-<=radius neighbors — the standard recall lever for sign-bucket
+    LSH (a near-neighbor that flips one boundary sign lands one bit away).
+
+    Still a deterministic IN-list filter, so (a) the DuckDB oracle can
+    replay it and (b) a bucket-partitioned table prunes to radius+1 bucket
+    groups instead of scanning the corpus. Probe count grows as
+    C(nbits, <=radius); keep radius small and nbits moderate.
+    """
+    probes = probe_buckets(query_vec, nbits, radius)
+    pruned = emb.filter(sign_bucket(vec_col, nbits).isin(probes))
+    scored = pruned.withColumn(
+        "score", F.round(cosine(F.col(vec_col), vector_literal(query_vec)), ROUND)
+    )
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
 def similarity_join(
     queries: DataFrame,
     corpus: DataFrame,

@@ -112,3 +112,30 @@ def test_probe_never_scans_other_cells(emb, qvec):
         assert got <= cell_ids
     finally:
         assigned.unpersist()
+
+
+def test_multiprobe_recall_dominates_single_probe(emb, qvec):
+    """radius=1 probing must recover at least everything the single
+    bucket finds, and its results must match exact search restricted to
+    the probed buckets."""
+    from gistdex_spark.operators.similarity import (
+        ann_lsh,
+        ann_lsh_multiprobe,
+        probe_buckets,
+        sign_bucket,
+    )
+
+    single = {r.vec_id for r in ann_lsh(emb, qvec, k=50, nbits=4).collect()}
+    multi = {
+        r.vec_id for r in ann_lsh_multiprobe(emb, qvec, k=50, nbits=4).collect()
+    }
+    probes = probe_buckets(qvec, nbits=4, radius=1)
+    assert len(probes) == 5  # qb + 4 single-bit flips
+    in_probed = {
+        r.vec_id
+        for r in emb.filter(sign_bucket("embedding", 4).isin(probes)).collect()
+    }
+    assert multi <= in_probed
+    exact10 = set(_exact_topk(emb, qvec, 10))
+    # recall against exact top-10 must not shrink when probing wider
+    assert len(multi & exact10) >= len(single & exact10)

@@ -152,6 +152,20 @@ def test_query_cache_eviction_is_heap(q):
     assert num_shuffles(df) <= 1
 
 
+def test_q6_pushdown_and_pruning(q):
+    # pure filter-agg: every predicate reaches the scan, 4 columns read,
+    # one partial/final agg exchange
+    df = q("q6_forecast_revenue")
+    s = scan_for(df, "lineitem")
+    assert "l_shipdate" in s["pushed_filters"]
+    assert "l_discount" in s["pushed_filters"]
+    assert "l_quantity" in s["pushed_filters"]
+    assert set(s["columns"]) <= {
+        "l_shipdate", "l_discount", "l_quantity", "l_extendedprice",
+    }
+    assert num_shuffles(df) <= 1
+
+
 def test_media_frame_census_is_narrow(q):
     # video expansion is a map-only Arrow stage over a pruned scan — the
     # documents scan must read only (doc_id, text), and nothing shuffles

@@ -22,7 +22,17 @@ from pyspark.sql import DataFrame
 
 
 def executed_plan(df: DataFrame) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
+    # Widen metadata rendering while stringifying: the default 100-char cap
+    # truncates long PushedFilters lists mid-bracket, which would make a
+    # well-pushed scan look like it pushed nothing.
+    spark = df.sparkSession
+    key = "spark.sql.maxMetadataStringLength"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "4096")
+    try:
+        return df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set(key, old)
 
 
 def scans(df: DataFrame) -> list[dict]:

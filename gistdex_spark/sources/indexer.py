@@ -136,6 +136,31 @@ def write_chunk_store(
     DEFAULT_REGISTRY.create({"provider": provider}).write(chunks, path, mode)
 
 
+def write_chunk_store_bucketed(
+    chunks: DataFrame,
+    table: str,
+    buckets: int = 16,
+    mode: str = "append",
+) -> None:
+    """S6 at cluster scale: a BUCKETED chunk table (hash(source_id) →
+    fixed bucket files). Joins and aggregations keyed on source_id — the
+    reconstruction fold, source GC, per-source stats, chunks⟕sources —
+    then read co-located data and skip their shuffle entirely (plan-pinned
+    by test_bucketed_join_has_no_shuffle). At 100 TB that's the difference
+    between a full-corpus exchange per query and none.
+
+    Catalog-managed (saveAsTable): Spark's native bucketing only survives
+    through a table, not a bare path.
+    """
+    (
+        chunks.write.mode(mode)
+        .bucketBy(buckets, "source_id")
+        .sortBy("source_id", "chunk_index")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
 def sources_from_chunks(chunks: DataFrame) -> DataFrame:
     """Derive the `sources` table: one row per source (the reference hoists
     originalContent out of chunk 0 — `indexer.ts:110-112`)."""

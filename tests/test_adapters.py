@@ -95,3 +95,38 @@ def test_write_chunk_store_uses_adapter(spark, tmp_path):
     write_chunk_store(df, str(tmp_path / "store"), provider="json")
     back = spark.read.json(str(tmp_path / "store"))
     assert back.count() == 1
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Two tables bucketed by source_id on the same bucket count must join
+    with ZERO exchanges — the co-location contract the 100 TB layout
+    relies on."""
+    import pyspark.sql.functions as F
+
+    from gistdex_spark.plans.inspect import num_shuffles
+    from gistdex_spark.sources.indexer import write_chunk_store_bucketed
+
+    rows = [(f"s{i % 8}", i, f"text {i}", "file") for i in range(64)]
+    df = spark.createDataFrame(
+        rows,
+        schema="source_id STRING, chunk_index INT, content STRING, source_type STRING",
+    )
+    spark.sql("DROP TABLE IF EXISTS bt_chunks")
+    spark.sql("DROP TABLE IF EXISTS bt_meta")
+    write_chunk_store_bucketed(df, "bt_chunks", buckets=4, mode="overwrite")
+    meta = df.groupBy("source_id").agg(F.count("*").alias("n"))
+    write_chunk_store_bucketed(
+        meta.withColumn("chunk_index", F.lit(0)), "bt_meta", buckets=4, mode="overwrite"
+    )
+    try:
+        a = spark.table("bt_chunks")
+        b = spark.table("bt_meta").select("source_id", "n")
+        joined = a.join(b.hint("merge"), "source_id")
+        assert num_shuffles(joined) == 0, "bucketed join must not exchange"
+        assert joined.count() == 64
+        # per-source agg on the bucketed table also rides the bucketing
+        agg = a.groupBy("source_id").agg(F.count("*").alias("c"))
+        assert num_shuffles(agg) == 0, "bucketed groupBy must not exchange"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bt_chunks")
+        spark.sql("DROP TABLE IF EXISTS bt_meta")

@@ -308,6 +308,88 @@ def simhash_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "doc_id_a",
+    id_b: str = "doc_id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component): min-id label propagation over near-dup pairs —
+    the step that turns PAIR LISTS into DEDUP DECISIONS (duplicates are
+    transitive: a~b, b~c ⇒ {a,b,c} is one group even if a≁c directly).
+
+    Iterative DataFrame algorithm: each round every node takes the min of
+    its own label and its neighbors' labels; converges in <= cluster
+    diameter rounds (near-dup clusters are shallow). Each round is one
+    distributed join+agg; the driver only checks the changed-count, so the
+    data never leaves the cluster.
+
+    Lineage MUST be truncated every round: ``persist()`` caches results
+    but leaves the logical plan intact, and the round-k plan references
+    round-(k-1) labels twice — exponential analyzer blowup (measured: OOMs
+    an 8 GiB driver on a 725-edge graph). Eager ``localCheckpoint()``
+    cuts the plan each round; on a multi-executor cluster swap in
+    ``df.checkpoint()`` with a reliable checkpoint dir so labels survive
+    executor loss.
+    """
+    sym = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels, sym.src == labels.node)
+            .select(F.col("dst").alias("node"), "label")
+            .groupBy("node")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_min", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("label").alias("component"))
+
+
+def dedup_survivors(
+    df: DataFrame,
+    components: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep one row per duplicate group (the min-id member) plus every row
+    not in any group — the end-to-end dedup DELETE set's complement."""
+    comp = components.select(
+        F.col("node").alias(id_col), F.col("component")
+    )
+    joined = df.join(comp, id_col, "left")
+    return joined.filter(
+        F.col("component").isNull() | (F.col(id_col) == F.col("component"))
+    ).drop("component")
+
+
 def embedding_neardup_pairs(
     emb: DataFrame, threshold: float = 0.8, id_col: str = "vec_id"
 ) -> DataFrame:

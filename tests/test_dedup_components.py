@@ -1,0 +1,53 @@
+"""Connected components over near-dup pairs + survivor selection.
+
+The transitive-closure step of dedup (reference semantics: a duplicate
+GROUP collapses to one kept doc, even when the pair list only links the
+members indirectly). Unit-level graphs here; the full SimHash-fed path is
+oracle-checked in test_oracle_parity (dedup_components, dedup_survivors).
+"""
+
+import pyspark.sql.functions as F
+
+from gistdex_spark.operators.dedup import connected_components, dedup_survivors
+
+
+def _pairs(spark, edges):
+    return spark.createDataFrame(edges, ["doc_id_a", "doc_id_b"])
+
+
+def test_chain_collapses_to_min_id(spark):
+    # a-b, b-c, c-d: one component labeled by the min id even though
+    # a and d are never directly paired.
+    cc = connected_components(_pairs(spark, [("a", "b"), ("b", "c"), ("c", "d")]))
+    got = {r["node"]: r["component"] for r in cc.collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "a"}
+
+
+def test_disjoint_components_stay_apart(spark):
+    cc = connected_components(
+        _pairs(spark, [("a", "b"), ("x", "y"), ("y", "z")])
+    )
+    got = {r["node"]: r["component"] for r in cc.collect()}
+    assert got == {"a": "a", "b": "a", "x": "x", "y": "x", "z": "x"}
+
+
+def test_survivors_keep_min_and_untouched(spark):
+    docs = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3), ("q", 4)], ["doc_id", "n"]
+    )
+    cc = connected_components(_pairs(spark, [("a", "b"), ("b", "c")]))
+    kept = sorted(
+        r["doc_id"] for r in dedup_survivors(docs, cc).collect()
+    )
+    # a survives its group; q was never in any pair.
+    assert kept == ["a", "q"]
+
+
+def test_converges_on_long_chain(spark):
+    # Diameter 9 — forces several propagation rounds and exercises the
+    # per-round lineage truncation (the pre-fix version OOMed here).
+    ids = [f"d{i:02d}" for i in range(10)]
+    edges = list(zip(ids, ids[1:]))
+    cc = connected_components(_pairs(spark, edges))
+    labels = {r["component"] for r in cc.collect()}
+    assert labels == {"d00"}

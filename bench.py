@@ -60,6 +60,12 @@ BENCH_QUERIES = [
     "detailed_score_metrics",
     "query_cache_eviction",
     "media_frame_census",
+    # Training-pipeline family: end-to-end near-dup (pairs -> components
+    # -> survivors), benchmark decontamination, quality gates, PII scrub.
+    "dedup_survivors",
+    "contamination_4gram",
+    "gopher_quality_flags",
+    "pii_scrub",
 ]
 
 

@@ -1,0 +1,231 @@
+"""Training-data pipeline operators beyond the reference surface:
+benchmark-contamination detection, Gopher-style repetition/quality gates,
+and PII redaction. All three are pure Catalyst (no Python on the hot
+path): contamination is an explode + broadcast semi-join, the other two
+are per-row expression folds that stay map-only at any corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Word-boundary-free patterns chosen to behave identically under Java
+# regex (Spark) and RE2 (DuckDB) — no backrefs, no lookaround.
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+DIGIT_RUN_RE = "[0-9]{5,}"
+
+
+def shingle_set(
+    df: DataFrame,
+    n: int = 4,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """One row per DISTINCT word n-gram per document (id, *extra, gram).
+
+    Tokenize and shingle inside one per-row expression, dedupe with
+    ``array_distinct`` BEFORE the explode — the shuffle (if any consumer
+    adds one) then carries each (doc, gram) once, not once per
+    occurrence. Docs shorter than ``n`` words emit nothing.
+    """
+    toks = F.split(F.col(content_col), " ")
+    grams = F.expr(
+        f"transform(sequence(0, size(__t) - {n}), "
+        f"i -> concat_ws(' ', slice(__t, i + 1, {n})))"
+    )
+    return (
+        df.withColumn("__t", toks)
+        .filter(F.size("__t") >= n)
+        .select(id_col, *extra_cols, F.explode(F.array_distinct(grams)).alias("gram"))
+    )
+
+
+def contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 4,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, hits): corpus docs sharing >= 1 word n-gram with the
+    benchmark set, with the count of distinct shared shingles.
+
+    The decontamination primitive for training corpora: eval/benchmark
+    sets are tiny next to a 100 TB corpus, so the benchmark shingle set
+    is collected to a broadcast hash — the corpus side streams through a
+    map-side semi-join with NO shuffle of corpus data; the only shuffle
+    is the final per-doc count, which carries matched shingles only (a
+    vanishing fraction of the corpus).
+    """
+    c = shingle_set(corpus, n, content_col, id_col)
+    b = shingle_set(benchmark, n, content_col, id_col).select("gram").distinct()
+    return (
+        c.join(F.broadcast(b), "gram")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("hits"))
+    )
+
+
+def repetition_stats(
+    df: DataFrame,
+    content_col: str = "text",
+    max_top_word_frac: float = 0.10,
+    min_unique_frac: float = 0.40,
+) -> DataFrame:
+    """Gopher-style repetition gates as per-row expression folds:
+    ``unique_frac`` (distinct words / words), ``top_word_frac`` (most
+    frequent word's share), ``top_bigram_frac`` (most frequent bigram's
+    share), and a deterministic ``quality_pass`` flag.
+
+    The mode-of-a-list computations are O(distinct x len) nested folds —
+    bounded by document length, zero shuffles, so the operator scales
+    linearly with the corpus. Thresholds follow the Gopher rules' shape
+    (Rae et al. 2021), tuned for this corpus's 31-word vocabulary.
+    """
+    d = df.withColumn("__t", F.split(F.col(content_col), " ")).filter(
+        F.size("__t") >= 2
+    )
+    top_count = (
+        "array_max(transform(array_distinct({arr}), "
+        "w -> size(filter({arr}, x -> x = w))))"
+    )
+    bigrams = (
+        "transform(sequence(0, size(__t) - 2), "
+        "i -> concat(__t[i], ' ', __t[i + 1]))"
+    )
+    # No in-engine rounding: int/int division is bit-identical IEEE 754 in
+    # Spark and DuckDB, while round()'s tie rule is not guaranteed to match
+    # across engines at exact 2^-k fractions (e.g. 1/128 at 6 dp).
+    d = d.select(
+        "doc_id",
+        (F.size(F.array_distinct("__t")) / F.size("__t")).alias("unique_frac"),
+        (F.expr(top_count.format(arr="__t")) / F.size("__t")).alias(
+            "top_word_frac"
+        ),
+        (
+            F.expr(top_count.format(arr=bigrams)) / (F.size("__t") - F.lit(1))
+        ).alias("top_bigram_frac"),
+    )
+    return d.withColumn(
+        "quality_pass",
+        (F.col("top_word_frac") <= max_top_word_frac)
+        & (F.col("unique_frac") >= min_unique_frac),
+    )
+
+
+def pii_redact(
+    df: DataFrame,
+    content_col: str,
+    out_col: str = "redacted",
+) -> DataFrame:
+    """Count and mask emails and long digit runs (ids, phone-ish numbers)
+    in a text column. Pure ``regexp_extract_all`` / ``regexp_replace``
+    projections — map-only, pushdown-transparent, no Python.
+
+    Order matters: emails are masked FIRST so a digit-heavy local-part
+    is not half-eaten by the digit-run pass.
+    """
+    c = F.col(content_col)
+    return (
+        df.withColumn(
+            "n_emails", F.size(F.regexp_extract_all(c, F.lit(EMAIL_RE), 0))
+        )
+        .withColumn(
+            "n_digit_runs",
+            F.size(F.regexp_extract_all(c, F.lit(DIGIT_RUN_RE), 0)),
+        )
+        .withColumn(
+            out_col,
+            F.regexp_replace(
+                F.regexp_replace(c, EMAIL_RE, "[EMAIL]"),
+                DIGIT_RUN_RE,
+                "[ID]",
+            ),
+        )
+    )
+
+
+MD5_BUCKET = (
+    "cast(conv(substring(md5(cast({id} as string)), 1, 15), 16, 10) as bigint)"
+    " % {mod}"
+)
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 90,
+    val_pct: int = 5,
+) -> DataFrame:
+    """Deterministic train/val/test assignment from an md5 hash bucket of
+    the id — reproducible across engines, runs, and cluster sizes (no RNG,
+    no shuffle; the same doc lands in the same split at any scale)."""
+    b = F.expr(MD5_BUCKET.format(id=id_col, mod=100))
+    return df.withColumn(
+        "split",
+        F.when(b < train_pct, "train")
+        .when(b < train_pct + val_pct, "val")
+        .otherwise("test"),
+    )
+
+
+def sequence_pack(
+    df: DataFrame,
+    budget: int = 2048,
+    n_buckets: int = 8,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Offset-based sequence packing: docs are laid out in deterministic
+    order and a doc joins the pack its STARTING token offset falls in
+    (pack = floor(start / budget)) — the parallel-friendly variant of
+    greedy context-window packing.
+
+    The cumulative sum runs inside an md5-derived bucket, never globally:
+    each bucket's window is an independent partition, so the operator
+    scales by raising ``n_buckets`` (1 bucket ≈ one packing stream; 10k
+    buckets on a 100 TB corpus keeps every window partition-sized).
+    """
+    b = F.expr(MD5_BUCKET.format(id=id_col, mod=n_buckets))
+    from pyspark.sql import Window
+
+    d = df.withColumn("bucket", b)
+    w = Window.partitionBy("bucket").orderBy(id_col)
+    start = F.sum(tokens_col).over(w) - F.col(tokens_col)
+    return d.withColumn(
+        "pack_id", F.floor(start / F.lit(float(budget))).cast("bigint")
+    )
+
+
+def quantize_int8_stats(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Symmetric int8 quantization audit: per-vector scale (max|x|/127)
+    and max absolute dequantization error — the 4x-storage-cut check a
+    pipeline runs before committing 100 TB of embeddings to int8.
+
+    One map-only pass; ``floor(x/scale + 0.5)`` instead of round() so the
+    tie rule is bit-identical across engines. Zero vectors quantize to
+    zero with zero error.
+    """
+    v = "transform({c}, x -> cast(x as double))".format(c=vec_col)
+    scale = f"array_max(transform({v}, x -> abs(x))) / 127.0"
+    err = (
+        "array_max(transform({v}, x -> abs("
+        "greatest(least(floor(x / __scale + 0.5), 127.0), -127.0) * __scale"
+        " - x)))"
+    ).format(v=v)
+    return (
+        df.withColumn("__scale", F.expr(scale))
+        .select(
+            id_col,
+            F.col("__scale").alias("scale"),
+            F.when(F.col("__scale") == 0.0, F.lit(0.0))
+            .otherwise(F.expr(err))
+            .alias("max_abs_err"),
+        )
+    )

@@ -1,0 +1,71 @@
+"""Temporal joins Spark lacks as built-ins, expressed as shuffle-lean
+DataFrame compositions.
+
+``asof_join`` implements the classic as-of (most-recent-prior) join via
+union + tagged sort + carry-forward: both sides shuffle ONCE on the key,
+then a single partitioned window propagates the latest right-side row
+forward. No range-join explosion, no per-key collect — the pattern holds
+at any key cardinality and is the standard scalable as-of shape on Spark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str = "ts",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """For every left row, attach the right row with the greatest
+    ``ts_col`` <= the left row's (per ``on`` key) — DuckDB/kdb ASOF LEFT
+    JOIN semantics, ties included.
+
+    Right-side columns come back prefixed (``r_ts``, ...), NULL when no
+    prior right row exists. At equal timestamps the right row is eligible
+    (sorts before the left row). If several right rows share one exact
+    timestamp, which one's payload carries is unspecified — pass data
+    with a deterministic tiebreak baked into ``ts_col`` ordering if that
+    matters downstream.
+    """
+    rcols = [c for c in right.columns if c != on]
+    r_tagged = right.select(
+        on,
+        F.col(ts_col).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.struct(*[F.col(c) for c in rcols]).alias("__r"),
+    )
+    struct_t = r_tagged.schema["__r"].dataType
+    lcols = [c for c in left.columns if c != on]
+    l_tagged = left.select(
+        on,
+        F.col(ts_col).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(struct_t).alias("__r"),
+        *lcols,
+    )
+    u = l_tagged.unionByName(
+        r_tagged, allowMissingColumns=True
+    )
+    w = (
+        Window.partitionBy(on)
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried: Column = F.last("__r", ignorenulls=True).over(w)
+    return (
+        u.withColumn("__carry", carried)
+        .filter(F.col("__side") == 1)
+        .select(
+            on,
+            *lcols,
+            *[
+                F.col(f"__carry.{c}").alias(f"{right_prefix}{c}")
+                for c in rcols
+            ],
+        )
+    )

@@ -173,3 +173,51 @@ def test_media_frame_census_is_narrow(q):
     assert num_shuffles(df) == 0
     s = scan_for(df, "documents")
     assert set(s["columns"]) <= {"doc_id", "text"}
+
+
+def test_gopher_flags_map_only(q):
+    # per-row repetition folds: zero shuffles, text+doc_id scan only
+    df = q("gopher_quality_flags")
+    assert num_shuffles(df) == 0
+    s = scan_for(df, "documents")
+    assert set(s["columns"]) <= {"doc_id", "text"}
+
+
+def test_pii_scrub_map_only(q):
+    assert num_shuffles(q("pii_scrub")) == 0
+
+
+def test_embedding_int8_audit_map_only(q):
+    df = q("embedding_int8_audit")
+    assert num_shuffles(df) == 0
+    s = scan_for(df, "embeddings")
+    assert "label" not in s["columns"]
+
+
+def test_contamination_corpus_never_shuffles_text(q):
+    # benchmark shingles broadcast onto the corpus side; the only
+    # exchanges are the tiny benchmark-side distinct and the per-doc
+    # count of MATCHED shingles — corpus text itself never shuffles
+    df = q("contamination_4gram")
+    assert "BroadcastHashJoin" in join_strategies(df)
+    assert "SortMergeJoin" not in join_strategies(df)
+    assert num_shuffles(df) <= 2
+
+
+def test_sequence_pack_window_is_partitioned(q):
+    # the packing cumsum must never collapse to one partition
+    df = q("sequence_pack")
+    assert single_partition_exchanges(df) == 0
+
+
+def test_train_test_split_single_agg_exchange(q):
+    assert num_shuffles(q("train_test_split")) <= 1
+
+
+def test_asof_join_single_shuffle(q):
+    # union + one partitioned window: both event branches shuffle once on
+    # user_id; an as-of via range join would explode instead
+    df = q("asof_purchase_view")
+    assert num_shuffles(df) == 1
+    s = scan_for(df, "events")
+    assert "props" not in s["columns"]

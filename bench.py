@@ -66,6 +66,9 @@ BENCH_QUERIES = [
     "contamination_4gram",
     "gopher_quality_flags",
     "pii_scrub",
+    # Temporal joins (as-of carry-forward; grid-bucketed range join).
+    "asof_purchase_view",
+    "range_join_session_errors",
 ]
 
 

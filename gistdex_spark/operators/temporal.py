@@ -69,3 +69,42 @@ def asof_join(
             ],
         )
     )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_col: str,
+    end_col: str,
+    grid: int,
+) -> DataFrame:
+    """Point-in-interval join via grid bucketing — the scale path for a
+    non-equi temporal join (a naive range join is a cross product).
+
+    All three bound columns are BIGINTs on a shared clock (epoch micros
+    here; any monotone integer works). Each point maps to exactly ONE
+    grid cell; each interval explodes to its covering cells; the join is
+    then a plain equi-join on cell with the BETWEEN residual — so every
+    qualifying (point, interval) pair meets exactly once and needs no
+    dedup. Both sides shuffle once, on the cell key.
+
+    ``grid`` tunes fanout: pick it near the median interval length so
+    intervals explode to O(1) cells while cells stay small enough to
+    hash-join. Inclusive bounds on both ends (BETWEEN semantics).
+    """
+    # Integer `div`, not float `/`: a 1-ulp rounding slip on a cell
+    # boundary would silently drop a qualifying pair.
+    p = points.withColumn("__cell", F.expr(f"{point_ts} div {grid}"))
+    i = intervals.withColumn(
+        "__cell",
+        F.explode(
+            F.sequence(
+                F.expr(f"{start_col} div {grid}"),
+                F.expr(f"{end_col} div {grid}"),
+            )
+        ),
+    )
+    return p.join(i, "__cell").filter(
+        F.col(point_ts).between(F.col(start_col), F.col(end_col))
+    ).drop("__cell")

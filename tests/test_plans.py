@@ -221,3 +221,12 @@ def test_asof_join_single_shuffle(q):
     assert num_shuffles(df) == 1
     s = scan_for(df, "events")
     assert "props" not in s["columns"]
+
+
+def test_range_join_is_bucketed_equi_join(q):
+    # grid bucketing must compile to a hash/broadcast equi-join with the
+    # BETWEEN residual — NEVER BroadcastNestedLoopJoin (the cross-product
+    # shape a naive non-equi join falls into)
+    df = q("range_join_session_errors")
+    assert "BroadcastNestedLoopJoin" not in join_strategies(df)
+    assert single_partition_exchanges(df) == 0

@@ -60,3 +60,35 @@ def test_asof_keeps_every_left_row(spark):
     assert out.count() == 10  # left join: nothing dropped or duplicated
     matched = out.filter("r_tag IS NOT NULL")
     assert sorted(r["n"] for r in matched.collect()) == [3, 4]
+
+
+def test_interval_join_inclusive_bounds_and_cell_crossing(spark):
+    from gistdex_spark.operators.temporal import interval_join
+
+    points = spark.createDataFrame(
+        [(1, 100), (2, 150), (3, 200), (4, 99), (5, 201), (6, 1050)],
+        ["pid", "us"],
+    )
+    # interval spans cells 10..20 at grid=10; second is single-cell
+    ivals = spark.createDataFrame(
+        [("a", 100, 200), ("b", 1050, 1050)], ["iv", "start_us", "end_us"]
+    )
+    got = sorted(
+        (r["pid"], r["iv"])
+        for r in interval_join(
+            points, ivals, "us", "start_us", "end_us", grid=10
+        ).collect()
+    )
+    # 100 and 200 are inclusive; 99/201 are out; 1050 hits the point interval
+    assert got == [(1, "a"), (2, "a"), (3, "a"), (6, "b")]
+
+
+def test_interval_join_no_duplicate_pairs(spark):
+    from gistdex_spark.operators.temporal import interval_join
+
+    # grid much smaller than the interval: the interval covers many cells
+    # but each point still joins exactly once
+    points = spark.createDataFrame([(i, i * 7) for i in range(100)], ["pid", "us"])
+    ivals = spark.createDataFrame([("all", 0, 700)], ["iv", "start_us", "end_us"])
+    out = interval_join(points, ivals, "us", "start_us", "end_us", grid=3)
+    assert out.count() == out.select("pid").distinct().count()

@@ -69,6 +69,11 @@ BENCH_QUERIES = [
     # Temporal joins (as-of carry-forward; grid-bucketed range join).
     "asof_purchase_view",
     "range_join_session_errors",
+    # Relational widening: semi/anti joins, group-having, promo share.
+    "semi_join_priority",
+    "big_order_customers",
+    "anti_join_quiet_parts",
+    "promo_revenue_share",
 ]
 
 

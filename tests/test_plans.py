@@ -230,3 +230,22 @@ def test_range_join_is_bucketed_equi_join(q):
     df = q("range_join_session_errors")
     assert "BroadcastNestedLoopJoin" not in join_strategies(df)
     assert single_partition_exchanges(df) == 0
+
+
+def test_semi_join_pushes_filters(q):
+    df = q("semi_join_priority")
+    s = scan_for(df, "lineitem")
+    assert "l_discount" in s["pushed_filters"]
+    assert "l_shipdate" in s["pushed_filters"]
+    assert set(s["columns"]) <= {"l_orderkey", "l_discount", "l_shipdate"}
+
+
+def test_big_order_customers_is_heap(q):
+    df = q("big_order_customers")
+    assert has_take_ordered(df), "top-100 must be a heap, not a global sort"
+
+
+def test_anti_join_reads_only_partkey_after_filter(q):
+    s = scan_for(q("anti_join_quiet_parts"), "lineitem")
+    assert "l_discount" in s["pushed_filters"]
+    assert set(s["columns"]) <= {"l_partkey", "l_discount"}

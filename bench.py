@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     # Training-pipeline family: end-to-end near-dup (pairs -> components
     # -> survivors), benchmark decontamination, quality gates, PII scrub.
     "dedup_survivors",
+    "dedup_incremental",
     "contamination_4gram",
     "gopher_quality_flags",
     "pii_scrub",

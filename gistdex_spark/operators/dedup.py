@@ -408,3 +408,59 @@ def embedding_neardup_pairs(
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )
+
+
+def simhash_pairs_between(
+    new: DataFrame,
+    old: DataFrame,
+    content_col: str = "text",
+    bits: int = 32,
+    bands: int = 4,
+    max_distance: int = 3,
+) -> DataFrame:
+    """Cross-set near-dup pairs (new batch vs existing corpus) via the
+    same banded Hamming scheme as :func:`simhash_pairs` — the
+    INCREMENTAL-ingest shape: only new-vs-old pairs are generated, never
+    old-vs-old (at 100 TB the existing corpus side is the stored
+    signature table, read not recomputed).
+
+    Exact for ``max_distance < bands`` by the pigeonhole argument. Each
+    side computes signatures once and shuffles once per band on
+    (band_idx, band_val); no self-join, so Spark's missing cross-join
+    CSE costs nothing here. Returns (new_id, old_id, hamming).
+    """
+    if bits % bands != 0:
+        raise ValueError("bits must be divisible by bands")
+    if max_distance >= bands:
+        raise ValueError("banded join is exact only for max_distance < bands")
+    width = bits // bands
+    mask = (1 << width) - 1
+
+    def banded(df: DataFrame, id_out: str, sig_out: str) -> DataFrame:
+        sig = simhash(df, content_col, bits)
+        return sig.select(
+            F.col("doc_id").alias(id_out),
+            F.col("simhash").alias(sig_out),
+            F.posexplode(
+                F.array(
+                    *[
+                        F.shiftright("simhash", b * width).bitwiseAND(
+                            F.lit(mask)
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("band_idx", "band_val"),
+        )
+
+    n = banded(new, "new_id", "sig_n")
+    o = banded(old, "old_id", "sig_o")
+    return (
+        n.join(o, ["band_idx", "band_val"])
+        .dropDuplicates(["new_id", "old_id"])
+        .withColumn(
+            "hamming", F.expr("cast(bit_count(sig_n ^ sig_o) as int)")
+        )
+        .filter(F.col("hamming") <= max_distance)
+        .select("new_id", "old_id", "hamming")
+    )

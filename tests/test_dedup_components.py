@@ -51,3 +51,26 @@ def test_converges_on_long_chain(spark):
     cc = connected_components(_pairs(spark, edges))
     labels = {r["component"] for r in cc.collect()}
     assert labels == {"d00"}
+
+
+def test_incremental_pairs_never_old_vs_old(spark):
+    from gistdex_spark.operators.dedup import simhash_pairs_between
+
+    new = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")], ["doc_id", "text"]
+    )
+    old = spark.createDataFrame(
+        [
+            (2, "alpha beta gamma delta epsilon zeta"),
+            (3, "alpha beta gamma delta epsilon zeta"),
+            (4, "totally different words entirely here now"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = sorted(
+        (r["new_id"], r["old_id"])
+        for r in simhash_pairs_between(new, old).collect()
+    )
+    # docs 2 and 3 are identical to each other AND to doc 1, but only
+    # new-vs-old pairs may appear
+    assert got == [(1, 2), (1, 3)]

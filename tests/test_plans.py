@@ -249,3 +249,11 @@ def test_anti_join_reads_only_partkey_after_filter(q):
     s = scan_for(q("anti_join_quiet_parts"), "lineitem")
     assert "l_discount" in s["pushed_filters"]
     assert set(s["columns"]) <= {"l_partkey", "l_discount"}
+
+
+def test_dedup_incremental_shuffle_budget(q):
+    # each side: map-only signatures + one band shuffle; plus the pair
+    # dedup — no self-join, no cross product
+    df = q("dedup_incremental")
+    assert "BroadcastNestedLoopJoin" not in join_strategies(df)
+    assert num_shuffles(df) <= 5

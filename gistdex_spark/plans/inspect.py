@@ -43,6 +43,7 @@ def scans(df: DataFrame) -> list[dict]:
             continue
         cols = re.search(r"FileScan parquet \[([^\]]*)\]", line)
         pushed = re.search(r"PushedFilters: \[([^\]]*)\]", line)
+        part = re.search(r"PartitionFilters: \[([^\]]*)\]", line)
         loc = re.search(r"Location:[^\[]*\[([^\]]*)\]", line)
         out.append(
             {
@@ -50,6 +51,7 @@ def scans(df: DataFrame) -> list[dict]:
                 if cols
                 else [],
                 "pushed_filters": pushed.group(1) if pushed else "",
+                "partition_filters": part.group(1) if part else "",
                 "location": loc.group(1) if loc else "",
             }
         )

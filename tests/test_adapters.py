@@ -130,3 +130,22 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bt_chunks")
         spark.sql("DROP TABLE IF EXISTS bt_meta")
+
+
+def test_partitioned_store_prunes_partitions(spark, tmp_path):
+    """A source_type-partitioned store must serve a source_type filter via
+    PARTITION pruning (directory skip), not a data filter — at 100 TB the
+    difference is scanning one partition vs listing every file."""
+    from gistdex_spark.plans.inspect import scan_for
+    from gistdex_spark.sources.indexer import write_chunk_store
+
+    df = spark.createDataFrame(
+        [(f"s{i}", f"text {i}", "code" if i % 2 else "docs") for i in range(20)],
+        "source_id STRING, content STRING, source_type STRING",
+    )
+    path = str(tmp_path / "part_store")
+    write_chunk_store(df, path, mode="overwrite")
+    rd = spark.read.parquet(path).filter("source_type = 'code'")
+    s = scan_for(rd, "part_store")
+    assert "source_type" in s["partition_filters"]
+    assert rd.count() == 10

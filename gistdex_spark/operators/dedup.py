@@ -351,6 +351,10 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("label").alias("nbr_min"))
         )
+        # The changed flag rides along in the same row (old label and
+        # neighbor-min are both present pre-projection), so convergence
+        # costs one agg over the checkpointed frame — not an extra
+        # old-vs-new join per round.
         new_labels = (
             labels.join(nbr, "node", "left")
             .select(
@@ -358,17 +362,12 @@ def connected_components(
                 F.least(
                     F.col("label"), F.coalesce("nbr_min", F.col("label"))
                 ).alias("label"),
+                (F.col("nbr_min") < F.col("label")).cast("int").alias("__chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.agg(F.sum("__chg")).first()[0] or 0
+        labels = new_labels.drop("__chg")
         if changed == 0:
             break
     return labels.select(F.col("node"), F.col("label").alias("component"))

@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "big_order_customers",
     "anti_join_quiet_parts",
     "promo_revenue_share",
+    "disjunctive_predicate_revenue",
 ]
 
 

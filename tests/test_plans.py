@@ -257,3 +257,21 @@ def test_dedup_incremental_shuffle_budget(q):
     df = q("dedup_incremental")
     assert "BroadcastNestedLoopJoin" not in join_strategies(df)
     assert num_shuffles(df) <= 5
+
+
+def test_hll_approx_distinct_within_error_bound(spark):
+    """approx_count_distinct (HyperLogLog++) is the mergeable
+    scale path for distinct counts — exact distinct shuffles every value,
+    HLL shuffles a constant-size sketch per partition. rsd=0.02 must land
+    within ~3x its stated error on the real tables."""
+    from gistdex_spark.plans.inspect import num_shuffles
+    from gistdex_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SF_CORRECTNESS, "events")
+    exact = ev.select("user_id").distinct().count()
+    approx_df = ev.agg(F.approx_count_distinct("user_id", rsd=0.02).alias("a"))
+    approx = approx_df.first()["a"]
+    assert abs(approx - exact) / exact <= 0.06
+    # the sketch aggregates map-side: one exchange of constant-size state
+    assert num_shuffles(approx_df) <= 1

@@ -76,6 +76,8 @@ BENCH_QUERIES = [
     "anti_join_quiet_parts",
     "promo_revenue_share",
     "disjunctive_predicate_revenue",
+    "nation_market_share",
+    "profile_documents",
 ]
 
 

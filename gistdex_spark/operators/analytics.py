@@ -334,3 +334,38 @@ def keyword_frequency(
         .filter(F.col("cnt") >= min_frequency)
     )
     return words.orderBy(F.desc("cnt"), F.asc("word")).limit(top_n)
+
+
+def profile_table(df):
+    """One row per column: null count, exact distinct count, min/max (as
+    strings, so heterogeneous column types stack into one frame).
+
+    Single aggregate pass; the multi-column DISTINCT uses Catalyst's
+    expand (one shuffle total). At very wide tables swap countDistinct
+    for approx_count_distinct — the HLL sketch keeps the pass map-side.
+    """
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for c in df.columns:
+        s = F.col(c).cast("string")
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__n_{c}"),
+            F.countDistinct(F.col(c)).alias(f"__d_{c}"),
+            F.min(s).alias(f"__min_{c}"),
+            F.max(s).alias(f"__max_{c}"),
+        ]
+    row = df.agg(*aggs)
+    stacked = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"__n_{c}").alias("n_nulls"),
+                F.col(f"__d_{c}").alias("n_distinct"),
+                F.col(f"__min_{c}").alias("min_s"),
+                F.col(f"__max_{c}").alias("max_s"),
+            )
+            for c in df.columns
+        ]
+    )
+    return row.select(F.explode(stacked).alias("p")).select("p.*")

@@ -24,7 +24,7 @@ def emb(spark):
 
 @pytest.fixture(scope="module")
 def books(emb):
-    return train_pq_codebooks(emb, m=16, ksub=16, seed=42)
+    return train_pq_codebooks(emb, m=16, ksub=16, seed=42, max_iter=5)
 
 
 def test_codebook_shape(books):

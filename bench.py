@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "disjunctive_predicate_revenue",
     "nation_market_share",
     "profile_documents",
+    "price_quantiles",
 ]
 
 

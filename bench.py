@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "nation_market_share",
     "profile_documents",
     "price_quantiles",
+    "corpus_curation_pipeline",
 ]
 
 

@@ -473,3 +473,25 @@ def chunk_documents(
             yield pd.DataFrame(rows, columns=[f.name for f in CHUNK_SCHEMA.fields])
 
     return src.mapInPandas(run, CHUNK_SCHEMA)
+
+
+def register_chunk_udtf(spark) -> None:
+    """SQL-surface chunker as a Python UDTF (Spark 4): one text row ->
+    N (chunk_index, content, start, end) rows, usable as
+    ``SELECT c.* FROM docs, LATERAL chunk_udtf(text, 200, 40) c``.
+
+    This is the UDF-4 dispatch surface in SQL form; the PERFORMANCE path
+    remains the Arrow-batched mapInPandas pipeline (chunk_documents) —
+    UDTFs evaluate row-at-a-time Python and exist here for SQL
+    ergonomics, not throughput."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_index: int, content: string, start: int, end: int")
+    class ChunkUdtf:
+        def eval(self, text: str, size: int, overlap: int):
+            if text is None:
+                return
+            for i, (s, e) in enumerate(chunk_spans(text, size, overlap)):
+                yield i, text[s:e], s, e
+
+    spark.udtf.register("chunk_udtf", ChunkUdtf)

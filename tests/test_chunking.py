@@ -166,3 +166,22 @@ def test_optimal_settings():
     assert optimal_chunk_settings("notes.md") == (1250, 250)
     assert optimal_chunk_settings("a.txt") == (1750, 350)
     assert optimal_chunk_settings(".weird") == (1000, 200)
+
+
+def test_chunk_udtf_matches_python_spans(spark):
+    from gistdex_spark.operators.chunking import chunk_spans, register_chunk_udtf
+
+    register_chunk_udtf(spark)
+    text = "alpha beta gamma delta " * 30
+    spark.createDataFrame([(1, text)], ["doc_id", "text"]).createOrReplaceTempView(
+        "udtf_docs"
+    )
+    rows = spark.sql(
+        "SELECT c.* FROM udtf_docs, LATERAL chunk_udtf(text, 200, 40) c"
+        " ORDER BY c.chunk_index"
+    ).collect()
+    expected = [
+        (i, text[s:e], s, e) for i, (s, e) in enumerate(chunk_spans(text, 200, 40))
+    ]
+    got = [(r.chunk_index, r.content, r.start, r.end) for r in rows]
+    assert got == expected and len(got) > 1

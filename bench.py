@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "profile_documents",
     "price_quantiles",
     "corpus_curation_pipeline",
+    "events_sliding_windows",
 ]
 
 

@@ -81,6 +81,8 @@ BENCH_QUERIES = [
     "price_quantiles",
     "corpus_curation_pipeline",
     "events_sliding_windows",
+    "event_type_pivot",
+    "lang_source_rollup",
 ]
 
 

@@ -437,13 +437,52 @@ def chunk_documents(
     strategy: str = "fixed",
     size: int = 1000,
     overlap: int = 200,
+    lang_col: str | None = None,
 ) -> DataFrame:
     """UDTF: (source_id, content) → chunk rows, Arrow-batched.
 
     mapInPandas streams record batches — a 100 TB ingest never materializes
     a full partition in memory, and chunking is embarrassingly parallel
-    (narrow, no shuffle).
+    (narrow, no shuffle). ``strategy="cst"`` routes each row through the
+    CST boundary extractor (operators/cst.py) using ``lang_col`` for the
+    per-row language (falling back to the regex scanner, X11, when no
+    parser exists or the code doesn't parse).
     """
+    if strategy == "cst":
+        from gistdex_spark.operators.cst import chunk_cst
+
+        cols = [
+            F.col(id_col).cast("string").alias("source_id"),
+            F.col(content_col).alias("content"),
+        ]
+        cols.append(
+            (F.col(lang_col) if lang_col else F.lit(None).cast("string")).alias("lang")
+        )
+        src = df.select(*cols)
+
+        def run_cst(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = []
+                for sid, text, lang in zip(
+                    pdf["source_id"], pdf["content"], pdf["lang"]
+                ):
+                    chunks = chunk_cst(text or "", size, overlap, language=lang)
+                    total = len(chunks)
+                    for c in chunks:
+                        rows.append(
+                            (
+                                sid, c["chunk_index"], total, c["content"],
+                                c["boundary_type"], c["boundary_level"],
+                                c["boundary_title"],
+                                c.get("start_line", 1), c.get("end_line", 1),
+                            )
+                        )
+                yield pd.DataFrame(
+                    rows, columns=[f.name for f in CHUNK_SCHEMA.fields]
+                )
+
+        return src.mapInPandas(run_cst, CHUNK_SCHEMA)
+
     chunker = _STRATEGIES[strategy]
     src = df.select(
         F.col(id_col).cast("string").alias("source_id"),

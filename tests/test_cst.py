@@ -1,0 +1,333 @@
+"""CST boundary extraction (X12) — cases mirror the reference's
+`src/core/chunk/cst-operations.test.ts`, `cst-operations-python.test.ts`,
+and the `tests/features/test-cst.ts` fixture expectations."""
+
+from __future__ import annotations
+
+import textwrap
+
+from gistdex_spark.operators.cst import (
+    boundaries_to_chunks,
+    chunk_cst,
+    cst_language_for_ext,
+    extract_boundaries,
+)
+
+
+def _by_type(bounds, t):
+    return [b for b in bounds if b.type == t]
+
+
+# --- JavaScript (cst-operations.test.ts "JavaScript node detection") -------
+
+
+def test_js_function_declaration():
+    code = "function add(a, b) { return a + b; }"
+    r = extract_boundaries(code, "javascript")
+    assert len(r) == 1
+    assert r[0].type == "function_declaration"
+    assert r[0].name == "add"
+    assert r[0].text == code
+
+
+def test_js_arrow_within_lexical_declaration():
+    code = "const add = (a, b) => a + b;"
+    r = extract_boundaries(code, "javascript")
+    lex = _by_type(r, "lexical_declaration")
+    assert len(lex) == 1
+    assert lex[0].text == code
+    # arrow is inside the declaration boundary → not emitted separately
+    assert not _by_type(r, "arrow_function")
+
+
+def test_js_class_declaration_methods_suppressed():
+    code = "class Calculator { constructor() {} add(a, b) { return a + b; } }"
+    r = extract_boundaries(code, "javascript")
+    cls = _by_type(r, "class_declaration")
+    assert len(cls) == 1
+    assert cls[0].name == "Calculator"
+    assert cls[0].text == code
+    assert not _by_type(r, "method_definition")
+
+
+def test_js_import_statements():
+    code = 'import { something } from "module";\nimport React from "react";'
+    r = extract_boundaries(code, "javascript")
+    assert len(_by_type(r, "import_statement")) == 2
+
+
+def test_js_variable_declarations():
+    code = "const x = 10;\nlet y = 20;\nvar z = 30;"
+    r = extract_boundaries(code, "javascript")
+    assert len(_by_type(r, "lexical_declaration")) == 2
+    assert len(_by_type(r, "variable_declaration")) == 1
+
+
+def test_js_function_expression_within_lexical_declaration():
+    code = "const fn = function namedFunc() { return 42; };"
+    r = extract_boundaries(code, "javascript")
+    lex = _by_type(r, "lexical_declaration")
+    assert len(lex) == 1
+    assert lex[0].text == code
+
+
+def test_js_async_function():
+    code = "async function fetchData() { await fetch('/api'); }"
+    r = extract_boundaries(code, "javascript")
+    fn = _by_type(r, "function_declaration")
+    assert len(fn) == 1
+    assert fn[0].name == "fetchData"
+    assert fn[0].text == code
+
+
+def test_js_nested_structures_single_class_boundary():
+    code = textwrap.dedent(
+        """
+        class MyComponent {
+          constructor() {
+            this.state = {};
+          }
+
+          render() {
+            const handleClick = () => {
+              console.log("clicked");
+            };
+
+            return null;
+          }
+        }"""
+    )
+    r = extract_boundaries(code, "javascript")
+    assert len(r) == 1
+    assert r[0].type == "class_declaration"
+    assert r[0].name == "MyComponent"
+
+
+def test_js_bare_arrow_function_emitted():
+    code = 'app.get("/x", (req, res) => { res.send(1); });'
+    r = extract_boundaries(code, "javascript")
+    arrows = _by_type(r, "arrow_function")
+    assert len(arrows) == 1
+    assert arrows[0].text == "(req, res) => { res.send(1); }"
+
+
+def test_js_comments_and_strings_not_parsed():
+    code = (
+        "// function fake() {}\n"
+        '/* class Fake {} */\n'
+        'const s = "function alsoFake() {}";\n'
+        "function real() { return `class X {}`; }\n"
+    )
+    r = extract_boundaries(code, "javascript")
+    fns = _by_type(r, "function_declaration")
+    assert [f.name for f in fns] == ["real"]
+    assert len(_by_type(r, "class_declaration")) == 0
+
+
+# --- TypeScript ------------------------------------------------------------
+
+
+def test_ts_interface_and_type_alias():
+    code = (
+        "interface Shape { area(): number; }\n"
+        "type Point = { x: number; y: number };\n"
+    )
+    r = extract_boundaries(code, "typescript")
+    iface = _by_type(r, "interface_declaration")
+    talias = _by_type(r, "type_alias_declaration")
+    assert len(iface) == 1 and iface[0].name == "Shape"
+    assert len(talias) == 1 and talias[0].name == "Point"
+
+
+def test_ts_export_modifier_included_in_text():
+    code = "export function testFunction() {\n  console.log(1);\n}"
+    r = extract_boundaries(code, "typescript")
+    assert len(r) == 1
+    b = r[0]
+    # type/name come from the declaration, text includes the modifier
+    assert b.type == "function_declaration"
+    assert b.name == "testFunction"
+    assert b.text.startswith("export function")
+
+
+def test_ts_fixture_test_cst():
+    """The reference's tests/features/test-cst.ts fixture end-to-end."""
+    code = textwrap.dedent(
+        """
+        // Test file for CST parsing
+
+        export function testFunction() {
+          console.log("Hello, World!");
+        }
+
+        export const arrowFunction = () => {
+          return "Arrow function";
+        };
+
+        export async function asyncFunction() {
+          await new Promise((resolve) => setTimeout(resolve, 100));
+          return "Async function";
+        }
+
+        export const asyncArrowFunction = async () => {
+          await new Promise((resolve) => setTimeout(resolve, 100));
+          return "Async arrow function";
+        };
+
+        class TestClass {
+          method() {
+            return "Method";
+          }
+
+          async asyncMethod() {
+            return "Async method";
+          }
+        }
+
+        export default TestClass;
+        """
+    )
+    r = extract_boundaries(code, "typescript")
+    fns = _by_type(r, "function_declaration")
+    assert sorted(f.name for f in fns) == ["asyncFunction", "testFunction"]
+    assert all(f.text.startswith("export ") for f in fns)
+    lex = _by_type(r, "lexical_declaration")
+    assert len(lex) == 2  # the two exported arrow-function consts
+    assert all(x.text.startswith("export const") for x in lex)
+    cls = _by_type(r, "class_declaration")
+    assert len(cls) == 1 and cls[0].name == "TestClass"
+    assert not cls[0].text.startswith("export")
+    # `export default TestClass;` is no boundary node
+    assert len(r) == 5
+
+
+# --- Python (cst-operations-python.test.ts) --------------------------------
+
+
+def test_py_function_definition():
+    code = "def add(a, b):\n    return a + b"
+    r = extract_boundaries(code, "python")
+    fn = _by_type(r, "function_definition")
+    assert len(fn) == 1 and fn[0].name == "add"
+    assert fn[0].text == code
+
+
+def test_py_class_methods_suppressed():
+    code = textwrap.dedent(
+        """\
+        class Calculator:
+            def __init__(self):
+                self.value = 0
+
+            def add(self, x):
+                self.value += x"""
+    )
+    r = extract_boundaries(code, "python")
+    cls = _by_type(r, "class_definition")
+    assert len(cls) == 1 and cls[0].name == "Calculator"
+    assert not _by_type(r, "function_definition")
+
+
+def test_py_async_function():
+    code = 'async def fetch_data():\n    await asyncio.sleep(1)\n    return "data"'
+    r = extract_boundaries(code, "python")
+    fn = _by_type(r, "function_definition")
+    assert len(fn) == 1 and fn[0].name == "fetch_data"
+
+
+def test_py_imports():
+    code = "import os\nfrom typing import List\nimport asyncio as aio"
+    r = extract_boundaries(code, "python")
+    assert len(_by_type(r, "import_statement")) == 2
+    assert len(_by_type(r, "import_from_statement")) == 1
+
+
+def test_py_decorated_definition_modifier():
+    code = "@cache\n@trace\ndef slow(x):\n    return x * 2"
+    r = extract_boundaries(code, "python")
+    fn = _by_type(r, "function_definition")
+    assert len(fn) == 1
+    assert fn[0].name == "slow"  # type/name from the inner definition
+    assert fn[0].text.startswith("@cache")  # span includes the decorators
+
+
+def test_py_assignment_and_nested_in_if():
+    code = textwrap.dedent(
+        """\
+        X = 1
+        if True:
+            def inner():
+                pass
+        """
+    )
+    r = extract_boundaries(code, "python")
+    assert [b.name for b in _by_type(r, "assignment")] == ["X"]
+    # a def inside a non-boundary compound statement IS a boundary
+    assert [b.name for b in _by_type(r, "function_definition")] == ["inner"]
+
+
+# --- chunk adapter + fallback (cst-operations.ts chunkWith*) ---------------
+
+
+def test_chunk_cst_two_functions():
+    code = "function first() {}\nfunction second() {}"
+    chunks = chunk_cst(code, language="javascript")
+    assert len(chunks) == 2
+    assert chunks[0]["boundary_title"] == "first"
+    assert chunks[1]["boundary_title"] == "second"
+
+
+def test_chunk_cst_falls_back_on_unsupported_language():
+    code = "<template><div></div></template>"
+    chunks = chunk_cst(code, path="test.vue")
+    assert chunks  # regex fallback produced output
+    assert all(c["boundary_type"] != "function_declaration" for c in chunks)
+
+
+def test_chunk_cst_falls_back_on_syntax_error():
+    code = "def broken(:\n  pass"
+    chunks = chunk_cst(code, language="python")
+    assert chunks  # fell back to the statement scanner instead of raising
+
+
+def test_boundaries_to_chunks_line_numbers():
+    code = "import os\n\n\ndef f():\n    return 1\n"
+    bounds = extract_boundaries(code, "python")
+    chunks = boundaries_to_chunks(code, bounds)
+    imp = next(c for c in chunks if c["boundary_type"] == "import_statement")
+    fn = next(c for c in chunks if c["boundary_type"] == "function_definition")
+    assert (imp["start_line"], imp["end_line"]) == (1, 1)
+    assert (fn["start_line"], fn["end_line"]) == (4, 5)
+
+
+def test_language_for_ext():
+    assert cst_language_for_ext("a/b/mod.ts") == "typescript"
+    assert cst_language_for_ext(".tsx") == "tsx"
+    assert cst_language_for_ext("x.py") == "python"
+    assert cst_language_for_ext("x.go") is None
+
+
+def test_chunk_documents_cst_strategy(spark):
+    """Distributed CST chunking: per-row language routing via mapInPandas."""
+    from gistdex_spark.operators.chunking import chunk_documents
+
+    rows = [
+        (1, "def a():\n    return 1\n\ndef b():\n    return 2", "python"),
+        (2, "export function f() { return 1; }\nclass C {}", "typescript"),
+        (3, "plain prose with no parser", "en"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = chunk_documents(
+        df, id_col="doc_id", content_col="text", strategy="cst",
+        size=650, overlap=125, lang_col="lang",
+    )
+    got = {
+        (r.source_id, r.boundary_type, r.boundary_title)
+        for r in out.collect()
+    }
+    assert ("1", "function_definition", "a") in got
+    assert ("1", "function_definition", "b") in got
+    assert ("2", "function_declaration", "f") in got
+    assert ("2", "class_declaration", "C") in got
+    # unsupported language fell back to the regex statement scanner
+    assert any(sid == "3" for sid, _, _ in got)

@@ -83,6 +83,11 @@ BENCH_QUERIES = [
     "events_sliding_windows",
     "event_type_pivot",
     "lang_source_rollup",
+    # Correlated-subquery shapes + window surface.
+    "q13_order_count_distribution",
+    "q17_small_quantity_revenue",
+    "q21_waiting_supplier",
+    "user_interarrival_stats",
 ]
 
 

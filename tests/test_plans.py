@@ -275,3 +275,29 @@ def test_hll_approx_distinct_within_error_bound(spark):
     assert abs(approx - exact) / exact <= 0.06
     # the sketch aggregates map-side: one exchange of constant-size state
     assert num_shuffles(approx_df) <= 1
+
+
+def test_q21_single_wide_shuffle_before_final_agg(q):
+    # the explicit repartition(l_orderkey) must serve BOTH sibling
+    # aggregates (key-prefix clustering); without it Catalyst shuffles
+    # the nearly-unreduced (orderkey, suppkey) agg output a second time
+    df = q("q21_waiting_supplier")
+    # repartition + (at most) the tiny final s_name agg; the broken shape
+    # re-shuffles the ~full-size (orderkey, suppkey) agg output → 3
+    assert num_shuffles(df) <= 2
+
+
+def test_q13_outer_join_keeps_predicate_in_join(q):
+    # the o_orderpriority filter must not turn the LEFT join inner
+    df = q("q13_order_count_distribution")
+    plan = final_plan(df)
+    assert "LeftOuter" in plan
+
+
+def test_q17_broadcasts_brand_dim(q):
+    strategies = join_strategies(q("q17_small_quantity_revenue"))
+    assert "BroadcastHashJoin" in strategies
+
+
+def test_interarrival_window_is_partitioned(q):
+    assert single_partition_exchanges(q("user_interarrival_stats")) == 0

@@ -236,3 +236,129 @@ def quantize_int8_stats(
             .alias("max_abs_err"),
         )
     )
+
+
+def remove_boilerplate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 3,
+    min_len: int = 5,
+) -> DataFrame:
+    """C4/RefinedWeb-style cross-document line deduplication: a line whose
+    trimmed form appears in >= ``min_df`` DISTINCT documents (and is at
+    least ``min_len`` chars) is boilerplate — navigation, cookie banners,
+    license headers — and is removed from every document.
+
+    Scale shape: explode is narrow; the frequency aggregate shuffles
+    (line-hash-keyed, map-side combined) but its OUTPUT is only the
+    frequent lines — a tiny set that broadcasts into a left join, so the
+    corpus itself is never shuffled for the lookup. The rebuild groups by
+    doc id (one shuffle of kept lines) and reassembles in line order.
+    """
+    lines = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("idx", "line"),
+    ).withColumn("nline", F.trim("line"))
+    freq = (
+        lines.filter(F.length("nline") >= min_len)
+        .groupBy("nline")
+        .agg(F.countDistinct("_id").alias("line_df"))
+        .filter(F.col("line_df") >= min_df)
+        .select(F.col("nline").alias("fline"))
+    )
+    flagged = lines.join(
+        F.broadcast(freq), lines.nline == freq.fline, "left"
+    ).withColumn("rm", F.col("fline").isNotNull())
+    return (
+        flagged.groupBy(F.col("_id").alias(id_col))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(~F.col("rm"), F.struct("idx", "line"))
+                        )
+                    ),
+                    lambda x: x.line,
+                ),
+                "\n",
+            ).alias("clean_text"),
+            F.sum(F.col("rm").cast("int")).alias("n_removed"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+def build_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int = 20,
+) -> DataFrame:
+    """Tokenizer-precursor vocabulary builder: corpus word frequencies
+    ranked with cumulative token coverage, cut to the top-``top_k`` types.
+    The expensive part (word counting) is a map-side-combined hash agg;
+    the ranking window runs over the AGGREGATED vocabulary — thousands of
+    rows at any corpus size — never over tokens. Rank ties broken by word
+    so both engines order identically."""
+    from pyspark.sql import Window
+
+    words = df.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    counts = words.groupBy("word").agg(F.count("*").alias("n"))
+    total = counts.agg(F.sum("n").alias("total_tokens"))
+    w = Window.orderBy(F.desc("n"), "word")
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w))
+        .withColumn(
+            "cum_share",
+            F.round(
+                F.sum("n").over(
+                    w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                )
+                / F.col("total_tokens"),
+                6,
+            ),
+        )
+        .filter(F.col("rank") <= top_k)
+        .select("rank", "word", "n", "cum_share")
+    )
+
+
+def resample_domains(
+    df: DataFrame,
+    factors_permille: dict[str, int],
+    id_col: str = "doc_id",
+    domain_col: str = "source",
+    default_permille: int = 1000,
+) -> DataFrame:
+    """Domain-mixture resampling: each domain is up/down-sampled by a
+    per-mille factor (2500 = 2.5x, 400 = 0.4x). A doc gets
+    ``factor // 1000`` full copies plus one more iff its md5 bucket lands
+    under ``factor % 1000`` — deterministic, integer-only (no float
+    boundary can flip a row between engines), and entirely MAP-SIDE: no
+    shuffle, no RNG state, reproducible on any cluster size. Output rows
+    carry copy_idx so downstream packing can distinguish repeats."""
+    factor = F.lit(default_permille)
+    for dom, pm in sorted(factors_permille.items()):
+        factor = F.when(F.col(domain_col) == dom, F.lit(pm)).otherwise(factor)
+    bucket = F.expr(
+        MD5_BUCKET.format(
+            id=f"concat(cast({id_col} as string), '#', {domain_col})", mod=1000
+        )
+    )
+    d = df.withColumn(
+        "_copies",
+        (factor / 1000).cast("int")
+        + F.when(bucket < factor % 1000, 1).otherwise(0),
+    )
+    return (
+        d.filter(F.col("_copies") > 0)
+        .select(
+            F.col(id_col),
+            F.col(domain_col),
+            F.explode(F.sequence(F.lit(1), F.col("_copies"))).alias("copy_idx"),
+        )
+    )

@@ -129,3 +129,71 @@ def test_quantize_zero_vector_guard_and_error_bound(spark):
     # Quantization error of the in-range case is at most scale/2.
     assert got[1]["max_abs_err"] <= got[1]["scale"] / 2 + 1e-12
     assert abs(got[1]["scale"] - 1.0 / 127.0) < 1e-12
+
+
+def test_remove_boilerplate_strips_frequent_lines(spark):
+    from gistdex_spark.operators.pipeline import remove_boilerplate
+
+    banner = "Accept cookies to continue"
+    rows = [
+        (1, f"unique alpha\n{banner}\nbody one"),
+        (2, f"{banner}\nbody two"),
+        (3, f"body three\n{banner}"),
+        (4, "no banner here\nat all"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in remove_boilerplate(df, min_df=3).collect()}
+    assert out[1].clean_text == "unique alpha\nbody one"
+    assert out[1].n_removed == 1
+    assert out[2].clean_text == "body two"
+    assert out[3].clean_text == "body three"
+    assert out[4].clean_text == "no banner here\nat all"
+    assert out[4].n_removed == 0
+
+
+def test_remove_boilerplate_short_lines_kept(spark):
+    from gistdex_spark.operators.pipeline import remove_boilerplate
+
+    # "ok" appears everywhere but is under min_len → never boilerplate
+    rows = [(i, "ok\ncontent %d" % i) for i in range(5)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = remove_boilerplate(df, min_df=3, min_len=5).collect()
+    assert all(r.n_removed == 0 for r in out)
+    assert all(r.clean_text.startswith("ok\n") for r in out)
+
+
+def test_remove_boilerplate_fully_scrubbed_doc_is_empty_string(spark):
+    from gistdex_spark.operators.pipeline import remove_boilerplate
+
+    rows = [(1, "same line"), (2, "same line"), (3, "same line")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = remove_boilerplate(df, min_df=3).collect()
+    assert all(r.clean_text == "" and r.n_removed == 1 for r in out)
+
+
+def test_resample_domains_copy_counts(spark):
+    from gistdex_spark.operators.pipeline import resample_domains
+
+    rows = [(i, "a" if i < 40 else "b") for i in range(80)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = resample_domains(df, {"a": 3000, "b": 0}).collect()
+    per_id = {}
+    for r in out:
+        per_id.setdefault(r.doc_id, []).append(r.copy_idx)
+    # b dropped entirely; every a doc appears exactly 3 times (3000 = 3.0x)
+    assert set(per_id) == set(range(40))
+    assert all(sorted(v) == [1, 2, 3] for v in per_id.values())
+
+
+def test_resample_domains_fractional_rate_hits_expected_band(spark):
+    from gistdex_spark.operators.pipeline import resample_domains
+
+    rows = [(i, "a") for i in range(400)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = resample_domains(df, {"a": 500}).collect()
+    # md5 buckets are uniform: 0.5x of 400 docs ≈ 200, generous band
+    assert 140 <= len(out) <= 260
+    assert all(r.copy_idx == 1 for r in out)
+    # deterministic: same inputs → same selection
+    again = resample_domains(df, {"a": 500}).collect()
+    assert sorted(r.doc_id for r in again) == sorted(r.doc_id for r in out)

@@ -30,6 +30,8 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Arrow for every pandas_udf / toPandas hop.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Let Python DataSources (sources/jsonl_source.py) absorb filters.
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # events.parquet carries TIMESTAMP(NANOS); read as LONG nanos and
         # convert in the loader (Spark has no nanos timestamp type).

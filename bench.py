@@ -115,15 +115,22 @@ def main() -> None:
     ).select(embed_udf(dim=4)("t")).collect()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     total = 0.0
     for name in BENCH_QUERIES:
         fn = REGISTRY[name]
         t0 = time.time()
-        df = fn(spark, sf_dir)
-        # Materialize through a noop sink: every column is fully evaluated,
-        # so Catalyst can't prune the expensive expressions the way a bare
-        # count() would (a count benches the scan, not the work).
-        df.write.format("noop").mode("overwrite").save()
+        try:
+            df = fn(spark, sf_dir)
+            # Materialize through a noop sink: every column is fully
+            # evaluated, so Catalyst can't prune the expensive expressions
+            # the way a bare count() would (a count benches the scan, not
+            # the work).
+            df.write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # one bad query must not zero the round
+            errors[name] = str(exc).split("\n")[0][:300]
+            print(f"# {name}: FAILED {errors[name]}", file=sys.stderr, flush=True)
+            continue
         dt = time.time() - t0
         timings[name] = round(dt, 3)
         total += dt
@@ -134,18 +141,16 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-            }
-        ),
-        flush=True,
-    )
+    payload = {
+        "metric": "headline_queries_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    if errors:
+        payload["errors"] = errors
+    print(json.dumps(payload), flush=True)
     spark.stop()
 
 

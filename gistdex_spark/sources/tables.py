@@ -21,19 +21,44 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS), which Spark's reader rejects unless
-        # told to surface it as LONG nanos. Set at runtime so the read works
-        # on ANY session (e.g. the correctness driver's), not just ours.
+        # events.ts has been TIMESTAMP(NANOS) in some rounds of the driver
+        # testdata; Spark's reader rejects that unless told to surface it as
+        # LONG nanos. Set at runtime so the read works on ANY session (e.g.
+        # the correctness driver's), not just ours. Harmless when the file
+        # carries micros.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # With nanosAsLong the ts column arrives as LONG nanos — truncate to
-    # micros (same floor DuckDB applies).
-    from pyspark.sql.types import LongType
+    if name == "events":
+        df = _normalize_events_ts(df)
+    return df
 
-    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
-        from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+def _normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize events.ts to TIMESTAMP_NTZ micros regardless of how the
+    parquet reader surfaced it.
+
+    The driver regenerates testdata per round and the physical type has
+    already changed once (NANOS → MICROS isAdjustedToUTC=false). Three
+    cases: LONG (legacy nanosAsLong read — truncate to micros, the same
+    floor DuckDB applies), TIMESTAMP_LTZ (adjusted-to-UTC files — take the
+    absolute instant's UTC wall clock), TIMESTAMP_NTZ (pass through). All
+    conversions go through integer epoch micros via timestampadd /
+    unix_micros, never through a session-timezone-dependent cast, so every
+    downstream query sees identical values on any session.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampType
+
+    dt = df.schema["ts"].dataType
+    epoch = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+    if isinstance(dt, LongType):
+        df = df.withColumn(
+            "ts", F.expr(f"timestampadd(MICROSECOND, ts div 1000, {epoch})")
+        )
+    elif isinstance(dt, TimestampType):
+        df = df.withColumn(
+            "ts", F.expr(f"timestampadd(MICROSECOND, unix_micros(ts), {epoch})")
+        )
     return df
 
 

@@ -88,6 +88,14 @@ BENCH_QUERIES = [
     "q17_small_quantity_revenue",
     "q21_waiting_supplier",
     "user_interarrival_stats",
+    # Round-3 relational widening + pipeline ops.
+    "q7_nation_volume",
+    "q9_nation_profit",
+    "q10_returned_revenue",
+    "q12_late_shipment_priority",
+    "bigram_lm_quality",
+    "eval_decontaminate_cosine",
+    "shard_assignment_stats",
 ]
 
 

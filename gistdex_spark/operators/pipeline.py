@@ -362,3 +362,120 @@ def resample_domains(
             F.explode(F.sequence(F.lit(1), F.col("_copies"))).alias("copy_idx"),
         )
     )
+
+
+def bigram_lm_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus bigram language model + per-document mean log-probability
+    (the KenLM-style fluency gate of a training pipeline, minus the
+    external model: the corpus scores itself).
+
+    Two passes, both plain Catalyst: (1) unigram/bigram hash-count aggs
+    over the exploded token stream (map-side combined; the count tables
+    are vocabulary-sized, orders of magnitude below corpus size);
+    (2) re-explode, equality-join each doc bigram to its counts, and
+    average add-one-smoothed ln P(w2|w1) per doc. At 100 TB both joins
+    hash-partition on token keys — no broadcast needed for the counts
+    unless the vocab fits, and no global sort anywhere. Docs with fewer
+    than 2 tokens carry no bigrams and drop out (they have no LM signal).
+    """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    base = df.select(F.col(id_col), toks.alias("ws"))
+    uni = (
+        base.select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    vocab = uni.agg(F.count(F.lit(1)).alias("vsz"))
+    pairs = (
+        base.filter(F.size("ws") >= 2)
+        .select(
+            id_col,
+            F.explode(
+                F.zip_with(
+                    F.expr("slice(ws, 1, size(ws) - 1)"),
+                    F.expr("slice(ws, 2, size(ws) - 1)"),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("bg"),
+        )
+        .select(id_col, "bg.w1", "bg.w2")
+    )
+    bic = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    scored = (
+        pairs.join(bic, ["w1", "w2"])
+        .join(uni, pairs.w1 == uni.w)
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            id_col,
+            F.log((F.col("cb") + F.lit(1.0)) / (F.col("cu") + F.col("vsz"))).alias(
+                "lp"
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.round(F.avg("lp"), 6).alias("lm_score"),
+        F.count(F.lit(1)).alias("n_bigrams"),
+    )
+
+
+def decontaminate_embeddings(
+    df: DataFrame,
+    eval_label: int = 0,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Embedding-space benchmark decontamination: flag every training
+    vector whose max cosine to ANY held-out/eval vector reaches the
+    threshold (the semantic analogue of the 4-gram decontamination in
+    `contamination` — catches paraphrased eval leakage that n-gram overlap
+    misses).
+
+    The eval set is benchmarks — tiny by construction — so it broadcasts
+    to every executor and the scan over 100 TB of training vectors stays
+    map-only: per-row max over the broadcast array, zero shuffle before
+    the final per-vector aggregate (which is also narrow: one row per
+    training vector)."""
+    from gistdex_spark.functions import vectors as V
+
+    ev = df.filter(F.col(label_col) == eval_label).select(
+        F.col(vec_col).alias("ev")
+    )
+    train = df.filter(F.col(label_col) != eval_label)
+    sims = train.crossJoin(F.broadcast(ev)).select(
+        id_col, V.cosine(vec_col, "ev").alias("sim")
+    )
+    return (
+        sims.groupBy(id_col)
+        .agg(F.max("sim").alias("ms"))
+        .select(
+            id_col,
+            F.round("ms", 6).alias("max_eval_cosine"),
+            (F.col("ms") >= threshold).alias("contaminated"),
+        )
+    )
+
+
+def shard_stats(
+    df: DataFrame, n_shards: int = 64, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic training-shard assignment audit: every document maps
+    to shard md5(id) % n_shards (engine-portable, RNG-free, stable across
+    runs and cluster sizes — the property a resumable 100 TB shard writer
+    needs), then per-shard size/balance stats. One hash agg; writing the
+    actual shards is `df.write.partitionBy("shard")` on the same column."""
+    shard = F.expr(MD5_BUCKET.format(id=id_col, mod=n_shards))
+    return (
+        df.withColumn("shard", shard)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(id_col).alias("id_checksum"),
+            F.min(id_col).alias("min_id"),
+            F.max(id_col).alias("max_id"),
+        )
+    )

@@ -20,6 +20,33 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def as_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to TIMESTAMP (LTZ) for watermarking.
+
+    ``withWatermark`` rejects TIMESTAMP_NTZ (EVENT_TIME_IS_NOT_ON_
+    TIMESTAMP_TYPE), and the driver testdata's physical type has changed
+    across rounds (nanos LONG, then micros NTZ). Both conversions go
+    through integer epoch micros — never a session-timezone cast — so the
+    instant is the NTZ wall clock read as UTC, matching what every batch
+    oracle computes."""
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    dt = df.schema[col].dataType
+    if isinstance(dt, LongType):
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if isinstance(dt, TimestampNTZType):
+        return df.withColumn(
+            col,
+            F.timestamp_micros(
+                F.expr(
+                    "timestampdiff(MICROSECOND, "
+                    f"TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})"
+                )
+            ),
+        )
+    return df
+
+
 def hourly_counts_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Tumbling 1h window per event_type; late rows beyond the watermark drop."""
     return (

@@ -301,3 +301,41 @@ def test_q17_broadcasts_brand_dim(q):
 
 def test_interarrival_window_is_partitioned(q):
     assert single_partition_exchanges(q("user_interarrival_stats")) == 0
+
+
+def test_q7_q9_q10_star_joins_broadcast(q):
+    # supplier/customer/nation/part are dims: every join must broadcast at
+    # this SF (a SortMergeJoin here means a lost broadcast and a 100 TB
+    # fact shuffle).
+    for name in ["q7_nation_volume", "q9_nation_profit", "q10_returned_revenue"]:
+        strategies = join_strategies(q(name))
+        assert "SortMergeJoin" not in strategies, name
+        assert "BroadcastHashJoin" in strategies, name
+
+
+def test_q9_single_agg_exchange(q):
+    # fact scan -> 3 broadcast probes -> one group-by shuffle, nothing else
+    assert num_shuffles(q("q9_nation_profit")) == 1
+
+
+def test_q10_is_heap_not_sort(q):
+    assert has_take_ordered(q("q10_returned_revenue"))
+
+
+def test_bigram_lm_no_global_sort(q):
+    df = q("bigram_lm_quality")
+    assert single_partition_exchanges(df) == 0
+    s = scan_for(df, "documents")
+    assert set(s["columns"]) <= {"doc_id", "text"}
+
+
+def test_decontaminate_is_broadcast_map_scan(q):
+    # eval side broadcasts (nested-loop on purpose: per-row max over the
+    # broadcast array); the only shuffle is the per-vector max agg
+    df = q("eval_decontaminate_cosine")
+    assert join_strategies(df) == ["BroadcastNestedLoopJoin"]
+    assert num_shuffles(df) == 1
+
+
+def test_shard_stats_single_shuffle(q):
+    assert num_shuffles(q("shard_assignment_stats")) == 1

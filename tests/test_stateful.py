@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from gistdex_spark.sources.tables import load_table
+from gistdex_spark.streaming.events import as_event_time
 from gistdex_spark.streaming.stateful import sessionize_stream
 
 SF = "/root/testdata/sf0.001"
@@ -19,10 +20,7 @@ def test_stateful_sessionize_matches_batch(spark):
         .option("pathGlobFilter", "events.parquet")
         .parquet(SF)
     )
-    from pyspark.sql.types import LongType
-
-    if isinstance(stream.schema["ts"].dataType, LongType):
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream, batch = as_event_time(stream), as_event_time(batch)
 
     q = (
         sessionize_stream(stream)

@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from gistdex_spark.sources.tables import load_table
-from gistdex_spark.streaming.events import run_availablenow
+from gistdex_spark.streaming.events import as_event_time, run_availablenow
 from gistdex_spark.streaming.joins import stream_interval_join
 
 SF = "/root/testdata/sf0.001"
@@ -22,12 +22,7 @@ def _event_stream(spark, etype):
         .option("pathGlobFilter", "events.parquet")
         .parquet(SF)
     )
-    from pyspark.sql.types import LongType
-
-    if isinstance(stream.schema["ts"].dataType, LongType):
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+    stream, batch = as_event_time(stream), as_event_time(batch)
     pick = lambda df: df.filter(F.col("event_type") == etype).select(  # noqa: E731
         "user_id", "event_id", "ts"
     )

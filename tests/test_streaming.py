@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from gistdex_spark.sources.tables import load_table
 from gistdex_spark.streaming.events import (
+    as_event_time,
     dedup_stream,
     hourly_counts_stream,
     run_availablenow,
@@ -25,12 +26,7 @@ def _stream_events(spark):
         .option("pathGlobFilter", "events.parquet")
         .parquet(SF)
     )
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
-
-    if isinstance(stream.schema["ts"].dataType, LongType):
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return stream, batch
+    return as_event_time(stream), as_event_time(batch)
 
 
 def test_hourly_counts_stream_matches_batch(spark):

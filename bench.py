@@ -96,6 +96,8 @@ BENCH_QUERIES = [
     "bigram_lm_quality",
     "eval_decontaminate_cosine",
     "shard_assignment_stats",
+    "inverted_index_stats",
+    "tfidf_top_terms",
 ]
 
 

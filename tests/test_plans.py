@@ -339,3 +339,14 @@ def test_decontaminate_is_broadcast_map_scan(q):
 
 def test_shard_stats_single_shuffle(q):
     assert num_shuffles(q("shard_assignment_stats")) == 1
+
+
+def test_inverted_index_prunes_and_heaps(q):
+    df = q("inverted_index_stats")
+    s = scan_for(df, "documents")
+    assert set(s["columns"]) <= {"doc_id", "text"}
+    assert has_take_ordered(df)
+
+
+def test_tfidf_window_is_partitioned(q):
+    assert single_partition_exchanges(q("tfidf_top_terms")) == 0

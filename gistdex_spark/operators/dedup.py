@@ -225,13 +225,17 @@ def simhash(df: DataFrame, content_col: str = "text", bits: int = 32) -> DataFra
     df = _spread(df)
     toks = f"filter(split(lower({content_col}), '[\\\\s]+'), w -> length(w) > 0)"
     hs = f"transform({toks}, w -> cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint))"
+    # shiftright/shiftleft, not div/pow: same values for j <= 31 (hashes
+    # are 32-bit non-negatives) but integer ops — these folds are
+    # interpreted (no codegen for higher-order functions), so per-element
+    # cost is the whole game.
     vote_j = (
         "aggregate(hs, 0, (a, h) -> a + "
-        "(case when (h div cast(pow(2, j) as bigint)) % 2 = 1 then 1 else -1 end))"
+        "(case when shiftright(h, j) % 2 = 1 then 1 else -1 end))"
     )
     sim = (
         f"aggregate(sequence(0, {bits - 1}), cast(0 as bigint), (acc, j) -> acc + "
-        f"(case when {vote_j} > 0 then cast(pow(2, j) as bigint) "
+        f"(case when {vote_j} > 0 then shiftleft(cast(1 as bigint), j) "
         f"else cast(0 as bigint) end))"
     )
     return (

@@ -98,6 +98,8 @@ BENCH_QUERIES = [
     "shard_assignment_stats",
     "inverted_index_stats",
     "tfidf_top_terms",
+    "q11_valuable_parts",
+    "q20_dominant_suppliers",
 ]
 
 

@@ -350,3 +350,17 @@ def test_inverted_index_prunes_and_heaps(q):
 
 def test_tfidf_window_is_partitioned(q):
     assert single_partition_exchanges(q("tfidf_top_terms")) == 0
+
+
+def test_q11_single_fact_shuffle(q):
+    # per-part agg once; the global-average threshold re-reduces the
+    # part-sized aggregate and broadcasts back — the fact table must not
+    # shuffle twice
+    df = q("q11_valuable_parts")
+    s = scan_for(df, "lineitem")
+    assert set(s["columns"]) <= {"l_partkey", "l_extendedprice", "l_discount"}
+
+
+def test_q20_part_filter_prunes_fact_before_agg(q):
+    strategies = join_strategies(q("q20_dominant_suppliers"))
+    assert "BroadcastHashJoin" in strategies

@@ -1,0 +1,92 @@
+"""transformWithStateInPandas (Spark 4 stateful API) running totals must
+equal the batch per-user aggregate on the same input when the whole file
+arrives as one AvailableNow backlog (Dataflow invariant).
+
+The TWS Python driver worker speaks protobuf to the JVM
+(pyspark/sql/streaming/proto/StateMessage_pb2.py), so the operator needs
+the `google.protobuf` package at runtime. This container doesn't ship it
+(and installs are off), so the parity test skips there — the module
+itself imports fine and runs wherever protobuf exists.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gistdex_spark.sources.tables import load_table
+from gistdex_spark.streaming.events import as_event_time
+from gistdex_spark.streaming.tws import running_totals_stream
+
+SF = "/root/testdata/sf0.001"
+
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas needs google.protobuf (not in container)",
+)
+def test_tws_running_totals_match_batch(spark):
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        batch = load_table(spark, SF, "events")
+        stream = (
+            spark.readStream.schema(
+                spark.read.parquet(f"{SF}/events.parquet").schema
+            )
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(SF)
+        )
+        stream = as_event_time(stream)
+        q = (
+            running_totals_stream(stream)
+            .writeStream.format("memory")
+            .queryName("tws_totals")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = {
+            r.user_id: (r.n_events, round(r.total_value, 6))
+            for r in spark.sql(
+                "SELECT * FROM tws_totals"
+            ).collect()
+        }
+        expected = {
+            r.user_id: (r.n_events, round(r.total_value, 6))
+            for r in (
+                batch.groupBy("user_id")
+                .agg(
+                    F.count(F.lit(1)).alias("n_events"),
+                    F.sum("value").alias("total_value"),
+                )
+                .collect()
+            )
+        }
+        assert set(got) == set(expected)
+        for uid, (n, _total) in expected.items():
+            assert got[uid][0] == n, f"user {uid}: {got[uid]} != {(n, _total)}"
+            # float totals: stream accumulates per-batch partial sums in a
+            # different order than the batch hash agg; compare to 6 dp
+            assert got[uid][1] == pytest.approx(_total, abs=1e-6)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )

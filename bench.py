@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "tfidf_top_terms",
     "q11_valuable_parts",
     "q20_dominant_suppliers",
+    "events_hourly_dense",
 ]
 
 

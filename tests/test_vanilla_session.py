@@ -21,6 +21,7 @@ from tests.conftest import REPO_ROOT, SF_SMOKE
 
 EVENT_QUERIES = [
     "events_hourly",
+    "events_hourly_dense",
     "events_dedup_count",
     "events_sessionize",
     "events_sliding_windows",

@@ -192,3 +192,29 @@ def delete_sources(chunks: DataFrame, source_ids: list[str]) -> DataFrame:
     """S9 rewrite: deletion = anti-join; source GC falls out for free since
     `sources` is derived from the surviving chunks."""
     return chunks.filter(~F.col("source_id").isin(source_ids))
+
+
+def write_sorted_store(
+    df: DataFrame,
+    path: str,
+    sort_col: str,
+    n_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Range-partitioned, sorted-on-write layout: rows are range-split on
+    ``sort_col`` and sorted inside each output file, so every parquet
+    footer carries DISJOINT min/max stats on that column.
+
+    This is the zone-map play for 100 TB scans: a predicate on the sort
+    column lets the reader drop whole files/row-groups from the footer
+    stats alone, before any IO — the same reason time-series stores sort
+    on event time. repartitionByRange samples the column to build
+    balanced range bounds (one shuffle), sortWithinPartitions is a local
+    sort, and no global sort ever happens.
+    """
+    (
+        df.repartitionByRange(n_files, sort_col)
+        .sortWithinPartitions(sort_col)
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -149,3 +149,40 @@ def test_partitioned_store_prunes_partitions(spark, tmp_path):
     s = scan_for(rd, "part_store")
     assert "source_type" in s["partition_filters"]
     assert rd.count() == 10
+
+
+def test_sorted_store_files_have_disjoint_ranges(spark, tmp_path):
+    """write_sorted_store must yield parquet files whose min/max footer
+    stats on the sort column are pairwise disjoint — the property file/
+    row-group pruning needs."""
+    import pyarrow.parquet as pq
+
+    from gistdex_spark.sources.indexer import write_sorted_store
+    from gistdex_spark.sources.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "ts", "value"
+    )
+    out = str(tmp_path / "sorted_events")
+    write_sorted_store(ev, out, "event_id", n_files=4)
+
+    import glob as g
+
+    ranges = []
+    for f in sorted(g.glob(f"{out}/*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = next(
+                md.row_group(rg).column(i)
+                for i in range(md.num_columns)
+                if md.row_group(rg).column(i).path_in_schema == "event_id"
+            )
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        if mins:
+            ranges.append((min(mins), max(maxs)))
+    assert len(ranges) >= 2, "expected multiple sorted output files"
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, f"overlapping file ranges: ({lo1},{hi1}) vs ({lo2},{hi2})"

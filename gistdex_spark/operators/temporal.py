@@ -108,3 +108,35 @@ def interval_join(
     return p.join(i, "__cell").filter(
         F.col(point_ts).between(F.col(start_col), F.col(end_col))
     ).drop("__cell")
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof equi-join: salt the big side's key, replicate the small
+    side across every salt, join on (key, salt).
+
+    AQE's skew-join split handles most skew adaptively (pinned in
+    tests/test_skew.py), but it only splits at shuffle-block granularity
+    and only for sort-merge joins; when ONE key dominates a 100 TB join,
+    explicit salting spreads that key over ``n_salts`` reducers
+    deterministically. The replicate side multiplies by n_salts — use for
+    dimension-sized right sides only. Row-level semantics are identical
+    to the plain join (every (big, small) key match still meets exactly
+    once, under exactly one salt value).
+    """
+    from pyspark.sql import functions as F
+
+    big_s = big.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[c for c in big.columns]), F.lit(n_salts))
+    )
+    salts = big.sparkSession.range(n_salts).select(
+        F.col("id").cast("int").alias("__salt")
+    )
+    small_s = small.crossJoin(F.broadcast(salts))
+    joined = big_s.join(small_s, [on, "__salt"], how)
+    return joined.drop("__salt")

@@ -47,3 +47,21 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_salted_join_matches_plain_join(spark):
+    """salted_join must be row-for-row identical to the plain equi-join."""
+    from pyspark.sql import functions as F
+
+    from gistdex_spark.operators.temporal import salted_join
+    from gistdex_spark.sources.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id", "value"
+    )
+    dim = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("user_n"))
+    plain = ev.join(dim, "user_id").orderBy("event_id").collect()
+    salted = (
+        salted_join(ev, dim, "user_id", n_salts=8).orderBy("event_id").collect()
+    )
+    assert [r.asDict() for r in plain] == [r.asDict() for r in salted]

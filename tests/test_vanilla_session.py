@@ -31,6 +31,7 @@ EVENT_QUERIES = [
     "asof_purchase_view",
     "range_join_session_errors",
     "user_interarrival_stats",
+    "user_moving_avg",
 ]
 
 _SCRIPT = f"""

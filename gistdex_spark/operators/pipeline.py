@@ -490,3 +490,34 @@ def shard_stats(
             F.max(id_col).alias("max_id"),
         )
     )
+
+
+def curate_with_metrics(docs: DataFrame):
+    """The curation pipeline (quality gate -> near-dup groups -> keep-one
+    -> split assign) instrumented with `df.observe` stage metrics.
+
+    At 100 TB you cannot afford a second scan per stage just to know how
+    many rows each gate dropped; Observation piggybacks the counters on
+    the SAME job (accumulator-style, exact for deterministic single-action
+    plans). Returns (result_df, observations) — read `obs.get` AFTER an
+    action on result_df.
+    """
+    from pyspark.sql import Observation
+    from gistdex_spark.operators import dedup as D
+
+    obs_in = Observation("curation_input")
+    obs_gate = Observation("curation_gated")
+    obs_kept = Observation("curation_kept")
+
+    docs = docs.observe(obs_in, F.count(F.lit(1)).alias("n"))
+    stats = repetition_stats(docs)
+    gated = docs.join(
+        stats.filter(F.col("quality_pass")).select("doc_id"), "doc_id"
+    ).observe(obs_gate, F.count(F.lit(1)).alias("n"))
+    pairs = D.simhash_pairs(gated)
+    comp = D.connected_components(pairs)
+    kept = D.dedup_survivors(gated, comp).observe(
+        obs_kept, F.count(F.lit(1)).alias("n")
+    )
+    out = split_assign(kept)
+    return out, {"input": obs_in, "gated": obs_gate, "kept": obs_kept}

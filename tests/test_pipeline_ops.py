@@ -197,3 +197,20 @@ def test_resample_domains_fractional_rate_hits_expected_band(spark):
     # deterministic: same inputs → same selection
     again = resample_domains(df, {"a": 500}).collect()
     assert sorted(r.doc_id for r in again) == sorted(r.doc_id for r in out)
+
+
+def test_curation_observe_metrics(spark):
+    """Observation counters must reconcile with the actual stage row
+    counts without any extra scan jobs."""
+    from gistdex_spark.operators.pipeline import curate_with_metrics
+    from gistdex_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out, obs = curate_with_metrics(docs)
+    n_out = out.count()  # the single action that populates every observation
+    n_in = obs["input"].get["n"]
+    n_gated = obs["gated"].get["n"]
+    n_kept = obs["kept"].get["n"]
+    assert n_in == docs.count()
+    assert n_in >= n_gated >= n_kept > 0
+    assert n_kept == n_out

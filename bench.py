@@ -101,6 +101,8 @@ BENCH_QUERIES = [
     "q11_valuable_parts",
     "q20_dominant_suppliers",
     "events_hourly_dense",
+    "matryoshka_recall",
+    "incremental_refresh_census",
 ]
 
 

@@ -164,7 +164,11 @@ def main() -> None:
         "sf": sf_val,
     }
     if errors:
+        # Failed queries contribute no time, so `value` alone would read
+        # BETTER on a broken round — surface the failure count at top
+        # level so cross-round comparisons can't miss it.
         payload["errors"] = errors
+        payload["n_failed"] = len(errors)
     print(json.dumps(payload), flush=True)
     spark.stop()
 

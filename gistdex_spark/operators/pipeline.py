@@ -471,7 +471,10 @@ def decontaminate_embeddings(
 
 
 def shard_stats(
-    df: DataFrame, n_shards: int = 64, id_col: str = "doc_id"
+    df: DataFrame,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    size_col: str = "n_chars",
 ) -> DataFrame:
     """Deterministic training-shard assignment audit: every document maps
     to shard md5(id) % n_shards (engine-portable, RNG-free, stable across
@@ -484,7 +487,7 @@ def shard_stats(
         .groupBy("shard")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_chars").alias("total_chars"),
+            F.sum(size_col).alias("total_chars"),
             F.sum(id_col).alias("id_checksum"),
             F.min(id_col).alias("min_id"),
             F.max(id_col).alias("max_id"),
@@ -496,11 +499,14 @@ def curate_with_metrics(docs: DataFrame):
     """The curation pipeline (quality gate -> near-dup groups -> keep-one
     -> split assign) instrumented with `df.observe` stage metrics.
 
-    At 100 TB you cannot afford a second scan per stage just to know how
-    many rows each gate dropped; Observation piggybacks the counters on
-    the SAME job (accumulator-style, exact for deterministic single-action
-    plans). Returns (result_df, observations) — read `obs.get` AFTER an
-    action on result_df.
+    Observation attaches accumulator-style counters to plan nodes, so
+    the gate/kept counts ride jobs that already scan those subtrees
+    instead of requiring dedicated `count()` scans. Caveat: this pipeline
+    is not single-job — connected_components runs eager localCheckpoint
+    jobs during construction, which is when the input/gated counters
+    actually populate; the `kept` counter lands with the caller's action.
+    Read `obs.get` only after an action on result_df and treat the
+    numbers as exact stage counts, not as proof of a one-job plan.
     """
     from pyspark.sql import Observation
     from gistdex_spark.operators import dedup as D

@@ -123,16 +123,30 @@ def salted_join(
     AQE's skew-join split handles most skew adaptively (pinned in
     tests/test_skew.py), but it only splits at shuffle-block granularity
     and only for sort-merge joins; when ONE key dominates a 100 TB join,
-    explicit salting spreads that key over ``n_salts`` reducers
-    deterministically. The replicate side multiplies by n_salts — use for
-    dimension-sized right sides only. Row-level semantics are identical
-    to the plain join (every (big, small) key match still meets exactly
-    once, under exactly one salt value).
+    explicit salting spreads that key over ``n_salts`` reducers. The
+    replicate side multiplies by n_salts — use for dimension-sized right
+    sides only. Row-level semantics are identical to the plain join for
+    inner/left joins (every (big, small) key match meets exactly once,
+    under exactly one salt value); right/full outer are rejected — an
+    unmatched small-side row exists once per salt replica and would
+    surface n_salts times.
+
+    The salt is round-robin over the physical row position
+    (``monotonically_increasing_id``), NOT a hash of row values: value
+    hashing collapses to one salt when the hot key's rows are identical
+    (which defeats the whole point), while the join RESULT is
+    salt-value-invariant, so a partition-dependent salt is safe.
     """
     from pyspark.sql import functions as F
 
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left joins only, got {how!r}: "
+            "outer small-side rows would duplicate once per salt"
+        )
     big_s = big.withColumn(
-        "__salt", F.pmod(F.xxhash64(*[c for c in big.columns]), F.lit(n_salts))
+        "__salt",
+        F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).cast("int"),
     )
     salts = big.sparkSession.range(n_salts).select(
         F.col("id").cast("int").alias("__salt")

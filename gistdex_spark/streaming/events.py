@@ -31,19 +31,13 @@ def as_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
     oracle computes."""
     from pyspark.sql.types import LongType, TimestampNTZType
 
+    from gistdex_spark.functions.timeutil import epoch_us
+
     dt = df.schema[col].dataType
     if isinstance(dt, LongType):
         return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
     if isinstance(dt, TimestampNTZType):
-        return df.withColumn(
-            col,
-            F.timestamp_micros(
-                F.expr(
-                    "timestampdiff(MICROSECOND, "
-                    f"TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})"
-                )
-            ),
-        )
+        return df.withColumn(col, F.timestamp_micros(epoch_us(col)))
     return df
 
 

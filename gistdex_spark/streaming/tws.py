@@ -95,17 +95,26 @@ def running_totals_stream(events: DataFrame) -> DataFrame:
     )
 
 
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
 def run_tws(stream_df: DataFrame, query_name: str):
-    """Start a TWS query into a memory sink with the RocksDB provider."""
+    """Start a TWS query into a memory sink with the RocksDB provider.
+
+    The provider MUST be a session conf — Spark reads
+    ``spark.sql.streaming.stateStore.providerClass`` from SQLConf only;
+    a ``writeStream.option(...)`` is a sink option and is silently
+    ignored. Set it here (runtime-settable) rather than asking every
+    caller to remember."""
+    stream_df.sparkSession.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+    )
     return (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
         .outputMode("update")
-        .option(
-            "spark.sql.streaming.stateStore.providerClass",
-            "org.apache.spark.sql.execution.streaming.state."
-            "RocksDBStateStoreProvider",
-        )
         .trigger(availableNow=True)
         .start()
     )

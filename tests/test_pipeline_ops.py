@@ -207,7 +207,7 @@ def test_curation_observe_metrics(spark):
 
     docs = load_table(spark, "/root/testdata/sf0.001", "documents")
     out, obs = curate_with_metrics(docs)
-    n_out = out.count()  # the single action that populates every observation
+    n_out = out.count()  # final action; earlier counters may populate during construction (see docstring)
     n_in = obs["input"].get["n"]
     n_gated = obs["gated"].get["n"]
     n_kept = obs["kept"].get["n"]

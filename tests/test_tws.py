@@ -59,7 +59,11 @@ def test_tws_running_totals_match_batch(spark):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        try:
+            finished = q.awaitTermination(180)
+            assert finished, "TWS AvailableNow backlog did not drain in 180s"
+        finally:
+            q.stop()
         got = {
             r.user_id: (r.n_events, round(r.total_value, 6))
             for r in spark.sql(

@@ -364,3 +364,44 @@ def test_q11_single_fact_shuffle(q):
 def test_q20_part_filter_prunes_fact_before_agg(q):
     strategies = join_strategies(q("q20_dominant_suppliers"))
     assert "BroadcastHashJoin" in strategies
+
+
+def test_runtime_bloom_filter_injects_for_selective_dim_join(spark, q):
+    """At 100 TB the default thresholds (10 GB application-side scan)
+    trigger Spark's runtime bloom filter for selective dim joins: the
+    filtered dim side builds a bloom filter that prunes fact rows BEFORE
+    the join shuffle. Local testdata is below every threshold, so this
+    test lowers them to prove the plan shape the deployment relies on."""
+    from pyspark.sql import functions as F
+
+    from gistdex_spark.sources.tables import load_table
+    from tests.conftest import SF_CORRECTNESS
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, SF_CORRECTNESS, "lineitem")
+        part = load_table(spark, SF_CORRECTNESS, "part").filter(
+            F.col("p_size") <= 2
+        )
+        j = (
+            li.join(part, li.l_partkey == part.p_partkey)
+            .groupBy("p_brand")
+            .agg(F.sum("l_quantity"))
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan.lower(), (
+            "selective dim join did not inject a runtime bloom filter"
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

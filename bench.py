@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "events_hourly_dense",
     "matryoshka_recall",
     "incremental_refresh_census",
+    "label_centroid_cohesion",
 ]
 
 

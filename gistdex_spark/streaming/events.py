@@ -77,3 +77,28 @@ def run_availablenow(stream_df: DataFrame, query_name: str, output_mode: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+def sliding_counts_stream(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """SLIDING windows on the stream (1h width / 15min slide — every event
+    lands in 4 windows, mirroring the batch `events_sliding_windows`).
+    State is bounded by the watermark; window starts are emitted as epoch
+    micros so the batch comparison is precision- and tz-proof."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("win"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.unix_micros(F.col("win.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )

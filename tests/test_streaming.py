@@ -69,3 +69,33 @@ def test_dedup_stream_unique_ids(spark):
     ids = [r.event_id for r in out]
     assert len(ids) == len(set(ids)), "duplicate event_id in deduped stream"
     assert len(ids) == batch.select("event_id").distinct().count()
+
+
+def test_sliding_counts_stream_matches_batch(spark):
+    from gistdex_spark.streaming.events import sliding_counts_stream
+
+    stream_src, _batch = _stream_events(spark)
+    q = run_availablenow(
+        sliding_counts_stream(stream_src), "sliding_test", "append"
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.window_start_us, r.event_type): (r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM sliding_test").collect()
+    }
+    from gistdex_spark.queries import REGISTRY
+
+    expected = {
+        (r.window_start_us, r.event_type): (r.n_events, r.total_value)
+        for r in REGISTRY["events_sliding_windows"](spark, SF).collect()
+    }
+    # Append mode only emits windows the watermark has closed, so the
+    # tail windows (those still open when the backlog ends) are held
+    # back; every window that WAS emitted must match batch exactly, and
+    # the held-back tail must be small (bounded by watermark/slide slots
+    # per event_type).
+    assert got, "stream produced no rows"
+    for k, v in got.items():
+        assert expected[k] == v, k
+    missing = set(expected) - set(got)
+    assert len(missing) <= 3 * 12, f"too many held-back windows: {len(missing)}"

@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "matryoshka_recall",
     "incremental_refresh_census",
     "label_centroid_cohesion",
+    "session_window_native",
 ]
 
 

@@ -24,6 +24,7 @@ EVENT_QUERIES = [
     "events_hourly_dense",
     "events_dedup_count",
     "events_sessionize",
+    "session_window_native",
     "events_sliding_windows",
     "event_type_pivot",
     "list_recent_slice",

@@ -37,6 +37,69 @@ def search_stats(df: DataFrame, score_col: str = "score") -> DataFrame:
     )
 
 
+def bucketed_global_rank(
+    df: DataFrame,
+    value_col: str,
+    tiebreaks: tuple[str, ...] = (),
+    rank_buckets: int = 1024,
+    out_col: str = "rn",
+    total_col: str = "_n",
+) -> DataFrame:
+    """Global 1-based ``row_number() OVER (ORDER BY value_col, *tiebreaks)``
+    WITHOUT a single-partition sort — the reusable form of the
+    ``detailed_metrics`` ranking scheme.
+
+    Values are range-bucketed on their domain (bucket monotone in value,
+    so ties never straddle buckets), ranked locally with a
+    bucket-PARTITIONED window, then shifted by per-bucket cumulative
+    offsets computed over <= rank_buckets rows via a broadcast
+    theta-join. With a unique (value, *tiebreaks) key the resulting rank
+    is deterministic and identical to the unpartitioned window's.
+
+    Adds ``out_col`` (the global rank) and ``total_col`` (total row
+    count, broadcast scalar) to ``df``; all intermediates are dropped.
+    """
+    aggs = df.agg(
+        F.count(F.lit(1)).alias(total_col),
+        F.min(value_col).alias("_mn"),
+        F.max(value_col).alias("_mx"),
+    )
+    span = F.col("_mx") - F.col("_mn")
+    bucket = (
+        F.when(
+            span > 0,
+            F.least(
+                F.lit(rank_buckets - 1),
+                F.floor((F.col(value_col) - F.col("_mn")) / span * rank_buckets),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+    )
+    joined = df.crossJoin(F.broadcast(aggs)).withColumn("_bkt", bucket)
+    order = [F.asc(value_col)] + [F.asc(c) for c in tiebreaks]
+    w_rank = Window.partitionBy("_bkt").orderBy(*order)
+    w_cnt = Window.partitionBy("_bkt")
+    # distinct (not filter(lrn == 1)) keeps the exchange subtrees
+    # canonical so ReuseExchange shuffles the bucketed rows exactly once
+    # — same reasoning as detailed_metrics below.
+    local = joined.withColumn("_lrn", F.row_number().over(w_rank)).withColumn(
+        "_bcnt", F.count(F.lit(1)).over(w_cnt)
+    )
+    firsts = local.select("_bkt", F.col("_bcnt").alias("_c")).distinct()
+    lower = firsts.select(F.col("_bkt").alias("_lb"), F.col("_c").alias("_lc"))
+    offs = (
+        firsts.join(F.broadcast(lower), F.col("_lb") < F.col("_bkt"), "left")
+        .groupBy("_bkt")
+        .agg(F.coalesce(F.sum("_lc"), F.lit(0)).alias("_off"))
+    )
+    return (
+        local.join(F.broadcast(offs), "_bkt")
+        .withColumn(out_col, F.col("_off") + F.col("_lrn"))
+        .drop("_bkt", "_lrn", "_bcnt", "_off", "_mn", "_mx")
+    )
+
+
 def detailed_metrics(
     df: DataFrame, score_col: str = "score", rank_buckets: int = 1024
 ) -> DataFrame:

@@ -317,6 +317,8 @@ def connected_components(
     id_a: str = "doc_id_a",
     id_b: str = "doc_id_b",
     max_iter: int = 25,
+    checkpoint_dir: str | None = None,
+    strict: bool = False,
 ) -> DataFrame:
     """(node, component): min-id label propagation over near-dup pairs —
     the step that turns PAIR LISTS into DEDUP DECISIONS (duplicates are
@@ -331,23 +333,40 @@ def connected_components(
     Lineage MUST be truncated every round: ``persist()`` caches results
     but leaves the logical plan intact, and the round-k plan references
     round-(k-1) labels twice — exponential analyzer blowup (measured: OOMs
-    an 8 GiB driver on a 725-edge graph). Eager ``localCheckpoint()``
-    cuts the plan each round; on a multi-executor cluster swap in
-    ``df.checkpoint()`` with a reliable checkpoint dir so labels survive
-    executor loss.
+    an 8 GiB driver on a 725-edge graph). With ``checkpoint_dir=None``
+    the cut is an eager ``localCheckpoint()`` (executor memory — fine on
+    local mode / short jobs); passing a reliable ``checkpoint_dir``
+    (HDFS/S3 path on a real cluster) switches every cut to eager
+    ``df.checkpoint()`` so labels survive executor loss on a long
+    multi-round job.
+
+    ``strict=True`` raises RuntimeError if the propagation has not
+    converged after ``max_iter`` rounds (a silent cap would emit wrong —
+    unmerged — components); the default keeps the bounded-round behavior
+    for shallow near-dup graphs.
     """
-    sym = (
+    spark = pairs.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def cut(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+    else:
+
+        def cut(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=True)
+
+    sym = cut(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
-        .localCheckpoint()
     )
-    labels = (
+    labels = cut(
         sym.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
     )
+    changed = 0
     for _ in range(max_iter):
         nbr = (
             sym.join(labels, sym.src == labels.node)
@@ -359,21 +378,25 @@ def connected_components(
         # neighbor-min are both present pre-projection), so convergence
         # costs one agg over the checkpointed frame — not an extra
         # old-vs-new join per round.
-        new_labels = (
-            labels.join(nbr, "node", "left")
-            .select(
+        new_labels = cut(
+            labels.join(nbr, "node", "left").select(
                 "node",
                 F.least(
                     F.col("label"), F.coalesce("nbr_min", F.col("label"))
                 ).alias("label"),
                 (F.col("nbr_min") < F.col("label")).cast("int").alias("__chg"),
             )
-            .localCheckpoint()
         )
         changed = new_labels.agg(F.sum("__chg")).first()[0] or 0
         labels = new_labels.drop("__chg")
         if changed == 0:
             break
+    if strict and changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter — a silent "
+            "cap would emit unmerged components"
+        )
     return labels.select(F.col("node"), F.col("label").alias("component"))
 
 

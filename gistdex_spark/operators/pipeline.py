@@ -297,10 +297,17 @@ def build_vocab(
 ) -> DataFrame:
     """Tokenizer-precursor vocabulary builder: corpus word frequencies
     ranked with cumulative token coverage, cut to the top-``top_k`` types.
-    The expensive part (word counting) is a map-side-combined hash agg;
-    the ranking window runs over the AGGREGATED vocabulary — thousands of
-    rows at any corpus size — never over tokens. Rank ties broken by word
-    so both engines order identically."""
+
+    Scale shape: the expensive part (word counting) is a map-side-combined
+    hash agg; the top-k cut happens BEFORE any ranking window, via
+    ``orderBy().limit(top_k)`` — per-partition heaps feeding a
+    TakeOrderedAndProject, never a global sort of the vocabulary (which
+    grows with corpus size per Heaps' law). The rank/cum_share window then
+    runs over exactly ``top_k`` rows — bounded by the parameter, not the
+    data — with the corpus token total folded in as a broadcast scalar.
+    Output is identical to ranking the full vocabulary and filtering:
+    the (n DESC, word) total order is unique, so the first k rows of the
+    full ranking ARE the top-k cut."""
     from pyspark.sql import Window
 
     words = df.select(
@@ -308,9 +315,10 @@ def build_vocab(
     ).filter(F.col("word") != "")
     counts = words.groupBy("word").agg(F.count("*").alias("n"))
     total = counts.agg(F.sum("n").alias("total_tokens"))
+    topk = counts.orderBy(F.desc("n"), "word").limit(top_k)
     w = Window.orderBy(F.desc("n"), "word")
     return (
-        counts.crossJoin(F.broadcast(total))
+        topk.crossJoin(F.broadcast(total))
         .withColumn("rank", F.row_number().over(w))
         .withColumn(
             "cum_share",
@@ -322,7 +330,6 @@ def build_vocab(
                 6,
             ),
         )
-        .filter(F.col("rank") <= top_k)
         .select("rank", "word", "n", "cum_share")
     )
 

@@ -218,14 +218,18 @@ def paginate_with_cursor(
     if page_size <= 0:
         raise ValueError("page_size must be positive")
     # slice [offset, offset + page_size) — arbitrary offsets allowed, like
-    # the reference's results.slice(offset, offset + pageSize)
+    # the reference's results.slice(offset, offset + pageSize). ONE job:
+    # over-fetch a single sentinel row past the page; its presence IS
+    # has_more — no second look-ahead action against the ranked frame.
     w = Window.orderBy(F.desc(score_col), F.asc(id_col))
     ranked = df.withColumn("rn", F.row_number().over(w))
-    page = (
-        ranked.filter(
-            (F.col("rn") > offset) & (F.col("rn") <= offset + page_size)
-        ).drop("rn")
+    rows = ranked.filter(
+        (F.col("rn") > offset) & (F.col("rn") <= offset + page_size + 1)
+    ).collect()
+    has_more = len(rows) > page_size
+    schema = ranked.drop("rn").schema
+    page = df.sparkSession.createDataFrame(
+        [r[:-1] for r in rows[:page_size]], schema
     )
-    has_more = ranked.filter(F.col("rn") > offset + page_size).limit(1).count() > 0
     nxt = encode_cursor(offset + page_size, query, goal) if has_more else None
     return page, nxt

@@ -52,8 +52,13 @@ def _normalize_events_ts(df: DataFrame) -> DataFrame:
     dt = df.schema["ts"].dataType
     epoch = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
     if isinstance(dt, LongType):
+        # FLOOR division, not `div` (which truncates toward zero): for
+        # pre-epoch (negative-nanos) instants DuckDB's epoch conversion
+        # floors, and a truncating div would drift by 1µs. Integer-only —
+        # nanos exceed 2^53, so a double-based floor(ts/1000.0) is lossy.
+        floor_us = "(ts div 1000) - (case when ts % 1000 < 0 then 1 else 0 end)"
         df = df.withColumn(
-            "ts", F.expr(f"timestampadd(MICROSECOND, ts div 1000, {epoch})")
+            "ts", F.expr(f"timestampadd(MICROSECOND, {floor_us}, {epoch})")
         )
     elif isinstance(dt, TimestampType):
         df = df.withColumn(

@@ -35,7 +35,17 @@ def as_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
 
     dt = df.schema[col].dataType
     if isinstance(dt, LongType):
-        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+        # floor division (see tables._normalize_events_ts): `div` truncates
+        # toward zero and would drift 1µs from DuckDB on pre-epoch nanos
+        return df.withColumn(
+            col,
+            F.timestamp_micros(
+                F.expr(
+                    f"({col} div 1000)"
+                    f" - (case when {col} % 1000 < 0 then 1 else 0 end)"
+                )
+            ),
+        )
     if isinstance(dt, TimestampNTZType):
         return df.withColumn(col, F.timestamp_micros(epoch_us(col)))
     return df

@@ -53,6 +53,33 @@ def test_converges_on_long_chain(spark):
     assert labels == {"d00"}
 
 
+def test_reliable_checkpoint_mode(spark, tmp_path):
+    # checkpoint_dir switches every lineage cut to reliable checkpoint();
+    # result must be identical and checkpoint files must actually land.
+    ckpt = str(tmp_path / "cc_ckpt")
+    cc = connected_components(
+        _pairs(spark, [("a", "b"), ("b", "c"), ("x", "y")]),
+        checkpoint_dir=ckpt,
+    )
+    got = {r["node"]: r["component"] for r in cc.collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+    import os
+
+    assert any(os.scandir(ckpt)), "reliable checkpoint dir must be populated"
+
+
+def test_strict_nonconvergence_raises(spark):
+    # diameter-5 chain cannot converge in 1 round; strict mode must be
+    # loud instead of emitting unmerged components
+    import pytest as _pytest
+
+    ids = [f"d{i}" for i in range(6)]
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(
+            _pairs(spark, list(zip(ids, ids[1:]))), max_iter=1, strict=True
+        )
+
+
 def test_incremental_pairs_never_old_vs_old(spark):
     from gistdex_spark.operators.dedup import simhash_pairs_between
 

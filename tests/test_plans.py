@@ -139,6 +139,23 @@ def test_detailed_metrics_reuses_exchange(q):
     assert "ReusedExchange" in final_plan(q("detailed_score_metrics"))
 
 
+def test_vocab_topk_is_heap_not_global_sort(q):
+    # the vocabulary grows with corpus size (Heaps' law): the top-k cut
+    # must be per-partition heaps (TakeOrderedAndProject) BEFORE the
+    # rank/cum_share window, which then sees only top_k rows
+    df = q("vocab_coverage")
+    assert has_take_ordered(df)
+    assert single_partition_exchanges(df) == 0
+
+
+def test_user_value_quartiles_no_global_sort(q):
+    # |users| grows with the corpus: ntile/cume must derive from the
+    # bucketed-rank scheme, never an unpartitioned ORDER BY window
+    df = q("user_value_quartiles")
+    assert single_partition_exchanges(df) == 0
+    assert "ReusedExchange" in final_plan(df)
+
+
 def test_simhash_pairs_shuffle_budget(q):
     # signatures map-only; each (id, sig) shuffles once per band (4) plus
     # the candidate dedup — anything above 5 means a self-join crept in

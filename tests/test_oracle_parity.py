@@ -4,35 +4,10 @@ values (order-insensitive, columns sorted by name)."""
 
 from __future__ import annotations
 
-import math
-
 import pytest
 
+from gistdex_spark.parity import canon as _canon
 from tests.conftest import SF_CORRECTNESS
-
-
-def _canon(df) -> tuple[list[str], list[tuple]]:
-    """(sorted column names, rows sorted by stringified values)."""
-    cols = sorted(df.columns)
-    rows = []
-    for rec in df[cols].itertuples(index=False, name=None):
-        canon_row = []
-        for v in rec:
-            if isinstance(v, float):
-                if math.isnan(v):
-                    canon_row.append("NaN")
-                else:
-                    canon_row.append(f"{v:.6f}")
-            elif hasattr(v, "item"):  # numpy scalar
-                item = v.item()
-                canon_row.append(
-                    f"{item:.6f}" if isinstance(item, float) else str(item)
-                )
-            else:
-                canon_row.append(str(v))
-        rows.append(tuple(canon_row))
-    rows.sort()
-    return cols, rows
 
 
 def _query_names():
@@ -41,13 +16,43 @@ def _query_names():
     return [(n, n in ORACLES) for n in REGISTRY]
 
 
+def _recall_checks():
+    """Value-level floors for the quantization queries a SQL oracle can't
+    reproduce directly: recall@10 of the ANN result vs DuckDB's own exact
+    kNN over the same parquet. Thresholds mirror the unit suites
+    (test_pq.py >= 0.8, test_ivf.py >= 0.6 at nprobe=2/8)."""
+    from gistdex_spark.queries import QN_MAIN, QV_MAIN, sql_cos
+
+    exact_main = (
+        f"SELECT vec_id FROM embeddings "
+        f"ORDER BY {sql_cos('embedding', QV_MAIN, QN_MAIN)} DESC, vec_id "
+        f"LIMIT 10"
+    )
+    exact_vec7 = """
+        WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7)
+        SELECT vec_id FROM embeddings, q
+        ORDER BY list_cosine_similarity(embedding, qv) DESC, vec_id
+        LIMIT 10
+    """
+    return {"ann_pq_search": (exact_main, 0.8), "ann_ivf_trained": (exact_vec7, 0.6)}
+
+
 @pytest.mark.parametrize("name", [n for n, _ in _query_names()])
 def test_parity(name, spark, duck):
     from gistdex_spark.queries import ORACLES, REGISTRY
 
     sdf = REGISTRY[name](spark, SF_CORRECTNESS).toPandas()
     if name not in ORACLES:
-        assert len(sdf) >= 0  # rows-only check for non-SQL-expressible ops
+        checks = _recall_checks()
+        assert name in checks, (
+            f"{name} has neither a SQL oracle nor a recall check — every "
+            "registry query needs a value-level gate"
+        )
+        sql, floor = checks[name]
+        exact = set(duck.sql(sql).df()["vec_id"])
+        got = set(sdf["vec_id"])
+        recall = len(got & exact) / len(exact)
+        assert recall >= floor, f"{name}: recall@10 {recall} below {floor}"
         return
     ddf = duck.sql(ORACLES[name]).df()
     s_cols, s_rows = _canon(sdf)

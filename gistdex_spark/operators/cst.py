@@ -394,6 +394,108 @@ def _scan_arrow(toks, code, k, out) -> int:
 
 
 # ---------------------------------------------------------------------------
+# Vue SFC — block splitter + script delegation.
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+_VUE_OPEN_RE = _re.compile(r"<(template|script|style)\b[^>]*>", _re.I)
+_VUE_COMMENT_RE = _re.compile(r"<!--.*?-->", _re.S)
+_VUE_LANG_RE = _re.compile(r"""\blang\s*=\s*["']?([A-Za-z]+)""", _re.I)
+
+
+def _extract_vue(code: str) -> list[Boundary]:
+    """Vue single-file-component boundaries.
+
+    The reference's tree-sitter-vue grammar emits the top-level blocks as
+    boundary nodes — ``template_element`` / ``script_element`` /
+    ``style_element`` (`language-node-types.ts:118-125`); embedded
+    script source is raw_text to that grammar, so the reference stops at
+    the block. Here template/style keep that contract (whole block,
+    tags included), and ``<script>`` / ``<script setup>`` goes one level
+    deeper: the block's source is delegated to the JS/TS lexer-scanner
+    with every span offset by the block start, so line numbers in
+    ``boundaries_to_chunks`` land on the real SFC lines. If the inner
+    parse yields nothing (or fails), the whole ``script_element`` block
+    is emitted — the reference's exact granularity.
+
+    Top-level HTML comments are masked before block scanning so a
+    commented-out ``<script>`` cannot open a block; nested
+    ``<template #slot>`` elements are depth-counted so the root template
+    block closes at its true end.
+    """
+    # Mask comments positionally (spaces) so offsets stay valid.
+    masked = _VUE_COMMENT_RE.sub(lambda m: " " * len(m.group(0)), code)
+    out: list[Boundary] = []
+    pos = 0
+    while m := _VUE_OPEN_RE.search(masked, pos):
+        tag = m.group(1).lower()
+        open_start, content_start = m.start(), m.end()
+        if tag == "template":
+            # depth-count nested <template> (v-slot templates)
+            depth, scan = 1, content_start
+            end = len(masked)
+            pat = _re.compile(r"<template\b[^>]*>|</template\s*>", _re.I)
+            while depth and (n := pat.search(masked, scan)):
+                depth += 1 if not n.group(0).startswith("</") else -1
+                scan = n.end()
+                if depth == 0:
+                    end = n.end()
+            block_end = end
+            out.append(
+                Boundary(
+                    "template_element", None, open_start, block_end,
+                    code[open_start:block_end],
+                )
+            )
+        else:
+            close = _re.search(rf"</{tag}\s*>", masked[content_start:], _re.I)
+            content_end = (
+                content_start + close.start() if close else len(masked)
+            )
+            block_end = content_start + close.end() if close else len(masked)
+            if tag == "style":
+                out.append(
+                    Boundary(
+                        "style_element", None, open_start, block_end,
+                        code[open_start:block_end],
+                    )
+                )
+            else:
+                attrs = masked[open_start:content_start]
+                lang_m = _VUE_LANG_RE.search(attrs)
+                lang = (lang_m.group(1).lower() if lang_m else "js")
+                script_lang = "typescript" if lang in ("ts", "tsx") else "javascript"
+                body = code[content_start:content_end]
+                inner: list[Boundary] = []
+                try:
+                    inner = _extract_js(body, script_lang)
+                except (ValueError, RecursionError):
+                    inner = []
+                if inner:
+                    for b in inner:
+                        out.append(
+                            Boundary(
+                                b.type, b.name,
+                                content_start + b.start,
+                                content_start + b.end,
+                                b.text,
+                            )
+                        )
+                else:
+                    out.append(
+                        Boundary(
+                            "script_element", None, open_start, block_end,
+                            code[open_start:block_end],
+                        )
+                    )
+        pos = block_end
+    if not out:
+        raise ValueError("no Vue SFC blocks found")
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Dispatch + chunk adapter.
 # ---------------------------------------------------------------------------
 
@@ -403,6 +505,7 @@ _EXT_LANG = {
     ".ts": "typescript", ".mts": "typescript", ".cts": "typescript",
     ".tsx": "tsx",
     ".py": "python",
+    ".vue": "vue",
 }
 
 
@@ -419,6 +522,8 @@ def extract_boundaries(code: str, language: str) -> list[Boundary]:
         return _extract_python(code)
     if language in ("javascript", "typescript", "tsx"):
         return _extract_js(code, language)
+    if language == "vue":
+        return _extract_vue(code)
     raise ValueError(f"no CST parser available for language: {language}")
 
 

@@ -304,7 +304,110 @@ def test_language_for_ext():
     assert cst_language_for_ext("a/b/mod.ts") == "typescript"
     assert cst_language_for_ext(".tsx") == "tsx"
     assert cst_language_for_ext("x.py") == "python"
+    assert cst_language_for_ext("App.vue") == "vue"
     assert cst_language_for_ext("x.go") is None
+
+
+# Mirror of the reference fixture `tests/features/test-vue.vue` — same block
+# layout and script members (identifiers shortened, content paraphrased).
+VUE_SFC = """<template>
+  <div class="hello-world">
+    <h1>{{ title }}</h1>
+    <p>Count: {{ count }}</p>
+    <button @click="increment">Increment</button>
+  </div>
+</template>
+
+<script setup lang="ts">
+import { computed, ref } from "vue";
+
+interface Item {
+  id: number;
+  name: string;
+}
+
+const count = ref(0);
+
+const increment = () => {
+  count.value++;
+};
+</script>
+
+<style scoped>
+.hello-world {
+  padding: 20px;
+}
+</style>"""
+
+
+def test_vue_sfc_blocks_and_script_delegation():
+    """Reference `cst-operations-vue.test.ts` ("should parse Vue SFC
+    structure"): boundaries must cover the template, script, and style
+    blocks. Template/style keep the tree-sitter-vue block granularity
+    (`language-node-types.ts:118-125`); script content delegates to the
+    TS scanner (lang="ts" attribute), so its members appear individually."""
+    bounds = extract_boundaries(VUE_SFC, "vue")
+    types = [b.type for b in bounds]
+    assert types[0] == "template_element"
+    assert bounds[0].text.startswith("<template>")
+    assert bounds[0].text.rstrip().endswith("</template>")
+    assert "style_element" in types
+    style = _by_type(bounds, "style_element")[0]
+    assert style.text.startswith("<style scoped>")
+    # delegated script members with reference node-type names
+    assert "import_statement" in types
+    assert "interface_declaration" in types
+    iface = _by_type(bounds, "interface_declaration")[0]
+    assert iface.name == "Item"
+    assert len(_by_type(bounds, "lexical_declaration")) == 2
+
+
+def test_vue_script_line_numbers_offset_by_block_start():
+    """Spans are offset by the script block's start so SFC line numbers
+    are real file lines, not script-local ones."""
+    chunks = boundaries_to_chunks(VUE_SFC, extract_boundaries(VUE_SFC, "vue"))
+    imp = next(c for c in chunks if c["boundary_type"] == "import_statement")
+    assert imp["start_line"] == 10  # line of `import { computed, ref }`
+    iface = next(
+        c for c in chunks if c["boundary_type"] == "interface_declaration"
+    )
+    assert (iface["start_line"], iface["end_line"]) == (12, 15)
+
+
+def test_vue_nested_template_depth_counted():
+    code = (
+        "<template>\n  <template #header>\n    <h1>t</h1>\n  </template>\n"
+        "</template>\n<style>\n.a {}\n</style>"
+    )
+    bounds = extract_boundaries(code, "vue")
+    tpl = _by_type(bounds, "template_element")[0]
+    # root template closes at ITS closing tag, not the inner slot's
+    assert tpl.text.count("<template") == 2
+    assert tpl.text.rstrip().endswith("</template>")
+    assert "style_element" in [b.type for b in bounds]
+
+
+def test_vue_commented_out_block_ignored():
+    code = (
+        "<!-- <script>const hidden = 1;</script> -->\n"
+        "<template>\n  <div/>\n</template>\n"
+    )
+    bounds = extract_boundaries(code, "vue")
+    assert [b.type for b in bounds] == ["template_element"]
+
+
+def test_vue_empty_or_unparseable_script_falls_back_to_block():
+    code = "<template>\n<div/>\n</template>\n<script>\n   \n</script>\n"
+    bounds = extract_boundaries(code, "vue")
+    assert "script_element" in [b.type for b in bounds]
+    script = _by_type(bounds, "script_element")[0]
+    assert script.text.startswith("<script>")
+
+
+def test_vue_chunk_cst_end_to_end():
+    chunks = chunk_cst(VUE_SFC, language="vue")
+    types = {c["boundary_type"] for c in chunks}
+    assert {"template_element", "style_element", "import_statement"} <= types
 
 
 def test_chunk_documents_cst_strategy(spark):

@@ -59,12 +59,64 @@ FEATURE_SCHEMA = StructType(
 )
 
 
+def have_image_codec() -> bool:
+    """True when PIL (Pillow) is importable in this interpreter."""
+    import importlib.util
+
+    return importlib.util.find_spec("PIL") is not None
+
+
 def decode_stub(payload: bytes, mime: str) -> np.ndarray:
     """Real decoder slot — PIL.Image.open / soundfile.read would go here."""
     raise NotImplementedError(
         "media decoding requires image/audio libraries not present in this "
         "container; use fake_decode for deterministic tests"
     )
+
+
+def pil_decode(payload: bytes, dim: int = 8) -> np.ndarray:
+    """REAL image decoder (optional-import path): PIL decode → grayscale →
+    ``dim``-pixel strip → [0, 1] doubles. Raises NotImplementedError when
+    Pillow is absent, so callers fall back to ``fake_decode`` explicitly
+    (``default_decoder`` automates the choice)."""
+    if not have_image_codec():
+        raise NotImplementedError(
+            "pil_decode needs Pillow; use fake_decode or default_decoder()"
+        )
+    import io
+
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(payload)).convert("L").resize((dim, 1))
+    return np.asarray(img, dtype=np.float64).ravel() / 255.0
+
+
+def pil_resize(payload: bytes, width: int, height: int) -> bytes:
+    """REAL image resizer (optional-import path): decode, resize, re-encode
+    PNG. Raises NotImplementedError when Pillow is absent."""
+    if not have_image_codec():
+        raise NotImplementedError(
+            "pil_resize needs Pillow; use fake_resize or default_resizer()"
+        )
+    import io
+
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(payload)).resize((width, height))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def default_decoder():
+    """The optional-import dispatch: PIL-backed decode where the cluster
+    has codecs, the deterministic fake otherwise — same signature and
+    output schema either way, so plans and tests are identical."""
+    return pil_decode if have_image_codec() else fake_decode
+
+
+def default_resizer():
+    return pil_resize if have_image_codec() else fake_resize
 
 
 def fake_decode(payload: bytes, dim: int = 8) -> np.ndarray:
@@ -101,14 +153,18 @@ def synthetic_media_df(spark, n: int = 16) -> DataFrame:
 
 
 def extract_features(
-    media: DataFrame, dim: int = 8, decoder=fake_decode
+    media: DataFrame, dim: int = 8, decoder=None
 ) -> DataFrame:
     """Decode + feature-extract via mapInPandas (Arrow batch per partition).
 
-    The UDF signature and batch shape are production-real; only `decoder`
-    is swapped when codec libs exist. Payload bytes stay inside the worker —
-    nothing wide crosses a shuffle (output is id + small feature vector).
+    ``decoder=None`` resolves via ``default_decoder()`` — the PIL-backed
+    real path when the cluster has codecs, the deterministic fake
+    otherwise; pass one explicitly to pin a path (the oracle queries pin
+    ``fake_decode`` because their payloads are synthetic text bytes).
+    Payload bytes stay inside the worker — nothing wide crosses a shuffle
+    (output is id + small feature vector).
     """
+    decoder = decoder or default_decoder()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -157,14 +213,16 @@ def fake_resize(payload: bytes, width: int, height: int) -> bytes:
 
 
 def resize_images(
-    media: DataFrame, width: int, height: int, resizer=fake_resize
+    media: DataFrame, width: int, height: int, resizer=None
 ) -> DataFrame:
     """Batch image resize via mapInPandas; non-image rows pass through
     untouched. Output schema == MEDIA_SCHEMA with updated dims/payload.
 
-    Plumbing is production-real (Arrow batches, payload never shuffled);
-    swap ``resizer`` for a PIL-backed callable when codecs exist.
+    ``resizer=None`` resolves via ``default_resizer()`` (PIL when
+    importable, deterministic fake otherwise); plumbing is identical on
+    both paths — Arrow batches, payload never shuffled.
     """
+    resizer = resizer or default_resizer()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -21,6 +21,55 @@ def test_decode_stub_raises():
         decode_stub(b"bytes", "image/png")
 
 
+# --- optional-import codec path: the REAL branch runs wherever Pillow is
+# importable, the deterministic-fake branch everywhere else; both expose
+# the same signature/schema so plans are identical.
+
+from gistdex_spark.operators.multimodal import (  # noqa: E402
+    default_decoder,
+    default_resizer,
+    fake_resize,
+    have_image_codec,
+    pil_decode,
+    pil_resize,
+)
+
+HAS_PIL = have_image_codec()
+
+
+@pytest.mark.skipif(HAS_PIL, reason="Pillow present: real path active")
+def test_without_pil_defaults_are_fakes_and_real_raises():
+    assert default_decoder() is fake_decode
+    assert default_resizer() is fake_resize
+    with pytest.raises(NotImplementedError):
+        pil_decode(b"\x89PNG", dim=4)
+    with pytest.raises(NotImplementedError):
+        pil_resize(b"\x89PNG", 8, 8)
+
+
+@pytest.mark.skipif(not HAS_PIL, reason="Pillow absent: stub path active")
+def test_with_pil_real_decode_and_resize():
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (16, 16), (200, 10, 10)).save(buf, format="PNG")
+    png = buf.getvalue()
+    assert default_decoder() is pil_decode
+    feats = pil_decode(png, dim=4)
+    assert len(feats) == 4 and all(0.0 <= v <= 1.0 for v in feats)
+    out = pil_resize(png, 8, 8)
+    assert Image.open(io.BytesIO(out)).size == (8, 8)
+
+
+def test_extract_features_same_schema_on_either_path(spark):
+    media = synthetic_media_df(spark, n=3)
+    auto = extract_features(media, dim=4)  # default_decoder dispatch
+    pinned = extract_features(media, dim=4, decoder=fake_decode)
+    assert auto.schema == pinned.schema
+
+
 def test_fake_decode_deterministic():
     a = fake_decode(b"payload", dim=8)
     b = fake_decode(b"payload", dim=8)

@@ -145,24 +145,31 @@ def minhash_lsh_pairs(
         .agg(F.array_sort(F.collect_list(F.struct("doc_id", "sig"))).alias("m"))
         .filter(F.size("m") >= 2)
     )
+    # Verify + dedup INSIDE the bucket expression (same scheme as
+    # simhash_pairs): keep a candidate only when the signature-agreement
+    # estimate clears the threshold AND this is the first band whose rows
+    # all agree — each emitted pair is unique, so the candidate stream
+    # skips the dropDuplicates exchange entirely.
+    rpb = rows_per_band
+    first_band = (
+        f"(band_idx = 0 or not exists(sequence(0, band_idx - 1), b -> "
+        f"forall(sequence(0, {rpb - 1}), r -> "
+        f"p.sig_a[b * {rpb} + r] = p.sig_b[b * {rpb} + r])))"
+    )
+    matches = "size(filter(zip_with(p.sig_a, p.sig_b, (x, y) -> x = y), t -> t))"
     pair_expr = (
         "flatten(transform(sequence(0, size(m) - 2), i -> "
-        "transform(sequence(i + 1, size(m) - 1), j -> "
+        "filter(transform(sequence(i + 1, size(m) - 1), j -> "
         "struct(m[i].doc_id AS doc_id_a, m[j].doc_id AS doc_id_b, "
-        "m[i].sig AS sig_a, m[j].sig AS sig_b))))"
+        "m[i].sig AS sig_a, m[j].sig AS sig_b)), "
+        f"p -> {matches} >= {threshold} * {num_hashes} and {first_band})))"
     )
-    pairs = (
-        buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
-        .select("p.*")
-        .dropDuplicates(["doc_id_a", "doc_id_b"])
-    )
+    pairs = buckets.select(F.explode(F.expr(pair_expr)).alias("p")).select("p.*")
     est = F.size(
         F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda t: t)
     ).cast("double") / F.lit(float(num_hashes))
-    return (
-        pairs.withColumn("est_jaccard", F.round(est, ROUND))
-        .filter(F.col("est_jaccard") >= threshold)
-        .select("doc_id_a", "doc_id_b", "est_jaccard")
+    return pairs.select(
+        "doc_id_a", "doc_id_b", F.round(est, ROUND).alias("est_jaccard")
     )
 
 
@@ -218,31 +225,40 @@ def ngram_jaccard_pairs(
 def simhash(df: DataFrame, content_col: str = "text", bits: int = 32) -> DataFrame:
     """(doc_id, simhash BIGINT): majority vote per bit over token hashes.
 
-    ZERO shuffles: token hashes and all per-bit votes fold inside one
-    per-row expression (the explode/groupBy form shuffled rows×bits rows).
-    Docs with no tokens are dropped, matching the explode semantics the
-    oracle mirrors (unnest of an empty list emits no row)."""
+    Shape: explode tokens → ONE hash aggregate with ``bits`` integer vote
+    columns (sum of ±1 per bit) → assemble the signature. Every operator
+    is whole-stage-codegen'd; the single shuffle carries one row per doc
+    (map-side partial aggregation collapses the exploded tokens before
+    the exchange). The previous form folded 32 interpreted
+    higher-order-function passes per row — 6× slower at sf0.1 despite
+    being shuffle-free, because HOF lambdas never enter codegen.
+    Docs with no tokens are dropped (explode of an empty array emits no
+    row), matching the unnest semantics the oracle mirrors."""
     df = _spread(df)
     toks = f"filter(split(lower({content_col}), '[\\\\s]+'), w -> length(w) > 0)"
-    hs = f"transform({toks}, w -> cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint))"
-    # shiftright/shiftleft, not div/pow: same values for j <= 31 (hashes
-    # are 32-bit non-negatives) but integer ops — these folds are
-    # interpreted (no codegen for higher-order functions), so per-element
-    # cost is the whole game.
-    vote_j = (
-        "aggregate(hs, 0, (a, h) -> a + "
-        "(case when shiftright(h, j) % 2 = 1 then 1 else -1 end))"
+    # md5 is applied AFTER the explode, as a plain projection: inside the
+    # transform() lambda it would run interpreted per element (HOFs never
+    # enter codegen) — measured 2× slower than this codegen'd form.
+    tok = df.select("doc_id", F.explode(F.expr(toks)).alias("w")).select(
+        "doc_id",
+        F.expr("cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint)").alias("h"),
     )
-    sim = (
-        f"aggregate(sequence(0, {bits - 1}), cast(0 as bigint), (acc, j) -> acc + "
-        f"(case when {vote_j} > 0 then shiftleft(cast(1 as bigint), j) "
-        f"else cast(0 as bigint) end))"
+    # shiftright, not div/pow: same values for j <= 31 (hashes are 32-bit
+    # non-negatives) but integer ops inside codegen.
+    votes = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.expr(f"case when shiftright(h, {j}) % 2 = 1 then 1 else -1 end")
+            ).alias(f"v{j}")
+            for j in range(bits)
+        ]
     )
-    return (
-        df.select("doc_id", F.expr(hs).alias("hs"))
-        .filter(F.size("hs") > 0)
-        .select("doc_id", F.expr(sim).alias("simhash"))
+    sim = " + ".join(
+        f"(case when v{j} > 0 then shiftleft(cast(1 as bigint), {j}) "
+        f"else cast(0 as bigint) end)"
+        for j in range(bits)
     )
+    return votes.select("doc_id", F.expr(sim).alias("simhash"))
 
 
 def simhash_pairs(
@@ -292,22 +308,29 @@ def simhash_pairs(
         .agg(F.array_sort(F.collect_list(F.struct("doc_id", "simhash"))).alias("m"))
         .filter(F.size("m") >= 2)
     )
+    # Verify + dedup INSIDE the bucket expression: a candidate survives
+    # only if (a) Hamming distance qualifies and (b) this is the FIRST
+    # band on which the two signatures agree — so each qualifying pair is
+    # emitted from exactly one bucket and the 30×-larger candidate stream
+    # never reaches an exchange (the old form exploded every candidate,
+    # then dropDuplicates-shuffled millions of rows to keep thousands).
+    first_band = (
+        f"(band_idx = 0 or not exists(sequence(0, band_idx - 1), b -> "
+        f"(shiftright(p.sim_a, b * {width}) & {mask}) = "
+        f"(shiftright(p.sim_b, b * {width}) & {mask})))"
+    )
     pair_expr = (
         "flatten(transform(sequence(0, size(m) - 2), i -> "
-        "transform(sequence(i + 1, size(m) - 1), j -> "
+        "filter(transform(sequence(i + 1, size(m) - 1), j -> "
         "struct(m[i].doc_id AS doc_id_a, m[j].doc_id AS doc_id_b, "
-        "m[i].simhash AS sim_a, m[j].simhash AS sim_b))))"
-    )
-    pairs = (
-        buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
-        .select("p.*")
-        .dropDuplicates(["doc_id_a", "doc_id_b"])
+        "m[i].simhash AS sim_a, m[j].simhash AS sim_b)), "
+        f"p -> bit_count(p.sim_a ^ p.sim_b) <= {max_distance} "
+        f"and {first_band})))"
     )
     return (
-        pairs.withColumn(
-            "hamming", F.expr("cast(bit_count(sim_a ^ sim_b) as int)")
-        )
-        .filter(F.col("hamming") <= max_distance)
+        buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.*")
+        .withColumn("hamming", F.expr("cast(bit_count(sim_a ^ sim_b) as int)"))
         .select("doc_id_a", "doc_id_b", "hamming")
     )
 
@@ -374,17 +397,37 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("label").alias("nbr_min"))
         )
-        # The changed flag rides along in the same row (old label and
-        # neighbor-min are both present pre-projection), so convergence
+        stepped = labels.join(nbr, "node", "left").select(
+            "node",
+            F.col("label").alias("__old"),
+            F.least(F.col("label"), F.coalesce("nbr_min", F.col("label"))).alias(
+                "__mid"
+            ),
+        )
+        # Pointer jump: label ← label(label), against the (checkpointed)
+        # previous round's labels. Plain neighbor-min needs diameter
+        # rounds — measured 13 on the sf0.1 near-dup graph, whose
+        # transitive chains run long — while the jump halves surviving
+        # chain length every round (O(log d)). Any label value is itself
+        # a node id, so the lookup is a left self-join on the label frame.
+        # The changed flag rides along in the same row, so convergence
         # costs one agg over the checkpointed frame — not an extra
         # old-vs-new join per round.
+        parent = labels.select(
+            F.col("node").alias("__pn"), F.col("label").alias("__pl")
+        )
         new_labels = cut(
-            labels.join(nbr, "node", "left").select(
+            stepped.join(parent, stepped.__mid == F.col("__pn"), "left").select(
                 "node",
                 F.least(
-                    F.col("label"), F.coalesce("nbr_min", F.col("label"))
+                    F.col("__mid"), F.coalesce("__pl", F.col("__mid"))
                 ).alias("label"),
-                (F.col("nbr_min") < F.col("label")).cast("int").alias("__chg"),
+                (
+                    F.least(F.col("__mid"), F.coalesce("__pl", F.col("__mid")))
+                    < F.col("__old")
+                )
+                .cast("int")
+                .alias("__chg"),
             )
         )
         changed = new_labels.agg(F.sum("__chg")).first()[0] or 0
@@ -481,12 +524,20 @@ def simhash_pairs_between(
 
     n = banded(new, "new_id", "sig_n")
     o = banded(old, "old_id", "sig_o")
+    # Verify + dedup in the join filter: keep a match only at the FIRST
+    # band both signatures agree on, so each qualifying pair exits the
+    # join exactly once — no dropDuplicates exchange over the (much
+    # larger) raw candidate stream.
+    first_band = F.expr(
+        f"band_idx = 0 or not exists(sequence(0, band_idx - 1), b -> "
+        f"(shiftright(sig_n, b * {width}) & {mask}) = "
+        f"(shiftright(sig_o, b * {width}) & {mask}))"
+    )
     return (
         n.join(o, ["band_idx", "band_val"])
-        .dropDuplicates(["new_id", "old_id"])
         .withColumn(
             "hamming", F.expr("cast(bit_count(sig_n ^ sig_o) as int)")
         )
-        .filter(F.col("hamming") <= max_distance)
+        .filter((F.col("hamming") <= max_distance) & first_band)
         .select("new_id", "old_id", "hamming")
     )

@@ -496,6 +496,511 @@ def _extract_vue(code: str) -> list[Boundary]:
 
 
 # ---------------------------------------------------------------------------
+# Go / Rust / Java / C / C++ — one C-family lexer + per-language scanners.
+#
+# The reference parses these through tree-sitter grammars
+# (`parser-factory.ts:8-14`, boundary inventory
+# `language-node-types.ts:52-101`); names mirror its extractor
+# (`language-node-types.ts:154-160`): a boundary carries a name only when
+# the tree-sitter node has a `name` field (so Go type/var/const blocks,
+# Rust impl/use/let, C declarations stay unnamed, exactly like the
+# reference output).
+# ---------------------------------------------------------------------------
+
+
+def _tokenize_c_family(code: str, lang: str) -> list[tuple[str, int, int]]:
+    """C-family token stream: comments dropped, strings/chars opaque.
+
+    Per-language lexical quirks handled: Go raw backtick strings and
+    significant newlines (emitted as ``<nl>`` tokens — Go statements end
+    at line end); Rust nested block comments, raw strings (``r#"..."#``)
+    and lifetimes (a lone ``'`` not closing as a char literal); Java text
+    blocks; C/C++ preprocessor lines folded into one ``<pp:word>`` token
+    with backslash continuations honored."""
+    toks: list[tuple[str, int, int]] = []
+    i, n = 0, len(code)
+    emit_nl = lang == "go"
+    while i < n:
+        ch = code[i]
+        if ch == "\n":
+            if emit_nl:
+                toks.append(("<nl>", i, i + 1))
+            i += 1
+            continue
+        if ch in " \t\r":
+            i += 1
+            continue
+        if ch == "/" and code[i + 1 : i + 2] == "/":
+            j = code.find("\n", i)
+            i = n if j < 0 else j
+            continue
+        if ch == "/" and code[i + 1 : i + 2] == "*":
+            if lang == "rust":  # nested block comments
+                depth, j = 1, i + 2
+                while j < n and depth:
+                    if code[j : j + 2] == "/*":
+                        depth += 1
+                        j += 2
+                    elif code[j : j + 2] == "*/":
+                        depth -= 1
+                        j += 2
+                    else:
+                        j += 1
+                i = j
+            else:
+                j = code.find("*/", i + 2)
+                i = n if j < 0 else j + 2
+            continue
+        if ch == "#" and lang in ("c", "cpp"):
+            j = i
+            while True:
+                e = code.find("\n", j)
+                if e < 0:
+                    j = n
+                    break
+                if code[:e].rstrip("\r").endswith("\\"):
+                    j = e + 1
+                    continue
+                j = e
+                break
+            m = _re.match(r"#\s*(\w+)", code[i:j])
+            toks.append((f"<pp:{m.group(1) if m else ''}>", i, j))
+            i = j
+            continue
+        if ch == "`" and lang == "go":  # raw string, no escapes
+            j = code.find("`", i + 1)
+            j = n if j < 0 else j + 1
+            toks.append(("<str>", i, j))
+            i = j
+            continue
+        if lang == "rust" and ch == "r" and code[i + 1 : i + 2] in ('"', "#"):
+            j, hashes = i + 1, 0
+            while code[j : j + 1] == "#":
+                hashes += 1
+                j += 1
+            if code[j : j + 1] == '"':
+                close = '"' + "#" * hashes
+                e = code.find(close, j + 1)
+                e = n if e < 0 else e + len(close)
+                toks.append(("<str>", i, e))
+                i = e
+                continue
+            # r-prefixed identifier (raw ident) — fall through to ident
+        if ch == '"':
+            if lang == "java" and code[i : i + 3] == '"""':
+                e = code.find('"""', i + 3)
+                e = n if e < 0 else e + 3
+                toks.append(("<str>", i, e))
+                i = e
+                continue
+            j = i + 1
+            while j < n and code[j] != '"':
+                j += 2 if code[j] == "\\" else 1
+            toks.append(("<str>", i, min(j + 1, n)))
+            i = min(j + 1, n)
+            continue
+        if ch == "'":
+            if lang == "rust":
+                if code[i + 1 : i + 2] == "\\":
+                    j = code.find("'", i + 2)
+                    j = n if j < 0 else j + 1
+                    toks.append(("<chr>", i, j))
+                    i = j
+                    continue
+                if code[i + 2 : i + 3] == "'":
+                    toks.append(("<chr>", i, i + 3))
+                    i += 3
+                    continue
+                toks.append(("'", i, i + 1))  # lifetime tick
+                i += 1
+                continue
+            j = i + 1
+            while j < n and code[j] != "'":
+                j += 2 if code[j] == "\\" else 1
+            toks.append(("<chr>", i, min(j + 1, n)))
+            i = min(j + 1, n)
+            continue
+        if ch in _ID_START:
+            j = i + 1
+            while j < n and code[j] in _ID_CONT:
+                j += 1
+            toks.append((code[i:j], i, j))
+            i = j
+            continue
+        toks.append((ch, i, i + 1))
+        i += 1
+    return toks
+
+
+def _scan_to(toks, k: int, stops: tuple[str, ...]) -> int | None:
+    """First index >= k whose token is in ``stops`` at bracket depth 0;
+    stops early on a depth-0 '}' (end of an enclosing block)."""
+    depth = 0
+    for j in range(k, len(toks)):
+        t = toks[j][0]
+        if depth == 0 and t in stops:
+            return j
+        if t in "([{":
+            depth += 1
+        elif t in ")]}":
+            if depth == 0 and t == "}":
+                return None
+            depth -= 1
+    return None
+
+
+def _extract_go(code: str) -> list[Boundary]:
+    toks = _tokenize_c_family(code, "go")
+    out: list[Boundary] = []
+    k = 0
+
+    def tok(j):
+        return toks[j][0] if 0 <= j < len(toks) else None
+
+    def line_end(j: int) -> int:
+        """Last non-<nl> token index before the depth-0 end of line."""
+        depth, last = 0, j
+        while j < len(toks):
+            t = toks[j][0]
+            if t in "([{":
+                depth += 1
+            elif t in ")]}":
+                if depth == 0:
+                    return last
+                depth -= 1
+            elif t == "<nl>" and depth == 0:
+                return last
+            if t != "<nl>":
+                last = j
+            j += 1
+        return last
+
+    def body_open(j: int) -> int | None:
+        """First '{' at depth 0 before a depth-0 <nl> (same logical line)."""
+        depth = 0
+        while j < len(toks):
+            t = toks[j][0]
+            if depth == 0 and t == "{":
+                return j
+            if depth == 0 and t == "<nl>":
+                return None
+            if t in "([":
+                depth += 1
+            elif t in ")]":
+                depth -= 1
+            j += 1
+        return None
+
+    def emit(btype, name, s_tok, e_tok):
+        s, e = toks[s_tok][1], toks[e_tok][2]
+        out.append(Boundary(btype, name, s, e, code[s:e]))
+        return e_tok + 1
+
+    while k < len(toks):
+        t = tok(k)
+        if t == "func":
+            if tok(k + 1) == "(":  # receiver ⇒ method_declaration
+                rc = _match_brace(toks, k + 1)
+                name = tok(rc + 1) if _is_ident(tok(rc + 1)) else None
+                btype, after = "method_declaration", rc + 2
+            else:
+                name = tok(k + 1) if _is_ident(tok(k + 1)) else None
+                btype, after = "function_declaration", k + 2
+            b = body_open(after)
+            k = emit(btype, name, k, _match_brace(toks, b) if b else line_end(k))
+            continue
+        if t == "import":
+            e = (
+                _match_brace(toks, k + 1)
+                if tok(k + 1) == "("
+                else line_end(k)
+            )
+            k = emit("import_declaration", None, k, e)
+            continue
+        if t in ("type", "var", "const"):
+            btype = {
+                "type": "type_declaration",
+                "var": "var_declaration",
+                "const": "const_declaration",
+            }[t]
+            e = (
+                _match_brace(toks, k + 1)
+                if tok(k + 1) == "("
+                else line_end(k)
+            )
+            k = emit(btype, None, k, e)
+            continue
+        if t == "{":  # stray block (shouldn't occur at top level) — skip
+            k = _match_brace(toks, k) + 1
+            continue
+        k += 1
+    return out
+
+
+_RUST_ITEM_KEYWORDS = ("fn", "struct", "trait", "impl", "use", "let")
+
+
+def _extract_rust(code: str) -> list[Boundary]:
+    toks = _tokenize_c_family(code, "rust")
+    out: list[Boundary] = []
+    k = 0
+    vis_start: int | None = None  # 'pub' folds into the item span
+
+    def tok(j):
+        return toks[j][0] if 0 <= j < len(toks) else None
+
+    def emit(btype, name, s_tok, e_tok):
+        s, e = toks[s_tok][1], toks[e_tok][2]
+        out.append(Boundary(btype, name, s, e, code[s:e]))
+        return e_tok + 1
+
+    while k < len(toks):
+        t = tok(k)
+        if t == "#" and tok(k + 1) == "[":  # attribute_item: own node, skipped
+            k = _match_brace(toks, k + 1) + 1
+            continue
+        if t == "pub":
+            vis_start = k
+            k = (
+                _match_brace(toks, k + 1) + 1
+                if tok(k + 1) == "("  # pub(crate) / pub(super)
+                else k + 1
+            )
+            continue
+        start = vis_start if vis_start is not None else k
+        if t == "fn":
+            name = tok(k + 1) if _is_ident(tok(k + 1)) else None
+            stop = _scan_to(toks, k + 2, ("{", ";"))
+            e = (
+                _match_brace(toks, stop)
+                if stop is not None and tok(stop) == "{"
+                else (stop if stop is not None else len(toks) - 1)
+            )
+            k, vis_start = emit("function_item", name, start, e), None
+            continue
+        if t == "struct":
+            name = tok(k + 1) if _is_ident(tok(k + 1)) else None
+            stop = _scan_to(toks, k + 2, ("{", ";"))
+            e = (
+                _match_brace(toks, stop)
+                if stop is not None and tok(stop) == "{"
+                else (stop if stop is not None else len(toks) - 1)
+            )
+            k, vis_start = emit("struct_item", name, start, e), None
+            continue
+        if t == "trait":
+            b = _scan_to(toks, k + 1, ("{",))
+            e = _match_brace(toks, b) if b is not None else len(toks) - 1
+            k, vis_start = emit(
+                "trait_item", tok(k + 1) if _is_ident(tok(k + 1)) else None,
+                start, e,
+            ), None
+            continue
+        if t == "impl":  # no name field in the grammar ⇒ unnamed
+            b = _scan_to(toks, k + 1, ("{",))
+            e = _match_brace(toks, b) if b is not None else len(toks) - 1
+            k, vis_start = emit("impl_item", None, start, e), None
+            continue
+        if t == "use":
+            stop = _scan_to(toks, k + 1, (";",))
+            k, vis_start = emit(
+                "use_declaration", None, start,
+                stop if stop is not None else len(toks) - 1,
+            ), None
+            continue
+        if t == "let":
+            stop = _scan_to(toks, k + 1, (";",))
+            k = emit(
+                "let_declaration", None, k,
+                stop if stop is not None else len(toks) - 1,
+            )
+            continue
+        if t == "mod" and _is_ident(tok(k + 1)):
+            # mod_item is NOT a boundary: descend into its block, like the
+            # reference's traversal through non-boundary nodes.
+            b = _scan_to(toks, k + 1, ("{", ";"))
+            k = (b + 1) if b is not None else k + 2
+            vis_start = None
+            continue
+        if t == "{":
+            k = _match_brace(toks, k) + 1
+            continue
+        vis_start = None
+        k += 1
+    return out
+
+
+_JAVA_MODIFIERS = {
+    "public", "protected", "private", "static", "final", "abstract",
+    "sealed", "strictfp", "default", "synchronized", "native",
+}
+
+
+def _extract_java(code: str) -> list[Boundary]:
+    """Top-level Java boundaries. Classes/interfaces are boundaries, so
+    everything inside them (method_declarations included) is suppressed by
+    the reference's outermost-only rule — a Java compilation unit can only
+    hold type declarations, so top-level scan covers the real inventory."""
+    toks = _tokenize_c_family(code, "java")
+    out: list[Boundary] = []
+    k = 0
+    mod_start: int | None = None
+
+    def tok(j):
+        return toks[j][0] if 0 <= j < len(toks) else None
+
+    def emit(btype, name, s_tok, e_tok):
+        s, e = toks[s_tok][1], toks[e_tok][2]
+        out.append(Boundary(btype, name, s, e, code[s:e]))
+        return e_tok + 1
+
+    while k < len(toks):
+        t = tok(k)
+        if t == "@" and _is_ident(tok(k + 1)):  # annotation (modifier-like)
+            if mod_start is None:
+                mod_start = k
+            k += 2
+            if tok(k) == "(":
+                k = _match_brace(toks, k) + 1
+            continue
+        if t in _JAVA_MODIFIERS:
+            if mod_start is None:
+                mod_start = k
+            k += 1
+            continue
+        start = mod_start if mod_start is not None else k
+        if t in ("class", "interface"):
+            btype = f"{t}_declaration"
+            name = tok(k + 1) if _is_ident(tok(k + 1)) else None
+            b = _scan_to(toks, k + 1, ("{",))
+            e = _match_brace(toks, b) if b is not None else len(toks) - 1
+            k, mod_start = emit(btype, name, start, e), None
+            continue
+        if t == "import":
+            stop = _scan_to(toks, k + 1, (";",))
+            k, mod_start = emit(
+                "import_declaration", None, k,
+                stop if stop is not None else len(toks) - 1,
+            ), None
+            continue
+        if t == "{":
+            k = _match_brace(toks, k) + 1
+            mod_start = None
+            continue
+        mod_start = None
+        k += 1
+    return out
+
+
+def _extract_c(code: str, cpp: bool) -> list[Boundary]:
+    toks = _tokenize_c_family(code, "cpp" if cpp else "c")
+    out: list[Boundary] = []
+    k = 0
+    tmpl_start: int | None = None  # template<...> folds into the next item
+
+    def tok(j):
+        return toks[j][0] if 0 <= j < len(toks) else None
+
+    def emit(btype, name, s_tok, e_tok):
+        s, e = toks[s_tok][1], toks[e_tok][2]
+        out.append(Boundary(btype, name, s, e, code[s:e]))
+        return e_tok + 1
+
+    while k < len(toks):
+        t = tok(k)
+        if t.startswith("<pp:"):
+            if t == "<pp:include>":
+                k = emit("preproc_include", None, k, k)
+                continue
+            k += 1
+            continue
+        start = tmpl_start if tmpl_start is not None else k
+        if cpp and t == "template" and tok(k + 1) == "<":
+            depth, j = 0, k + 1
+            while j < len(toks):
+                if tok(j) == "<":
+                    depth += 1
+                elif tok(j) == ">":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            tmpl_start = k
+            k = j + 1
+            continue
+        if t == "typedef":
+            stop = _scan_to(toks, k + 1, (";",))
+            e = stop if stop is not None else len(toks) - 1
+            name = tok(e - 1) if _is_ident(tok(e - 1)) else None
+            k, tmpl_start = emit("type_definition", name, start, e), None
+            continue
+        if t in ("struct", "enum", "union") or (cpp and t == "class"):
+            stop = _scan_to(toks, k + 1, ("{", ";"))
+            if stop is not None and tok(stop) == "{":
+                e = _match_brace(toks, stop)
+                if tok(e + 1) == ";":
+                    e += 1
+                btype = {
+                    "struct": "struct_specifier",
+                    "enum": "enum_specifier",
+                    "union": "union_specifier",
+                    "class": "class_specifier",
+                }[t]
+                name = tok(k + 1) if _is_ident(tok(k + 1)) else None
+                k, tmpl_start = emit(btype, name, start, e), None
+                continue
+            # `struct X y;` — plain declaration, falls through below
+        if cpp and t == "namespace":
+            b = _scan_to(toks, k + 1, ("{",))
+            e = _match_brace(toks, b) if b is not None else len(toks) - 1
+            name = tok(k + 1) if _is_ident(tok(k + 1)) else None
+            k, tmpl_start = emit("namespace_definition", name, start, e), None
+            continue
+        if cpp and t == "extern" and tok(k + 1) == "<str>" and tok(k + 2) == "{":
+            k = k + 3  # linkage block: descend (not a boundary)
+            continue
+        if t in ("{", "}", ";"):
+            k = (_match_brace(toks, k) + 1) if t == "{" else k + 1
+            continue
+        # generic statement: function_definition iff a depth-0 '{' directly
+        # follows the parameter list's ')'; otherwise a declaration to ';'.
+        depth, j, fn_name, prev = 0, k, None, None
+        e = None
+        btype = "declaration"
+        while j < len(toks):
+            tj = tok(j)
+            if tj == "(" and depth == 0 and _is_ident(prev):
+                fn_name = prev
+            if tj in "([":
+                depth += 1
+            elif tj in ")]":
+                depth -= 1
+            elif tj == "{" and depth == 0:
+                if tok(j - 1) == ")":
+                    btype = "function_definition"
+                    e = _match_brace(toks, j)
+                    break
+                j = _match_brace(toks, j)  # brace initializer — skip
+            elif tj == ";" and depth == 0:
+                e = j
+                break
+            elif tj == "}" and depth == 0:
+                e = j - 1
+                break
+            prev = tj
+            j += 1
+        if e is None:
+            e = len(toks) - 1
+        # tree-sitter's name lives under the declarator, not a name field,
+        # so declarations surface unnamed; keep the function name we can
+        # recover for usability parity with the regex fallback.
+        k, tmpl_start = emit(
+            btype, fn_name if btype == "function_definition" else None, start, e
+        ), None
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Dispatch + chunk adapter.
 # ---------------------------------------------------------------------------
 
@@ -506,6 +1011,11 @@ _EXT_LANG = {
     ".tsx": "tsx",
     ".py": "python",
     ".vue": "vue",
+    ".go": "go",
+    ".rs": "rust",
+    ".java": "java",
+    ".c": "c", ".h": "c",
+    ".cpp": "cpp", ".cc": "cpp", ".cxx": "cpp", ".hpp": "cpp", ".hh": "cpp",
 }
 
 
@@ -524,6 +1034,14 @@ def extract_boundaries(code: str, language: str) -> list[Boundary]:
         return _extract_js(code, language)
     if language == "vue":
         return _extract_vue(code)
+    if language == "go":
+        return _extract_go(code)
+    if language == "rust":
+        return _extract_rust(code)
+    if language == "java":
+        return _extract_java(code)
+    if language in ("c", "cpp"):
+        return _extract_c(code, cpp=language == "cpp")
     raise ValueError(f"no CST parser available for language: {language}")
 
 

@@ -305,7 +305,8 @@ def test_language_for_ext():
     assert cst_language_for_ext(".tsx") == "tsx"
     assert cst_language_for_ext("x.py") == "python"
     assert cst_language_for_ext("App.vue") == "vue"
-    assert cst_language_for_ext("x.go") is None
+    assert cst_language_for_ext("x.go") == "go"
+    assert cst_language_for_ext("x.rb") is None
 
 
 # Mirror of the reference fixture `tests/features/test-vue.vue` — same block
@@ -434,3 +435,193 @@ def test_chunk_documents_cst_strategy(spark):
     assert ("2", "class_declaration", "C") in got
     # unsupported language fell back to the regex statement scanner
     assert any(sid == "3" for sid, _, _ in got)
+
+
+# ---------------------------------------------------------------------------
+# Go / Rust / Java / C / C++ (reference: cst-operations-go.test.ts,
+# cst-operations-additional.test.ts).
+# ---------------------------------------------------------------------------
+
+
+def _types(bs):
+    return [b.type for b in bs]
+
+
+def test_go_function_and_method():
+    from gistdex_spark.operators.cst import extract_boundaries
+
+    bs = extract_boundaries(
+        "func add(a, b int) int {\n    return a + b\n}\n", "go"
+    )
+    f = next(b for b in bs if b.type == "function_declaration")
+    assert f.name == "add" and f.text.endswith("}")
+
+    bs = extract_boundaries(
+        "func (c *Calculator) Add(a, b int) int {\n    return a + b\n}\n", "go"
+    )
+    m = next(b for b in bs if b.type == "method_declaration")
+    assert m.name == "Add"
+
+
+def test_go_type_import_var_const():
+    from gistdex_spark.operators.cst import extract_boundaries
+
+    code = (
+        'import (\n    "fmt"\n    "net/http"\n)\n\n'
+        "type Calculator struct {\n    value int\n}\n\n"
+        "var x int = 10\n"
+        "const PI = 3.14\n"
+    )
+    bs = extract_boundaries(code, "go")
+    types = _types(bs)
+    assert "import_declaration" in types
+    t = next(b for b in bs if b.type == "type_declaration")
+    # type_declaration has no tree-sitter name field — unnamed, whole block
+    assert t.name is None and t.text.rstrip().endswith("}")
+    assert "var_declaration" in types and "const_declaration" in types
+    v = next(b for b in bs if b.type == "var_declaration")
+    assert v.text == "var x int = 10"
+
+
+def test_go_body_brace_in_string_and_raw_string():
+    from gistdex_spark.operators.cst import extract_boundaries
+
+    code = 'func f() string {\n    return "}" + `}\n}` \n}\nvar y = 1\n'
+    bs = extract_boundaries(code, "go")
+    f = next(b for b in bs if b.type == "function_declaration")
+    assert f.text.rstrip().endswith("}") and f.text.count("func") == 1
+    assert any(b.type == "var_declaration" for b in bs)
+
+
+def test_rust_items():
+    from gistdex_spark.operators.cst import extract_boundaries
+
+    code = (
+        "use std::fmt;\n\n"
+        "#[derive(Debug)]\n"
+        "pub struct Point { x: i32, y: i32 }\n\n"
+        "struct Unit;\n\n"
+        "pub fn norm(p: &Point) -> f64 {\n    ((p.x * p.x) as f64).sqrt()\n}\n\n"
+        "impl fmt::Display for Point {\n"
+        "    fn fmt(&self, f: &mut fmt::Formatter) -> fmt::Result { write!(f, \"p\") }\n"
+        "}\n\n"
+        "trait Shape {\n    fn area(&self) -> f64;\n}\n"
+    )
+    bs = extract_boundaries(code, "rust")
+    types = _types(bs)
+    assert "use_declaration" in types
+    s = next(b for b in bs if b.type == "struct_item")
+    assert s.name == "Point" and s.text.startswith("pub struct")
+    assert any(b.type == "struct_item" and b.name == "Unit" for b in bs)
+    f = next(b for b in bs if b.type == "function_item")
+    assert f.name == "norm" and f.text.startswith("pub fn")
+    imp = next(b for b in bs if b.type == "impl_item")
+    # impl_item has no name field; inner fn suppressed (outermost only)
+    assert imp.name is None and "fn fmt" in imp.text
+    assert sum(1 for b in bs if b.type == "function_item") == 1
+    assert any(b.type == "trait_item" and b.name == "Shape" for b in bs)
+
+
+def test_rust_lifetimes_and_raw_strings_lex():
+    from gistdex_spark.operators.cst import extract_boundaries
+
+    code = (
+        "fn get<'a>(s: &'a str) -> &'a str {\n"
+        "    let re = r#\"}\"#;\n    s\n}\n"
+        "fn second() {}\n"
+    )
+    bs = extract_boundaries(code, "rust")
+    names = [b.name for b in bs if b.type == "function_item"]
+    assert names == ["get", "second"]
+
+
+def test_java_class_suppresses_methods():
+    from gistdex_spark.operators.cst import extract_boundaries
+
+    code = (
+        "import java.util.List;\n\n"
+        "public class Calculator {\n"
+        "    public int add(int a, int b) {\n        return a + b;\n    }\n"
+        "}\n"
+    )
+    bs = extract_boundaries(code, "java")
+    c = next(b for b in bs if b.type == "class_declaration")
+    assert c.name == "Calculator" and c.text.startswith("public class")
+    # reference: methods inside the class are NOT separate boundaries
+    assert not any(b.type == "method_declaration" for b in bs)
+    assert any(b.type == "import_declaration" for b in bs)
+
+
+def test_java_interface_and_annotation_modifier():
+    from gistdex_spark.operators.cst import extract_boundaries
+
+    code = (
+        "@FunctionalInterface\n"
+        "public interface Op {\n    int apply(int a);\n}\n"
+    )
+    bs = extract_boundaries(code, "java")
+    i = next(b for b in bs if b.type == "interface_declaration")
+    assert i.name == "Op" and i.text.startswith("@FunctionalInterface")
+
+
+def test_c_function_struct_include():
+    from gistdex_spark.operators.cst import extract_boundaries
+
+    code = (
+        "#include <stdio.h>\n\n"
+        "struct Pair { int a; int b; };\n\n"
+        "int add(int a, int b) {\n    return a + b;\n}\n\n"
+        "static const int LIMIT = 10;\n"
+    )
+    bs = extract_boundaries(code, "c")
+    assert any(b.type == "preproc_include" for b in bs)
+    s = next(b for b in bs if b.type == "struct_specifier")
+    assert s.name == "Pair" and s.text.endswith(";")
+    f = next(b for b in bs if b.type == "function_definition")
+    assert f.name == "add" and f.text.endswith("}")
+    d = next(b for b in bs if b.type == "declaration")
+    assert "LIMIT" in d.text
+
+
+def test_cpp_class_namespace_template():
+    from gistdex_spark.operators.cst import extract_boundaries
+
+    code = (
+        "namespace math {\n"
+        "    int helper() { return 1; }\n"
+        "}\n\n"
+        "class Calculator {\npublic:\n    int add(int a, int b);\n};\n\n"
+        "template <typename T>\nT max3(T a, T b) { return a > b ? a : b; }\n"
+    )
+    bs = extract_boundaries(code, "cpp")
+    ns = next(b for b in bs if b.type == "namespace_definition")
+    assert ns.name == "math" and "helper" in ns.text
+    # namespace is the outermost boundary — helper() suppressed
+    assert not any(
+        b.type == "function_definition" and b.name == "helper" for b in bs
+    )
+    c = next(b for b in bs if b.type == "class_specifier")
+    assert c.name == "Calculator" and c.text.endswith(";")
+    t = next(b for b in bs if b.name == "max3")
+    assert t.type == "function_definition" and t.text.startswith("template")
+
+
+def test_c_family_ext_dispatch():
+    from gistdex_spark.operators.cst import cst_language_for_ext
+
+    assert cst_language_for_ext(".go") == "go"
+    assert cst_language_for_ext("main.rs") == "rust"
+    assert cst_language_for_ext("A.java") == "java"
+    assert cst_language_for_ext(".h") == "c"
+    assert cst_language_for_ext("x.hpp") == "cpp"
+
+
+def test_c_family_chunk_cst_end_to_end():
+    from gistdex_spark.operators.cst import chunk_cst
+
+    chunks = chunk_cst(
+        "func a() {\n}\n\nfunc b() {\n}\n", language="go", path="x.go"
+    )
+    assert [c["boundary_title"] for c in chunks] == ["a", "b"]
+    assert chunks[0]["start_line"] == 1
+    assert chunks[1]["start_line"] == 4

@@ -1,0 +1,102 @@
+"""SemDeDup: semantic deduplication inside coarse clusters.
+
+Extends the reference's pairwise-cosine duplicate detection
+(`src/mcp/tools/agent-query-tool.ts:257-271` redundancy; memory-adapter
+brute-force scoring `src/core/vector-db/adapters/memory-adapter.ts:50-88`)
+to the corpus-curation form of Abbas et al. 2023 ("SemDeDup: Data-efficient
+learning at web-scale through semantic deduplication", arXiv:2303.09540):
+
+1. coarse-cluster every embedding (k-means at scale; the deterministic
+   first-C stand-in for oracle tests — same split as `operators/ivf.py`);
+2. WITHIN each cluster only, find pairs with cosine >= threshold;
+3. from every duplicate neighborhood keep exactly one exemplar — the
+   member FARTHEST from its centroid (the paper's keep-low-centroid-
+   similarity rule), ties broken by id, so the survivor set is
+   deterministic and engine-independent.
+
+Scale shape: the pair join is an EQUALITY join on ``cluster`` — never
+all-pairs over the corpus. Per-cluster pair cost is bounded by choosing
+k ∝ corpus_size / target_cluster_size (the paper runs 50k clusters over
+LAION); cluster assignment itself is the zero-shuffle broadcast argmax
+fold of `operators/ivf.assign_clusters`. Centroid distance is computed
+once per row (map-side), and the "exists a more-central duplicate"
+verdict is a half-open pair join + groupBy — two shuffles total, both on
+``cluster``/id keys.
+
+All comparisons happen on ROUND-rounded cosines so Spark and the DuckDB
+oracle cannot disagree on a boundary pair.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gistdex_spark.functions.vectors import cosine
+
+ROUND = 6
+
+
+def semdedup(
+    emb: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+) -> DataFrame:
+    """(id, cluster, cos_centroid, pruned): SemDeDup verdict per vector.
+
+    A vector is ``pruned`` iff some same-cluster neighbour scores
+    ``>= threshold`` against it AND that neighbour is strictly more
+    deserving of removal-immunity — i.e. the neighbour's
+    (cos_centroid, id) sorts strictly LOWER (farther from the centroid;
+    the paper keeps the far-from-centroid member of each duplicate pair).
+    The lowest-sorted member of every duplicate neighbourhood therefore
+    always survives, and the verdict is order-free and deterministic.
+    """
+    from gistdex_spark.operators.ivf import assign_clusters
+
+    assigned = assign_clusters(
+        emb, centroids, id_col=id_col, embedding_col=embedding_col
+    )
+    cents = centroids.select(
+        F.col("c_id").alias("cluster"), F.col("c_vec").alias("c__vec")
+    )
+    # cos-to-centroid once per row; centroid set is tiny -> broadcast.
+    base = (
+        assigned.join(F.broadcast(cents), "cluster")
+        .withColumn(
+            "cos_centroid",
+            F.round(cosine(F.col(embedding_col), F.col("c__vec")), ROUND),
+        )
+        .drop("c__vec")
+    )
+    left = base.select(
+        F.col("cluster"),
+        F.col(id_col).alias("id_a"),
+        F.col(embedding_col).alias("v_a"),
+        F.col("cos_centroid").alias("cc_a"),
+    )
+    right = base.select(
+        F.col("cluster"),
+        F.col(id_col).alias("id_b"),
+        F.col(embedding_col).alias("v_b"),
+        F.col("cos_centroid").alias("cc_b"),
+    )
+    # Equality join on cluster; "neighbour sorts lower" keeps the pair
+    # half-open so each duplicate relation is examined once per direction.
+    pruned_ids = (
+        left.join(right, "cluster")
+        .filter(
+            (F.col("cc_a") < F.col("cc_b"))
+            | ((F.col("cc_a") == F.col("cc_b")) & (F.col("id_a") < F.col("id_b")))
+        )
+        .filter(F.round(cosine("v_a", "v_b"), ROUND) >= F.lit(threshold))
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return (
+        base.join(pruned_ids.withColumn("pruned", F.lit(True)), id_col, "left")
+        .withColumn("pruned", F.coalesce(F.col("pruned"), F.lit(False)))
+        .select(id_col, "cluster", "cos_centroid", "pruned")
+    )

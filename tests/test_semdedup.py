@@ -1,0 +1,95 @@
+"""SemDeDup invariants: survivor set correctness and the within-cluster
+candidate bound (the operator never compares across clusters)."""
+
+from __future__ import annotations
+
+import itertools
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def _cos(a, b):
+    d = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    return 0.0 if na == 0 or nb == 0 else d / (na * nb)
+
+
+@pytest.fixture(scope="module")
+def verdicts(spark):
+    from gistdex_spark.operators.ivf import first_c_centroids
+    from gistdex_spark.operators.semdedup import semdedup
+    from gistdex_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    cents = first_c_centroids(emb, 4)
+    out = semdedup(emb, cents, threshold=0.35).collect()
+    vecs = {r["vec_id"]: list(r["embedding"]) for r in emb.collect()}
+    return out, vecs
+
+
+def test_every_vector_gets_a_verdict(verdicts, spark):
+    out, vecs = verdicts
+    assert len(out) == len(vecs)
+    assert {r["vec_id"] for r in out} == set(vecs)
+
+
+def test_survivors_match_reference_rule(verdicts):
+    """Brute-force the rule per cluster: pruned iff a lower-sorted
+    (cos_centroid, id) neighbour scores >= threshold."""
+    out, vecs = verdicts
+    by_cluster: dict[int, list] = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    for rows in by_cluster.values():
+        for a, b in itertools.permutations(rows, 2):
+            # a sorts lower than b and they are near-dups -> b pruned
+            if (a["cos_centroid"], a["vec_id"]) < (b["cos_centroid"], b["vec_id"]):
+                if round(_cos(vecs[a["vec_id"]], vecs[b["vec_id"]]), 6) >= 0.35:
+                    assert b["pruned"], (a["vec_id"], b["vec_id"])
+    # and the converse: every pruned row has such a witness
+    for rows in by_cluster.values():
+        for b in rows:
+            if b["pruned"]:
+                assert any(
+                    (a["cos_centroid"], a["vec_id"])
+                    < (b["cos_centroid"], b["vec_id"])
+                    and round(_cos(vecs[a["vec_id"]], vecs[b["vec_id"]]), 6) >= 0.35
+                    for a in rows
+                    if a["vec_id"] != b["vec_id"]
+                ), b["vec_id"]
+
+
+def test_most_peripheral_member_always_survives(verdicts):
+    out, _ = verdicts
+    by_cluster: dict[int, list] = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    for rows in by_cluster.values():
+        low = min(rows, key=lambda r: (r["cos_centroid"], r["vec_id"]))
+        assert not low["pruned"]
+
+
+def test_no_cross_cluster_pruning(spark):
+    """Two identical vectors forced into different clusters must BOTH
+    survive — candidate generation is strictly within-cluster."""
+    from gistdex_spark.operators.semdedup import semdedup
+
+    emb = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [0.0, 1.0]), (12, [0.0, 1.0])],
+        schema="vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.1]), (1, [0.1, 1.0])],
+        schema="c_id BIGINT, c_vec ARRAY<DOUBLE>",
+    )
+    out = {r["vec_id"]: r for r in semdedup(emb, cents, threshold=0.9).collect()}
+    assert out[10]["cluster"] == 0 and not out[10]["pruned"]
+    # 11 and 12 are identical and share cluster 1: exactly one pruned,
+    # and the survivor is the lower id (equal cos_centroid, id tiebreak).
+    assert out[11]["cluster"] == 1 and out[12]["cluster"] == 1
+    assert not out[11]["pruned"] and out[12]["pruned"]

@@ -105,6 +105,13 @@ BENCH_QUERIES = [
     "incremental_refresh_census",
     "label_centroid_cohesion",
     "session_window_native",
+    # Round-4 widening: cluster-scoped semantic dedup, Z-order cell
+    # census, funnel + transition analytics, adapted TPC-H q16.
+    "semdedup_prune",
+    "event_transitions",
+    "funnel_conversion",
+    "q16_supplier_part_census",
+    "zorder_cell_stats",
 ]
 
 

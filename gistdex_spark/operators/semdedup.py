@@ -56,19 +56,25 @@ def semdedup(
     """
     from gistdex_spark.operators.ivf import assign_clusters
 
+    from gistdex_spark.functions.vectors import dot, l2_norm
+
     assigned = assign_clusters(
         emb, centroids, id_col=id_col, embedding_col=embedding_col
     )
     cents = centroids.select(
         F.col("c_id").alias("cluster"), F.col("c_vec").alias("c__vec")
     )
-    # cos-to-centroid once per row; centroid set is tiny -> broadcast.
+    # cos-to-centroid AND the row's own norm once per row (the norm is
+    # reused by every pair the row appears in — 1 dot per pair instead of
+    # 3; bit-identical to recomputing, it is the same expression tree);
+    # centroid set is tiny -> broadcast.
     base = (
         assigned.join(F.broadcast(cents), "cluster")
         .withColumn(
             "cos_centroid",
             F.round(cosine(F.col(embedding_col), F.col("c__vec")), ROUND),
         )
+        .withColumn("nrm", l2_norm(F.col(embedding_col)))
         .drop("c__vec")
     )
     left = base.select(
@@ -76,13 +82,18 @@ def semdedup(
         F.col(id_col).alias("id_a"),
         F.col(embedding_col).alias("v_a"),
         F.col("cos_centroid").alias("cc_a"),
+        F.col("nrm").alias("n_a"),
     )
     right = base.select(
         F.col("cluster"),
         F.col(id_col).alias("id_b"),
         F.col(embedding_col).alias("v_b"),
         F.col("cos_centroid").alias("cc_b"),
+        F.col("nrm").alias("n_b"),
     )
+    pair_cos = F.when(
+        (F.col("n_a") == F.lit(0.0)) | (F.col("n_b") == F.lit(0.0)), F.lit(0.0)
+    ).otherwise(dot("v_a", "v_b") / (F.col("n_a") * F.col("n_b")))
     # Equality join on cluster; "neighbour sorts lower" keeps the pair
     # half-open so each duplicate relation is examined once per direction.
     pruned_ids = (
@@ -91,7 +102,7 @@ def semdedup(
             (F.col("cc_a") < F.col("cc_b"))
             | ((F.col("cc_a") == F.col("cc_b")) & (F.col("id_a") < F.col("id_b")))
         )
-        .filter(F.round(cosine("v_a", "v_b"), ROUND) >= F.lit(threshold))
+        .filter(F.round(pair_cos, ROUND) >= F.lit(threshold))
         .select(F.col("id_b").alias(id_col))
         .distinct()
     )

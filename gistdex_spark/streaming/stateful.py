@@ -95,3 +95,87 @@ def sessionize_stream(events):
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Live transition counting: the streaming counterpart of the oracle-checked
+# batch `event_transitions` query (queries.py). State per user is the last
+# event seen (epoch-us, event_id, type); each micro-batch emits the
+# (prev_type, next_type) increments it observed, so a downstream sum over
+# emissions equals the batch transition matrix when batches arrive in
+# event-time order.
+# ---------------------------------------------------------------------------
+
+TRANSITION_OUTPUT = StructType(
+    [
+        StructField("user_id", StringType()),
+        StructField("prev_type", StringType()),
+        StructField("next_type", StringType()),
+        StructField("n", LongType()),
+    ]
+)
+
+# "" / -1 sentinels: applyInPandasWithState state rows cannot hold NULLs
+# portably, and the first event of a user has no predecessor.
+TRANSITION_STATE = StructType(
+    [
+        StructField("last_us", LongType()),
+        StructField("last_event_id", LongType()),
+        StructField("last_type", StringType()),
+    ]
+)
+
+
+def track_transitions(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Fold this micro-batch's events (sorted by ts, event_id — the batch
+    query's exact order) into per-user last-event state; emit transition
+    increments."""
+    (user_id,) = key
+    last_type = None
+    if state.exists:
+        _, _, t = state.get
+        last_type = t if t != "" else None
+
+    frames = []
+    for pdf in batches:
+        sub = pdf[["ts", "event_id", "event_type"]].copy()
+        sub["us"] = sub["ts"].astype("int64") // 1_000
+        frames.append(sub[["us", "event_id", "event_type"]])
+
+    counts: dict[tuple[str, str], int] = {}
+    last_us, last_eid = -1, -1
+    if frames:
+        ordered = pd.concat(frames).sort_values(["us", "event_id"])
+        for us, eid, typ in ordered.itertuples(index=False):
+            if last_type is not None:
+                k = (last_type, typ)
+                counts[k] = counts.get(k, 0) + 1
+            last_us, last_eid, last_type = int(us), int(eid), str(typ)
+
+    state.update((last_us, last_eid, last_type if last_type is not None else ""))
+    yield pd.DataFrame(
+        [
+            {"user_id": user_id, "prev_type": a, "next_type": b, "n": n}
+            for (a, b), n in counts.items()
+        ],
+        columns=["user_id", "prev_type", "next_type", "n"],
+    )
+
+
+def transitions_stream(events):
+    """events stream → per-user (prev_type, next_type) count increments."""
+    return (
+        events.selectExpr(
+            "CAST(user_id AS STRING) AS user_id", "ts", "event_id", "event_type"
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            track_transitions,
+            outputStructType=TRANSITION_OUTPUT,
+            stateStructType=TRANSITION_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -422,3 +422,42 @@ def test_runtime_bloom_filter_injects_for_selective_dim_join(spark, q):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+# --------------------------------------------------------------------------
+# Round-4 queries.
+# --------------------------------------------------------------------------
+
+
+def test_q16_broadcasts_dims_and_prunes_fact(q):
+    df = q("q16_supplier_part_census")
+    strategies = join_strategies(df)
+    assert "SortMergeJoin" not in strategies
+    assert "BroadcastHashJoin" in strategies
+    s = scan_for(df, "lineitem")
+    # the fact scan must read only the two join keys
+    assert set(s["columns"]) <= {"l_partkey", "l_suppkey"}
+
+
+def test_semdedup_pair_join_is_equality_not_cartesian(q):
+    df = q("semdedup_prune")
+    strategies = join_strategies(df)
+    # the within-cluster pair join must hash on the cluster key; the only
+    # nested-loop allowed is the broadcast of the one-row centroid array
+    assert "CartesianProduct" not in strategies
+    assert "ShuffledHashJoin" in strategies or "SortMergeJoin" in strategies \
+        or "BroadcastHashJoin" in strategies
+
+
+def test_event_transitions_windows_are_partitioned(q):
+    assert single_partition_exchanges(q("event_transitions")) == 0
+
+
+def test_funnel_has_no_single_partition_stage(q):
+    assert single_partition_exchanges(q("funnel_conversion")) == 0
+
+
+def test_zorder_census_is_one_agg_plus_heap(q):
+    df = q("zorder_cell_stats")
+    assert has_take_ordered(df), "top-20 cells must be a heap, not a sort"
+    assert num_shuffles(df) <= 1  # the single census agg exchange

@@ -72,30 +72,52 @@ def assign_clusters(
     centroids: DataFrame,
     id_col: str = "vec_id",
     embedding_col: str = "embedding",
+    partitions: int | None = None,
 ) -> DataFrame:
     """(id, embedding, cluster): nearest centroid by cosine, ties → lowest id.
 
     ZERO-shuffle: the centroid set rides along as ONE broadcast array row
     (sorted by c_id so a strictly-greater fold keeps the smallest id on
-    ties), and every vector folds over it inside codegen. No row
-    amplification, no window.
+    ties), and every vector folds over it. No row amplification, no
+    window. Norms are hoisted out of the fold — each centroid's norm is
+    computed once into the broadcast row and the vector's own norm once
+    per row, so the fold does ONE dot product per centroid instead of
+    three (bit-identical scores: the same expressions, evaluated fewer
+    times).
+
+    ``partitions``: optional pre-repartition of the input. At cluster
+    scale the scan's natural parallelism is the right answer (this is a
+    map-only op — never pay a corpus shuffle for it); locally a small
+    parquet file arrives as ONE partition and would serialize the fold,
+    so callers benching tiny inputs pass the core count.
     """
-    cents_arr = centroids.agg(
-        F.array_sort(F.collect_list(F.struct("c_id", "c_vec"))).alias("cents")
-    )
+    if partitions is not None:
+        emb = emb.repartition(partitions)
+    from gistdex_spark.functions.vectors import dot, l2_norm
+
+    cents_arr = centroids.select(
+        F.struct(
+            F.col("c_id"), F.col("c_vec"), l2_norm(F.col("c_vec")).alias("c_nrm")
+        ).alias("c")
+    ).agg(F.array_sort(F.collect_list("c")).alias("cents"))
     init = F.struct(
         F.lit(-2.0).cast("double").alias("s"), F.lit(-1).cast("bigint").alias("cid")
     )
 
     def _merge(acc, c):
-        s = cosine(F.col(embedding_col), c["c_vec"])
+        s = F.when(
+            (F.col("__ne") == F.lit(0.0)) | (c["c_nrm"] == F.lit(0.0)), F.lit(0.0)
+        ).otherwise(
+            dot(F.col(embedding_col), c["c_vec"]) / (F.col("__ne") * c["c_nrm"])
+        )
         return F.when(
             s > acc["s"],
             F.struct(s.alias("s"), c["c_id"].cast("bigint").alias("cid")),
         ).otherwise(acc)
 
     return (
-        emb.crossJoin(F.broadcast(cents_arr))
+        emb.withColumn("__ne", l2_norm(F.col(embedding_col)))
+        .crossJoin(F.broadcast(cents_arr))
         .withColumn("best", F.aggregate("cents", init, _merge))
         .select(id_col, embedding_col, F.col("best.cid").alias("cluster"))
     )

@@ -32,8 +32,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from gistdex_spark.functions.vectors import cosine
-
 ROUND = 6
 
 
@@ -43,6 +41,9 @@ def semdedup(
     threshold: float = 0.35,
     id_col: str = "vec_id",
     embedding_col: str = "embedding",
+    salt: int = 8,
+    pair_partitions: int = 64,
+    partitions: int | None = None,
 ) -> DataFrame:
     """(id, cluster, cos_centroid, pruned): SemDeDup verdict per vector.
 
@@ -59,23 +60,38 @@ def semdedup(
     from gistdex_spark.functions.vectors import dot, l2_norm
 
     assigned = assign_clusters(
-        emb, centroids, id_col=id_col, embedding_col=embedding_col
+        emb,
+        centroids,
+        id_col=id_col,
+        embedding_col=embedding_col,
+        partitions=partitions,
     )
     cents = centroids.select(
-        F.col("c_id").alias("cluster"), F.col("c_vec").alias("c__vec")
+        F.col("c_id").alias("cluster"),
+        F.col("c_vec").alias("c__vec"),
+        l2_norm(F.col("c_vec")).alias("c__nrm"),
     )
     # cos-to-centroid AND the row's own norm once per row (the norm is
     # reused by every pair the row appears in — 1 dot per pair instead of
     # 3; bit-identical to recomputing, it is the same expression tree);
     # centroid set is tiny -> broadcast.
     base = (
-        assigned.join(F.broadcast(cents), "cluster")
+        assigned.withColumn("nrm", l2_norm(F.col(embedding_col)))
+        .join(F.broadcast(cents), "cluster")
         .withColumn(
             "cos_centroid",
-            F.round(cosine(F.col(embedding_col), F.col("c__vec")), ROUND),
+            F.round(
+                F.when(
+                    (F.col("nrm") == F.lit(0.0)) | (F.col("c__nrm") == F.lit(0.0)),
+                    F.lit(0.0),
+                ).otherwise(
+                    dot(F.col(embedding_col), F.col("c__vec"))
+                    / (F.col("nrm") * F.col("c__nrm"))
+                ),
+                ROUND,
+            ),
         )
-        .withColumn("nrm", l2_norm(F.col(embedding_col)))
-        .drop("c__vec")
+        .drop("c__vec", "c__nrm")
     )
     left = base.select(
         F.col("cluster"),
@@ -96,8 +112,25 @@ def semdedup(
     ).otherwise(dot("v_a", "v_b") / (F.col("n_a") * F.col("n_b")))
     # Equality join on cluster; "neighbour sorts lower" keeps the pair
     # half-open so each duplicate relation is examined once per direction.
+    #
+    # The join is COMPUTE-bound (a 64-float dot per candidate pair) over
+    # BYTE-small inputs, the combination AQE mis-sizes: it coalesces the
+    # pair shuffle to one partition because the bytes fit, serializing all
+    # the dot products. So the left side is salted by id hash, the right
+    # side replicated across the salts (every pair still meets exactly
+    # once, at the left row's salt), and both sides carry an explicit
+    # user repartition AQE must honor — parallelism becomes
+    # clusters x salt regardless of input bytes, and a hot cluster is
+    # split `salt` ways instead of landing on one task (the same skew
+    # treatment as the salted joins in operators/temporal.py).
+    left = left.withColumn(
+        "__salt", F.pmod(F.hash(F.col("id_a")), F.lit(salt))
+    ).repartition(pair_partitions, "cluster", "__salt")
+    right = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    ).repartition(pair_partitions, "cluster", "__salt")
     pruned_ids = (
-        left.join(right, "cluster")
+        left.join(right, ["cluster", "__salt"])
         .filter(
             (F.col("cc_a") < F.col("cc_b"))
             | ((F.col("cc_a") == F.col("cc_b")) & (F.col("id_a") < F.col("id_b")))

@@ -112,6 +112,8 @@ BENCH_QUERIES = [
     "funnel_conversion",
     "q16_supplier_part_census",
     "zorder_cell_stats",
+    "cumulative_active_users",
+    "cohort_retention",
 ]
 
 

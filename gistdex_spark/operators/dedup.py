@@ -267,6 +267,7 @@ def simhash_pairs(
     bits: int = 32,
     bands: int = 4,
     max_distance: int = 3,
+    bucket_partitions: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs via a banded Hamming join over SimHash signatures.
 
@@ -308,6 +309,17 @@ def simhash_pairs(
         .agg(F.array_sort(F.collect_list(F.struct("doc_id", "simhash"))).alias("m"))
         .filter(F.size("m") >= 2)
     )
+    if bucket_partitions is not None:
+        # The bucket frame is byte-small but the pair expression below is
+        # quadratic per bucket; AQE coalesces the agg's shuffle to one
+        # partition on bytes alone and serializes the pair generation.
+        # ROUND-ROBIN with an explicit count pins the parallelism — a
+        # keyed repartition would collapse into the agg's own exchange
+        # (same keys) and re-coalesce, while round-robin also balances
+        # hot buckets across tasks. At corpus scale the agg output is
+        # large enough that AQE sizes it correctly — leave this None and
+        # save the extra shuffle.
+        buckets = buckets.repartition(bucket_partitions)
     # Verify + dedup INSIDE the bucket expression: a candidate survives
     # only if (a) Hamming distance qualifies and (b) this is the FIRST
     # band on which the two signatures agree — so each qualifying pair is
@@ -379,11 +391,37 @@ def connected_components(
         def cut(df: DataFrame) -> DataFrame:
             return df.localCheckpoint(eager=True)
 
+    # Both edge directions from ONE pass over the pair stream: a
+    # union of two selects on the same frame would re-evaluate the whole
+    # upstream pair generation per branch (Spark has no cross-branch CSE),
+    # doubling the most expensive stage of the job.
     sym = cut(
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(id_b).alias("src"), F.col(id_a).alias("dst")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .distinct()
     )
+    # Size the iteration's parallelism to the EDGE COUNT, not the session
+    # default: every round's map side inherits the state frames' width,
+    # and a 7k-edge graph spread over 64 partitions pays 64 tasks of
+    # scheduling per join per round for microseconds of work each. The
+    # count is cheap (sym is already materialized by the eager cut), and
+    # at 10^11 edges the same formula yields thousands of partitions.
+    n_edges = sym.count()
+    default_par = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    target = max(1, min(default_par, n_edges // 50_000 + 1))
+    if target < default_par:
+        sym = cut(sym.repartition(target))
     labels = cut(
         sym.select(F.col("src").alias("node"))
         .distinct()

@@ -71,6 +71,29 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 
 
+def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition a low-split scan before compute-heavy
+    per-row work.
+
+    Spark's file-split parallelism is bounded by row groups: the local
+    testdata tables are single-file, single-row-group parquet, so every
+    scan arrives as ONE partition and any expression-heavy map stage
+    (regex gates, shingle hashing, n-gram explodes) serializes on one
+    core. Spreading first costs a shuffle of the raw rows and buys
+    core-count parallelism for everything downstream — worth it exactly
+    when per-row compute dominates the row's bytes (the mirror image of
+    AQE's coalesce-small-partitions rule).
+
+    On a real lake this is usually unnecessary — a 100 TB table has
+    thousands of natural splits — but the same situation reappears there
+    whenever a compute-heavy stage sits on a low-cardinality upstream
+    (a coalesced write, a tiny dimension driving a flatMap), so the
+    operator keeps the knob rather than assuming scan parallelism.
+    """
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n)
+
+
 def corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The RAG corpus: documents joined 1:1 to their embeddings.
 

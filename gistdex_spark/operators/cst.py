@@ -1001,6 +1001,253 @@ def _extract_c(code: str, cpp: bool) -> list[Boundary]:
 
 
 # ---------------------------------------------------------------------------
+# Ruby — keyword-balance scanner (def/class/module ... end). Reference node
+# inventory `language-node-types.ts:78-84`: method, class, module,
+# require/load, assignment.
+# ---------------------------------------------------------------------------
+
+# Keywords that open an `end`-terminated block when they START a statement.
+_RB_STMT_OPENERS = ("def", "class", "module", "if", "unless", "case",
+                    "while", "until", "for", "begin")
+
+
+def _rb_logical_lines(code: str) -> list[tuple[int, int, list[str]]]:
+    """(start_offset, end_offset, word_tokens) per line, with strings and
+    comments blanked so keyword counting can't be fooled by them.
+    Handles #-comments, =begin/=end blocks, and '\'-free simple quotes."""
+    import re as _re
+
+    lines = []
+    i, n = 0, len(code)
+    in_block_comment = False
+    while i < n:
+        j = code.find("\n", i)
+        if j < 0:
+            j = n
+        raw = code[i:j]
+        stripped = raw.lstrip()
+        if in_block_comment:
+            words: list[str] = []
+            if stripped.startswith("=end"):
+                in_block_comment = False
+        elif stripped.startswith("=begin"):
+            words = []
+            in_block_comment = True
+        else:
+            # blank out quotes, then cut the comment
+            blanked, out, q = raw, [], None
+            buf = []
+            for ch in raw:
+                if q:
+                    if ch == q:
+                        q = None
+                    buf.append(" ")
+                elif ch in "'\"":
+                    q = ch
+                    buf.append(" ")
+                elif ch == "#":
+                    break
+                else:
+                    buf.append(ch)
+            blanked = "".join(buf)
+            words = _re.findall(r"[A-Za-z_][A-Za-z0-9_?!]*|=", blanked)
+        lines.append((i, j, words))
+        i = j + 1
+    return lines
+
+
+def _rb_depth_delta(words: list[str]) -> int:
+    """Net end-block depth change contributed by one logical line."""
+    d = 0
+    for k, w in enumerate(words):
+        if w == "end":
+            d -= 1
+        elif w == "do":
+            d += 1
+        elif w in _RB_STMT_OPENERS:
+            # modifier forms (trailing `if`/`unless`/`while`/`until`) do
+            # not open a block — only statement-initial ones do
+            if k == 0 or w in ("def", "class", "module", "case", "begin"):
+                d += 1
+    return d
+
+
+def _extract_ruby(code: str) -> list[Boundary]:
+    lines = _rb_logical_lines(code)
+    out: list[Boundary] = []
+    depth = 0
+    open_start: int | None = None
+    open_type = ""
+    open_name: str | None = None
+    open_depth = 0
+    for s, e, words in lines:
+        if depth == 0 and open_start is None and words:
+            w0 = words[0]
+            if w0 in ("def", "class", "module"):
+                open_start = s
+                open_type = {"def": "method", "class": "class",
+                             "module": "module"}[w0]
+                open_name = words[1] if len(words) > 1 else None
+                open_depth = depth
+            elif w0 in ("require", "require_relative", "load"):
+                out.append(Boundary(
+                    "require" if w0 != "load" else "load", None, s, e,
+                    code[s:e]))
+            elif len(words) >= 2 and words[1] == "=":
+                out.append(Boundary("assignment", words[0], s, e, code[s:e]))
+        depth += _rb_depth_delta(words)
+        if open_start is not None and depth <= open_depth:
+            out.append(Boundary(open_type, open_name, open_start, e,
+                                code[open_start:e]))
+            open_start = None
+    if open_start is not None:
+        raise ValueError("unbalanced ruby block")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Bash — function definitions by brace matching, top-level assignments.
+# Reference node inventory `language-node-types.ts:113-117`.
+# ---------------------------------------------------------------------------
+
+
+def _extract_bash(code: str) -> list[Boundary]:
+    import re as _re
+
+    out: list[Boundary] = []
+    # blank comments and quoted spans so brace counting is safe
+    buf, q, i, n = [], None, 0, len(code)
+    while i < n:
+        ch = code[i]
+        if q:
+            if q != "'" and ch == "\\":
+                buf.append("  ")
+                i += 2
+                continue
+            buf.append(ch if ch == "\n" else " ")
+            if ch == q:
+                buf[-1] = " "
+                q = None
+        elif ch in "'\"`":
+            q = ch
+            buf.append(" ")
+        elif ch == "#" and (i == 0 or code[i - 1] in " \t\n;"):
+            while i < n and code[i] != "\n":
+                buf.append(" ")
+                i += 1
+            continue
+        else:
+            buf.append(ch)
+        i += 1
+    blanked = "".join(buf)
+
+    fn_re = _re.compile(
+        r"^[ \t]*(?:function[ \t]+(\w+)[ \t]*(?:\(\))?|(\w+)[ \t]*\(\))"
+        r"[ \t]*\{", _re.M)
+    var_re = _re.compile(r"^[ \t]*(?:export[ \t]+)?(\w+)=", _re.M)
+    consumed: list[tuple[int, int]] = []
+    for m in fn_re.finditer(blanked):
+        depth, j = 0, blanked.find("{", m.start())
+        k = j
+        while k < n:
+            if blanked[k] == "{":
+                depth += 1
+            elif blanked[k] == "}":
+                depth -= 1
+                if depth == 0:
+                    break
+            k += 1
+        if depth != 0:
+            raise ValueError("unbalanced bash function body")
+        out.append(Boundary("function_definition", m.group(1) or m.group(2),
+                            m.start(), k + 1, code[m.start():k + 1]))
+        consumed.append((m.start(), k + 1))
+    for m in var_re.finditer(blanked):
+        if any(s <= m.start() < e for s, e in consumed):
+            continue
+        e = blanked.find("\n", m.start())
+        e = n if e < 0 else e
+        out.append(Boundary("variable_assignment", m.group(1), m.start(), e,
+                            code[m.start():e]))
+    out.sort(key=lambda b: b.start)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# CSS — top-level rules / at-statements by brace matching.
+# Reference node inventory `language-node-types.ts:107-112`.
+# ---------------------------------------------------------------------------
+
+
+def _extract_css(code: str) -> list[Boundary]:
+    out: list[Boundary] = []
+    n = len(code)
+    i = 0
+    # blank comments and strings
+    buf, q = [], None
+    j = 0
+    while j < n:
+        ch = code[j]
+        if q:
+            buf.append(" ")
+            if ch == q:
+                q = None
+            j += 1
+        elif ch in "'\"":
+            q = ch
+            buf.append(" ")
+            j += 1
+        elif code[j:j + 2] == "/*":
+            k = code.find("*/", j + 2)
+            k = n if k < 0 else k + 2
+            buf.append(" " * (k - j))
+            j = k
+        else:
+            buf.append(ch)
+            j += 1
+    blanked = "".join(buf)
+    while i < n:
+        while i < n and blanked[i] in " \t\n;":
+            i += 1
+        if i >= n:
+            break
+        start = i
+        # find end: either a top-level `{...}` or a `;` (at-statement)
+        while i < n and blanked[i] not in "{;":
+            i += 1
+        if i >= n or blanked[i] == ";":
+            head = blanked[start:i].strip()
+            btype = "import_statement" if head.startswith("@import") else "at_statement"
+            out.append(Boundary(btype, None, start, min(i + 1, n),
+                                code[start:min(i + 1, n)]))
+            i += 1
+            continue
+        depth = 0
+        k = i
+        while k < n:
+            if blanked[k] == "{":
+                depth += 1
+            elif blanked[k] == "}":
+                depth -= 1
+                if depth == 0:
+                    break
+            k += 1
+        if depth != 0:
+            raise ValueError("unbalanced css block")
+        head = blanked[start:i].strip()
+        if head.startswith("@media"):
+            btype = "media_statement"
+        elif head.startswith("@keyframes"):
+            btype = "keyframes_statement"
+        else:
+            btype = "rule_set"
+        out.append(Boundary(btype, head or None, start, k + 1,
+                            code[start:k + 1]))
+        i = k + 1
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Dispatch + chunk adapter.
 # ---------------------------------------------------------------------------
 
@@ -1016,6 +1263,9 @@ _EXT_LANG = {
     ".java": "java",
     ".c": "c", ".h": "c",
     ".cpp": "cpp", ".cc": "cpp", ".cxx": "cpp", ".hpp": "cpp", ".hh": "cpp",
+    ".rb": "ruby",
+    ".sh": "bash", ".bash": "bash",
+    ".css": "css",
 }
 
 
@@ -1042,6 +1292,12 @@ def extract_boundaries(code: str, language: str) -> list[Boundary]:
         return _extract_java(code)
     if language in ("c", "cpp"):
         return _extract_c(code, cpp=language == "cpp")
+    if language == "ruby":
+        return _extract_ruby(code)
+    if language == "bash":
+        return _extract_bash(code)
+    if language == "css":
+        return _extract_css(code)
     raise ValueError(f"no CST parser available for language: {language}")
 
 

@@ -306,7 +306,8 @@ def test_language_for_ext():
     assert cst_language_for_ext("x.py") == "python"
     assert cst_language_for_ext("App.vue") == "vue"
     assert cst_language_for_ext("x.go") == "go"
-    assert cst_language_for_ext("x.rb") is None
+    assert cst_language_for_ext("x.rb") == "ruby"
+    assert cst_language_for_ext("x.svelte") is None
 
 
 # Mirror of the reference fixture `tests/features/test-vue.vue` — same block
@@ -625,3 +626,120 @@ def test_c_family_chunk_cst_end_to_end():
     assert [c["boundary_title"] for c in chunks] == ["a", "b"]
     assert chunks[0]["start_line"] == 1
     assert chunks[1]["start_line"] == 4
+
+
+# --------------------------------------------------------------------------
+# Round-4 languages: ruby / bash / css scanners.
+# --------------------------------------------------------------------------
+
+RUBY_SRC = """require 'json'
+CONFIG = { a: 1 }
+
+module Outer
+  class Greeter
+    def initialize(name)
+      @name = name
+    end
+
+    def greet
+      puts "hi #{@name}" if @name
+      [1, 2].each do |x|
+        puts x
+      end
+    end
+  end
+end
+
+def top_level
+  x = 1 unless false
+  x
+end
+"""
+
+
+def test_ruby_boundaries():
+    from gistdex_spark.operators.cst import extract_boundaries
+
+    bs = extract_boundaries(RUBY_SRC, "ruby")
+    kinds = [(b.type, b.name) for b in bs]
+    assert ("require", None) in kinds
+    assert ("assignment", "CONFIG") in kinds
+    assert ("module", "Outer") in kinds
+    assert ("method", "top_level") in kinds
+    mod = next(b for b in bs if b.type == "module")
+    # the module spans through its matching end despite the modifier-if,
+    # the interpolated string, and the do..end block inside
+    assert mod.text.rstrip().endswith("end")
+    assert "class Greeter" in mod.text
+
+
+def test_ruby_unbalanced_raises():
+    import pytest as _pytest
+
+    from gistdex_spark.operators.cst import extract_boundaries
+
+    with _pytest.raises(ValueError):
+        extract_boundaries("class Foo\n  def bar\n  end\n", "ruby")
+
+
+BASH_SRC = """#!/bin/bash
+NAME="world"
+export PATH=/usr/bin
+
+function greet() {
+  echo "hello { $NAME }"
+  if [ -n "$1" ]; then
+    echo "$1"
+  fi
+}
+
+cleanup() {
+  rm -f /tmp/x
+}
+"""
+
+
+def test_bash_boundaries():
+    from gistdex_spark.operators.cst import extract_boundaries
+
+    bs = extract_boundaries(BASH_SRC, "bash")
+    kinds = [(b.type, b.name) for b in bs]
+    assert ("function_definition", "greet") in kinds
+    assert ("function_definition", "cleanup") in kinds
+    assert ("variable_assignment", "NAME") in kinds
+    assert ("variable_assignment", "PATH") in kinds
+    greet = next(b for b in bs if b.name == "greet")
+    # the brace inside the quoted string must not end the body early
+    assert greet.text.rstrip().endswith("}")
+    assert "fi" in greet.text
+
+
+CSS_SRC = """@import url("base.css");
+/* comment with a { brace */
+body, html { margin: 0; color: #fff; }
+@media (max-width: 600px) {
+  body { font-size: 12px; }
+}
+@keyframes spin { from { r: 0 } to { r: 360 } }
+"""
+
+
+def test_css_boundaries():
+    from gistdex_spark.operators.cst import extract_boundaries
+
+    bs = extract_boundaries(CSS_SRC, "css")
+    types = [b.type for b in bs]
+    assert types == [
+        "import_statement", "rule_set", "media_statement",
+        "keyframes_statement",
+    ]
+    media = next(b for b in bs if b.type == "media_statement")
+    assert media.text.count("{") == media.text.count("}")
+
+
+def test_new_language_ext_dispatch():
+    from gistdex_spark.operators.cst import cst_language_for_ext
+
+    assert cst_language_for_ext("lib/foo.rb") == "ruby"
+    assert cst_language_for_ext(".sh") == "bash"
+    assert cst_language_for_ext("styles/site.css") == "css"

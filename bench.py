@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "zorder_cell_stats",
     "cumulative_active_users",
     "cohort_retention",
+    "dsir_importance_weights",
 ]
 
 

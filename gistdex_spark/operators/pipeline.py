@@ -534,3 +534,76 @@ def curate_with_metrics(docs: DataFrame):
     )
     out = split_assign(kept)
     return out, {"input": obs_in, "gated": obs_gate, "kept": obs_kept}
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_col: str = "is_target",
+    text_col: str = "text",
+    buckets: int = 64,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling", arXiv:2302.03169):
+    score every document by log p_target(x) − log p_raw(x) under
+    bag-of-hashed-bigram unigram models, so a training pipeline can
+    resample raw data toward a target distribution.
+
+    Everything is hash-space sized: both models are ``buckets``-row
+    frames (add-one smoothed over md5-hashed bigram buckets — the
+    engine-portable hash used by every sampler in this module, NOT the
+    JVM-specific murmur3), broadcast into the per-doc join. The corpus
+    pays one explode + two hash aggs keyed by (doc, bucket); no
+    vocabulary-sized structure ever exists, which is the paper's point —
+    at 100 TB the model stays ``buckets`` rows no matter how the corpus
+    grows.
+    """
+    spark = docs.sparkSession
+    t = F.split(F.col(text_col), " ")
+    bg = F.expr(
+        f"transform(sequence(0, size(split({text_col}, ' ')) - 2), "
+        f"i -> concat(element_at(split({text_col}, ' '), i + 1), ' ', "
+        f"element_at(split({text_col}, ' '), i + 2)))"
+    )
+    ex = (
+        docs.filter(F.size(t) >= 2)
+        .select(id_col, F.col(target_col), F.explode(bg).alias("g"))
+        .withColumn("b", F.expr(MD5_BUCKET.format(id="g", mod=buckets)))
+    )
+    tot_t = ex.filter(F.col(target_col)).agg(
+        F.count(F.lit(1)).alias("tt")
+    )
+    tot_r = ex.agg(F.count(F.lit(1)).alias("tr"))
+    tm = ex.filter(F.col(target_col)).groupBy("b").agg(
+        F.count(F.lit(1)).alias("ct")
+    )
+    rm = ex.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    bk = spark.range(buckets).select(F.col("id").alias("b"))
+    model = (
+        bk.join(tm, "b", "left")
+        .join(rm, "b", "left")
+        .crossJoin(F.broadcast(tot_t))
+        .crossJoin(F.broadcast(tot_r))
+        .select(
+            "b",
+            F.log(
+                (F.coalesce("ct", F.lit(0)) + 1)
+                / (F.col("tt") + buckets).cast("double")
+            ).alias("lt"),
+            F.log(
+                (F.coalesce("cr", F.lit(0)) + 1)
+                / (F.col("tr") + buckets).cast("double")
+            ).alias("lr"),
+        )
+    )
+    perdoc = ex.groupBy(id_col, "b").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        perdoc.join(F.broadcast(model), "b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("n").cast("bigint").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("n") * (F.col("lt") - F.col("lr"))), 6
+            ).alias("dsir_weight"),
+        )
+    )

@@ -117,3 +117,66 @@ def test_overwrite_mode_replaces(registered, tmp_path):
     ).save()
     back = spark.read.format("chunk_jsonl").option("path", d).load()
     assert back.count() == 1
+
+
+def test_stream_reads_only_new_files_across_batches(spark, tmp_path):
+    """The streaming form of the source: a checkpointed availableNow run
+    picks up exactly the files appended since the previous run."""
+    import json as _json
+
+    root = tmp_path / "landing"
+    root.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def emit(name, rows):
+        with open(root / name, "w", encoding="utf-8") as fh:
+            for r in rows:
+                fh.write(_json.dumps(r) + "\n")
+
+    emit("seq-000.jsonl", [
+        {"source_id": "s1", "chunk_index": 0, "content": "a", "lang": "en"},
+        {"source_id": "s1", "chunk_index": 1, "content": "b", "lang": "en"},
+    ])
+    emit("seq-001.jsonl", [
+        {"source_id": "s2", "chunk_index": 0, "content": "c", "lang": "ja"},
+    ])
+
+    from gistdex_spark.sources.jsonl_source import ChunkJsonlDataSource
+
+    try:
+        spark.dataSource.register(ChunkJsonlDataSource)
+    except Exception:
+        pass  # already registered by another test in this session
+
+    out = str(tmp_path / "out")
+
+    def run_batch():
+        q = (
+            spark.readStream.format("chunk_jsonl")
+            .option("path", str(root))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def sunk():
+        return {
+            (r.source_id, r.chunk_index)
+            for r in spark.read.parquet(out).collect()
+        }
+
+    run_batch()
+    first = sunk()
+    assert first == {("s1", 0), ("s1", 1), ("s2", 0)}
+
+    emit("seq-002.jsonl", [
+        {"source_id": "s3", "chunk_index": 0, "content": "d", "lang": "en"},
+    ])
+    run_batch()
+    # only the new file's rows were appended — no re-read of old files
+    assert sunk() == first | {("s3", 0)}

@@ -1,0 +1,50 @@
+"""Compaction and copy-on-write merge: content preserved, files reduced,
+merge idempotent."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gistdex_spark.sources.maintenance import (
+    _parquet_files,
+    compact_store,
+    merge_upsert,
+)
+
+
+def test_compaction_reduces_files_and_preserves_rows(spark, tmp_path):
+    path = str(tmp_path / "frag")
+    df = spark.range(10_000).select(
+        F.col("id"), (F.col("id") % 7).alias("v")
+    )
+    df.repartition(64).write.parquet(path)
+    assert len(_parquet_files(path)) >= 64
+
+    before = df.collect()
+    stats = compact_store(spark, path, target_mb=128)
+    assert stats["files_before"] >= 64
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["files_after"] <= 4
+
+    after = spark.read.parquet(path).collect()
+    assert sorted(r.id for r in after) == sorted(r.id for r in before)
+    assert {(r.id, r.v) for r in after} == {(r.id, r.v) for r in before}
+
+
+def test_merge_upsert_updates_inserts_and_is_idempotent(spark, tmp_path):
+    path = str(tmp_path / "store")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], schema="k BIGINT, v STRING"
+    ).write.parquet(path)
+
+    updates = spark.createDataFrame(
+        [(2, "B2"), (9, "new")], schema="k BIGINT, v STRING"
+    )
+    merge_upsert(spark, path, updates, key="k")
+    got = {(r.k, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "a"), (2, "B2"), (3, "c"), (9, "new")}
+
+    # idempotent: same updates -> same state
+    merge_upsert(spark, path, updates, key="k")
+    got2 = {(r.k, r.v) for r in spark.read.parquet(path).collect()}
+    assert got2 == got

@@ -461,3 +461,23 @@ def test_zorder_census_is_one_agg_plus_heap(q):
     df = q("zorder_cell_stats")
     assert has_take_ordered(df), "top-20 cells must be a heap, not a sort"
     assert num_shuffles(df) <= 1  # the single census agg exchange
+
+
+def test_cohort_retention_no_single_partition(q):
+    assert single_partition_exchanges(q("cohort_retention")) == 0
+
+
+def test_cumulative_users_window_is_daily_bounded(q):
+    # exactly ONE single-partition exchange is allowed: the running sum
+    # over the per-day series, whose cardinality is the calendar range —
+    # the per-user reduction (the data-sized work) happens before it
+    assert single_partition_exchanges(q("cumulative_active_users")) == 1
+
+
+def test_dsir_models_broadcast(q):
+    df = q("dsir_importance_weights")
+    strategies = join_strategies(df)
+    # the bucket-model joins must broadcast — never shuffle the corpus
+    # against a 64-row model
+    assert "BroadcastHashJoin" in strategies
+    assert "SortMergeJoin" not in strategies

@@ -33,6 +33,13 @@ EVENT_QUERIES = [
     "range_join_session_errors",
     "user_interarrival_stats",
     "user_moving_avg",
+    "event_transitions",
+    "funnel_conversion",
+    "zorder_cell_stats",
+    "cumulative_active_users",
+    "cohort_retention",
+    "user_value_quartiles",
+    "salted_user_totals",
 ]
 
 _SCRIPT = f"""

@@ -115,6 +115,8 @@ BENCH_QUERIES = [
     "cumulative_active_users",
     "cohort_retention",
     "dsir_importance_weights",
+    "fuzzy_name_pairs",
+    "event_trigram_paths",
 ]
 
 

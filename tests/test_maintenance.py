@@ -48,3 +48,51 @@ def test_merge_upsert_updates_inserts_and_is_idempotent(spark, tmp_path):
     merge_upsert(spark, path, updates, key="k")
     got2 = {(r.k, r.v) for r in spark.read.parquet(path).collect()}
     assert got2 == got
+
+
+def test_landing_zone_lifecycle(spark, tmp_path):
+    """Composition of the ingest-side pieces: a chunk_jsonl landing zone
+    streamed through foreachBatch indexing into the chunk store, then
+    compacted — row counts survive every hop."""
+    import json as _json
+
+    from gistdex_spark.sources.jsonl_source import ChunkJsonlDataSource
+    from gistdex_spark.streaming.ingest import stream_index
+
+    try:
+        spark.dataSource.register(ChunkJsonlDataSource)
+    except Exception:
+        pass
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    with open(landing / "seq-000.jsonl", "w", encoding="utf-8") as fh:
+        for i in range(6):
+            fh.write(_json.dumps({
+                "source_id": f"doc-{i}",
+                "chunk_index": 0,
+                "content": f"text number {i} " * 40,
+                "lang": "en",
+            }) + "\n")
+
+    texts = (
+        spark.readStream.format("chunk_jsonl")
+        .option("path", str(landing))
+        .load()
+        .selectExpr("source_id", "content")
+    )
+    store = str(tmp_path / "store")
+    q = stream_index(
+        texts, store, checkpoint_dir=str(tmp_path / "ckpt"),
+        query_name="landing_ingest",
+    )
+    q.awaitTermination(180)
+
+    chunks = spark.read.parquet(store)
+    n = chunks.count()
+    assert n >= 6
+    assert chunks.select("source_id").distinct().count() == 6
+
+    stats = compact_store(spark, store, target_mb=128)
+    assert stats["files_after"] <= stats["files_before"]
+    assert spark.read.parquet(store).count() == n

@@ -481,3 +481,15 @@ def test_dsir_models_broadcast(q):
     # against a 64-row model
     assert "BroadcastHashJoin" in strategies
     assert "SortMergeJoin" not in strategies
+
+
+def test_fuzzy_pairs_join_is_blocked_not_cartesian(q):
+    strategies = join_strategies(q("fuzzy_name_pairs"))
+    assert "CartesianProduct" not in strategies
+    assert "BroadcastNestedLoopJoin" not in strategies
+
+
+def test_trigram_paths_heap_and_partitioned_window(q):
+    df = q("event_trigram_paths")
+    assert has_take_ordered(df)
+    assert single_partition_exchanges(df) == 0

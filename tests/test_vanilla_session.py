@@ -40,6 +40,7 @@ EVENT_QUERIES = [
     "cohort_retention",
     "user_value_quartiles",
     "salted_user_totals",
+    "event_trigram_paths",
 ]
 
 _SCRIPT = f"""

@@ -1248,6 +1248,84 @@ def _extract_css(code: str) -> list[Boundary]:
 
 
 # ---------------------------------------------------------------------------
+# HTML — top-level elements by tag-depth tracking.
+# Reference node inventory `language-node-types.ts:102-106`: element,
+# script_element, style_element.
+# ---------------------------------------------------------------------------
+
+_HTML_VOID = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+
+
+def _extract_html(code: str) -> list[Boundary]:
+    import re as _re
+
+    tag_re = _re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9-]*)((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)(/?)>")
+    out: list[Boundary] = []
+    i, n = 0, len(code)
+    stack: list[tuple[str, int]] = []  # (tag, start offset) of open elements
+    while i < n:
+        lt = code.find("<", i)
+        if lt < 0:
+            break
+        if code.startswith("<!--", lt):
+            end = code.find("-->", lt + 4)
+            i = n if end < 0 else end + 3
+            continue
+        if code.startswith("<!", lt):  # doctype / declarations
+            gt = code.find(">", lt)
+            i = n if gt < 0 else gt + 1
+            continue
+        m = tag_re.match(code, lt)
+        if not m:
+            i = lt + 1
+            continue
+        closing, tag, _attrs, selfclose = m.groups()
+        tag = tag.lower()
+        i = m.end()
+        if closing:
+            # pop to the matching open tag (tolerates unclosed inline tags)
+            for k in range(len(stack) - 1, -1, -1):
+                if stack[k][0] == tag:
+                    top_tag, top_start = stack[k]
+                    del stack[k:]
+                    if not stack:  # a depth-0 element just closed
+                        btype = (
+                            "script_element" if top_tag == "script"
+                            else "style_element" if top_tag == "style"
+                            else "element"
+                        )
+                        out.append(Boundary(
+                            btype, top_tag, top_start, m.end(),
+                            code[top_start:m.end()]))
+                    break
+            continue
+        if selfclose or tag in _HTML_VOID:
+            if not stack:
+                out.append(Boundary("element", tag, lt, m.end(),
+                                    code[lt:m.end()]))
+            continue
+        if tag in ("script", "style"):
+            # raw-text elements: no tag parsing until the literal closer
+            close = code.lower().find(f"</{tag}", m.end())
+            if close < 0:
+                raise ValueError(f"unclosed <{tag}> element")
+            gt = code.find(">", close)
+            end = n if gt < 0 else gt + 1
+            if not stack:
+                out.append(Boundary(
+                    "script_element" if tag == "script" else "style_element",
+                    tag, lt, end, code[lt:end]))
+            i = end
+            continue
+        stack.append((tag, lt))
+    if stack:
+        raise ValueError(f"unclosed <{stack[0][0]}> element")
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Dispatch + chunk adapter.
 # ---------------------------------------------------------------------------
 
@@ -1266,6 +1344,7 @@ _EXT_LANG = {
     ".rb": "ruby",
     ".sh": "bash", ".bash": "bash",
     ".css": "css",
+    ".html": "html", ".htm": "html",
 }
 
 
@@ -1298,6 +1377,8 @@ def extract_boundaries(code: str, language: str) -> list[Boundary]:
         return _extract_bash(code)
     if language == "css":
         return _extract_css(code)
+    if language == "html":
+        return _extract_html(code)
     raise ValueError(f"no CST parser available for language: {language}")
 
 

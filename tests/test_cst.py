@@ -743,3 +743,55 @@ def test_new_language_ext_dispatch():
     assert cst_language_for_ext("lib/foo.rb") == "ruby"
     assert cst_language_for_ext(".sh") == "bash"
     assert cst_language_for_ext("styles/site.css") == "css"
+
+
+HTML_SRC = """<!DOCTYPE html>
+<!-- a comment with <div> inside -->
+<header class="top">
+  <h1>Title</h1>
+  <img src="x.png">
+</header>
+<script type="text/javascript">
+  if (a < b) { document.write("</div>"); }
+</script>
+<style>
+  body { color: red; }
+</style>
+<main>
+  <p>one</p>
+  <br/>
+</main>
+"""
+
+
+def test_html_boundaries():
+    from gistdex_spark.operators.cst import extract_boundaries
+
+    bs = extract_boundaries(HTML_SRC, "html")
+    assert [(b.type, b.name) for b in bs] == [
+        ("element", "header"),
+        ("script_element", "script"),
+        ("style_element", "style"),
+        ("element", "main"),
+    ]
+    # raw-text handling: the script body's fake close tag and the `<`
+    # comparison must not end the element early
+    script = bs[1]
+    assert 'document.write' in script.text
+    assert script.text.rstrip().endswith("</script>")
+
+
+def test_html_unclosed_raises():
+    import pytest as _pytest
+
+    from gistdex_spark.operators.cst import extract_boundaries
+
+    with _pytest.raises(ValueError):
+        extract_boundaries("<div><p>x</p>", "html")
+
+
+def test_html_ext_dispatch():
+    from gistdex_spark.operators.cst import cst_language_for_ext
+
+    assert cst_language_for_ext("index.html") == "html"
+    assert cst_language_for_ext(".htm") == "html"

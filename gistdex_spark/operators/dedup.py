@@ -427,47 +427,59 @@ def connected_components(
         .distinct()
         .withColumn("label", F.col("node"))
     )
-    changed = 0
-    for _ in range(max_iter):
+    def step(lbl):
+        """One propagation round: neighbor-min then pointer jump
+        (label ← label(label)). Plain neighbor-min needs diameter rounds
+        — measured 13 on the sf0.1 near-dup graph, whose transitive
+        chains run long — while the jump halves surviving chain length
+        every round (O(log d)). Any label value is itself a node id, so
+        the lookup is a left self-join on the label frame. The changed
+        flag rides along in the row, so convergence costs one agg over
+        the checkpointed frame — not an extra old-vs-new join."""
         nbr = (
-            sym.join(labels, sym.src == labels.node)
+            sym.join(lbl, sym.src == lbl.node)
             .select(F.col("dst").alias("node"), "label")
             .groupBy("node")
             .agg(F.min("label").alias("nbr_min"))
         )
-        stepped = labels.join(nbr, "node", "left").select(
+        stepped = lbl.join(nbr, "node", "left").select(
             "node",
             F.col("label").alias("__old"),
             F.least(F.col("label"), F.coalesce("nbr_min", F.col("label"))).alias(
                 "__mid"
             ),
         )
-        # Pointer jump: label ← label(label), against the (checkpointed)
-        # previous round's labels. Plain neighbor-min needs diameter
-        # rounds — measured 13 on the sf0.1 near-dup graph, whose
-        # transitive chains run long — while the jump halves surviving
-        # chain length every round (O(log d)). Any label value is itself
-        # a node id, so the lookup is a left self-join on the label frame.
-        # The changed flag rides along in the same row, so convergence
-        # costs one agg over the checkpointed frame — not an extra
-        # old-vs-new join per round.
-        parent = labels.select(
+        parent = lbl.select(
             F.col("node").alias("__pn"), F.col("label").alias("__pl")
         )
-        new_labels = cut(
-            stepped.join(parent, stepped.__mid == F.col("__pn"), "left").select(
-                "node",
-                F.least(
-                    F.col("__mid"), F.coalesce("__pl", F.col("__mid"))
-                ).alias("label"),
-                (
-                    F.least(F.col("__mid"), F.coalesce("__pl", F.col("__mid")))
-                    < F.col("__old")
-                )
-                .cast("int")
-                .alias("__chg"),
+        return stepped.join(
+            parent, stepped.__mid == F.col("__pn"), "left"
+        ).select(
+            "node",
+            F.least(F.col("__mid"), F.coalesce("__pl", F.col("__mid"))).alias(
+                "label"
+            ),
+            (
+                F.least(F.col("__mid"), F.coalesce("__pl", F.col("__mid")))
+                < F.col("__old")
             )
+            .cast("int")
+            .alias("__chg"),
         )
+
+    # TWO steps per checkpoint/convergence probe: the wall-clock of the
+    # loop on a shallow graph is driver round-trips (eager cut + changed
+    # agg = 2 jobs), not compute, so fusing a second lazy step before the
+    # cut halves the job count. Lineage depth stays 2 between cuts —
+    # nowhere near the analyzer blowup that mandates the cut itself —
+    # and the worst case is one extra (cheap, already-converged) step.
+    changed = 0
+    rounds = 0
+    while rounds < max_iter:
+        first = step(labels).drop("__chg")
+        fused = step(first) if rounds + 1 < max_iter else step(labels)
+        rounds += 2 if rounds + 1 < max_iter else 1
+        new_labels = cut(fused)
         changed = new_labels.agg(F.sum("__chg")).first()[0] or 0
         labels = new_labels.drop("__chg")
         if changed == 0:

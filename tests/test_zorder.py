@@ -123,3 +123,25 @@ def test_zorder_cell_stats_nonvacuous_at_smoke(spark):
     from gistdex_spark.queries import REGISTRY
 
     assert REGISTRY["zorder_cell_stats"](spark, SF_SMOKE).count() > 0
+
+
+def test_morton_property_random_coords(duck):
+    """Property: the generated SQL equals the bit-twiddling reference for
+    arbitrary in-range coordinates (hypothesis-driven, evaluated through
+    DuckDB — the oracle engine that must agree with Spark)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from gistdex_spark.functions.zorder import sql_morton2
+
+    expr = sql_morton2("xb", "yb", 8)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.integers(0, 255), st.integers(0, 255))
+    def check(x, y):
+        (z,) = duck.execute(
+            f"SELECT {expr} FROM (SELECT {x} AS xb, {y} AS yb)"
+        ).fetchone()
+        assert z == _morton_ref(x, y)
+
+    check()

@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "dsir_importance_weights",
     "fuzzy_name_pairs",
     "event_trigram_paths",
+    "user_value_range_frame",
 ]
 
 

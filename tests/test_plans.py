@@ -493,3 +493,7 @@ def test_trigram_paths_heap_and_partitioned_window(q):
     df = q("event_trigram_paths")
     assert has_take_ordered(df)
     assert single_partition_exchanges(df) == 0
+
+
+def test_range_frame_window_is_partitioned(q):
+    assert single_partition_exchanges(q("user_value_range_frame")) == 0

@@ -41,6 +41,7 @@ EVENT_QUERIES = [
     "user_value_quartiles",
     "salted_user_totals",
     "event_trigram_paths",
+    "user_value_range_frame",
 ]
 
 _SCRIPT = f"""

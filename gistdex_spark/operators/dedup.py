@@ -42,11 +42,12 @@ def _spread(df: DataFrame) -> DataFrame:
     """Round-robin repartition a small-file scan so CPU-heavy per-row
     expressions use every core. No-op when the source already has enough
     splits — the 100 TB case, where parquet row groups provide the
-    parallelism and the extra exchange would be pure waste."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    parallelism and the extra exchange would be pure waste. (The shared
+    implementation lives in sources/tables.spread; re-exported here for
+    the operators that predate it.)"""
+    from gistdex_spark.sources.tables import spread
+
+    return spread(df)
 
 
 def shingle_hashes(df: DataFrame, content_col: str = "text", n: int = 5) -> DataFrame:

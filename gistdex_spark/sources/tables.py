@@ -91,6 +91,8 @@ def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
     operator keeps the knob rather than assuming scan parallelism.
     """
     n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df  # already parallel enough — skip the exchange entirely
     return df.repartition(n)
 
 

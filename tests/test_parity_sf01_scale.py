@@ -1,0 +1,57 @@
+"""Scale-up parity: a curated slice of the registry re-checked against
+DuckDB at sf0.1 (10x the full-suite SF). Catches what sf0.01 cannot:
+partitioning-dependent float accumulation, threshold flips on bigger
+domains, and overflow — the "results must not depend on cluster size"
+claim of SCALE.md, tested rather than asserted.
+
+Curated rather than exhaustive (the full 139-query run at sf0.1 belongs
+to make_parity, not the per-commit suite): one representative per family
+whose aggregation shape could plausibly drift with data size.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from gistdex_spark.parity import compare
+from gistdex_spark.queries import ORACLES, REGISTRY
+
+SF_DIR = "/root/testdata/sf0.1"
+
+SAMPLE = [
+    "q1_pricing_summary",        # double sums over 600k rows
+    "knn_topk",                  # rank boundary on rounded cosine
+    "dedup_survivors",           # iterative CC end-to-end
+    "semdedup_prune",            # salted pair join + cluster assignment
+    "dsir_importance_weights",   # log-ratio double sums per doc
+    "corpus_curation_pipeline",  # full composition
+    "event_transitions",         # window + normalized doubles
+    "cumulative_active_users",   # running sum
+    "user_value_range_frame",    # RANGE frame over doubles
+    "fuzzy_name_pairs",          # symspell candidates vs naive oracle
+]
+
+
+@pytest.fixture(scope="module")
+def duck_sf01():
+    con = duckdb.connect()
+    for t in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", SAMPLE)
+def test_scale_parity(name, spark, duck_sf01):
+    sdf = REGISTRY[name](spark, SF_DIR).toPandas()
+    ddf = duck_sf01.execute(ORACLES[name]).fetchdf()
+    r = compare(sdf, ddf)
+    assert r["rows_match"], (name, r["spark_rows"], r["oracle_rows"])
+    assert r["schema_match"], name
+    assert r["values_match"], (name, r.get("first_mismatches", [])[:3])

@@ -108,11 +108,91 @@ def pil_resize(payload: bytes, width: int, height: int) -> bytes:
     return buf.getvalue()
 
 
+def bmp_encode_gray(arr: np.ndarray) -> bytes:
+    """Minimal 24-bpp uncompressed BMP encoder for a grayscale uint8
+    (h, w) array — test fixture generator so the real decode path has
+    real image bytes to chew on without any imaging library."""
+    h, w = arr.shape
+    stride = ((w * 3 + 3) // 4) * 4
+    data = bytearray()
+    for y in range(h - 1, -1, -1):  # BMP rows are bottom-up
+        row = bytearray()
+        for x in range(w):
+            v = int(arr[y, x])
+            row += bytes((v, v, v))  # B, G, R
+        row += b"\x00" * (stride - len(row))
+        data += row
+    off = 14 + 40
+    size = off + len(data)
+    header = (
+        b"BM"
+        + size.to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(data).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return bytes(header) + bytes(data)
+
+
+def bmp_decode(payload: bytes, dim: int = 8) -> np.ndarray:
+    """REAL image decoder with zero dependencies: parse an uncompressed
+    24-bpp BMP (BITMAPINFOHEADER), luma-grayscale, and mean-pool columns
+    into a ``dim``-value strip in [0, 1]. Covers the one mainstream
+    format a pure-Python reader can handle exactly, so the real-decode
+    path is exercisable even on codec-less clusters; PIL takes over for
+    every other format when present."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = int.from_bytes(payload[10:14], "little")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h_raw = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    comp = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError("bmp_decode handles uncompressed 24-bpp only")
+    top_down, h = h_raw < 0, abs(h_raw)
+    stride = ((w * 3 + 3) // 4) * 4
+    rows = [
+        np.frombuffer(payload, dtype=np.uint8, count=w * 3, offset=off + y * stride)
+        .reshape(w, 3)
+        .astype(np.float64)
+        for y in range(h)
+    ]
+    px = np.stack(rows if top_down else rows[::-1])  # (h, w, BGR)
+    luma = px[..., 2] * 0.299 + px[..., 1] * 0.587 + px[..., 0] * 0.114
+    col_mean = luma.mean(axis=0)
+    bucket = (np.arange(w) * dim) // w
+    out = np.array(
+        [
+            col_mean[bucket == i].mean() if (bucket == i).any() else 0.0
+            for i in range(dim)
+        ]
+    )
+    return out / 255.0
+
+
+def portable_decode(payload: bytes, dim: int = 8) -> np.ndarray:
+    """Codec-less real path: BMP payloads decode for real, anything else
+    falls to the deterministic fake. Same signature/shape as pil_decode."""
+    if (payload or b"")[:2] == b"BM":
+        return bmp_decode(payload, dim)
+    return fake_decode(payload, dim)
+
+
 def default_decoder():
     """The optional-import dispatch: PIL-backed decode where the cluster
-    has codecs, the deterministic fake otherwise — same signature and
-    output schema either way, so plans and tests are identical."""
-    return pil_decode if have_image_codec() else fake_decode
+    has codecs; otherwise the portable path (real BMP decoding, the
+    deterministic fake for formats that genuinely need a codec library) —
+    same signature and output schema either way, so plans and tests are
+    identical."""
+    return pil_decode if have_image_codec() else portable_decode
 
 
 def default_resizer():

@@ -39,7 +39,11 @@ HAS_PIL = have_image_codec()
 
 @pytest.mark.skipif(HAS_PIL, reason="Pillow present: real path active")
 def test_without_pil_defaults_are_fakes_and_real_raises():
-    assert default_decoder() is fake_decode
+    from gistdex_spark.operators.multimodal import portable_decode
+
+    # without PIL the decode default is the PORTABLE path (real BMP
+    # decoding, deterministic fake for codec-needing formats)
+    assert default_decoder() is portable_decode
     assert default_resizer() is fake_resize
     with pytest.raises(NotImplementedError):
         pil_decode(b"\x89PNG", dim=4)
@@ -167,3 +171,63 @@ def test_stub_slots_raise(spark):
         resize_stub(b"x", 8, 8)
     with pytest.raises(NotImplementedError):
         frame_sample_stub(b"x", 0)
+
+
+def test_bmp_real_decode_roundtrip():
+    """The dependency-free real codec: an encoded gradient decodes to a
+    monotonically increasing strip — actual pixel math, not a hash."""
+    import numpy as np
+
+    from gistdex_spark.operators.multimodal import bmp_decode, bmp_encode_gray
+
+    arr = np.tile(np.linspace(0, 255, 16).astype(np.uint8), (8, 1))
+    strip = bmp_decode(bmp_encode_gray(arr), dim=8)
+    assert len(strip) == 8
+    assert all(strip[i] < strip[i + 1] for i in range(7))
+    # uniform image decodes to a constant strip at the right level
+    flat = bmp_decode(
+        bmp_encode_gray(np.full((4, 4), 128, dtype=np.uint8)), dim=4
+    )
+    assert np.allclose(flat, 128 / 255.0)
+
+
+def test_portable_decoder_dispatches_on_magic():
+    import numpy as np
+
+    from gistdex_spark.operators.multimodal import (
+        bmp_encode_gray,
+        fake_decode,
+        portable_decode,
+    )
+
+    bmp = bmp_encode_gray(np.zeros((2, 2), dtype=np.uint8))
+    assert np.allclose(portable_decode(bmp), 0.0)  # real decode
+    other = b"\x89PNG fake"
+    assert (portable_decode(other) == fake_decode(other)).all()
+
+
+def test_extract_features_with_real_bmp_payloads(spark):
+    """End-to-end over the Spark plumbing: BINARY BMP payloads through the
+    Arrow mapInPandas feature extractor with the REAL decoder."""
+    import numpy as np
+
+    from gistdex_spark.operators.multimodal import (
+        bmp_encode_gray,
+        extract_features,
+        portable_decode,
+    )
+
+    rows = []
+    for i in range(4):
+        arr = np.full((8, 8), 40 * i, dtype=np.uint8)
+        rows.append((f"m{i}", "image", bytearray(bmp_encode_gray(arr))))
+    df = spark.createDataFrame(
+        rows, schema="media_id STRING, kind STRING, payload BINARY"
+    )
+    out = {
+        r.media_id: r.features
+        for r in extract_features(df, decoder=portable_decode).collect()
+    }
+    assert len(out) == 4
+    for i in range(4):
+        assert np.allclose(out[f"m{i}"], (40 * i) / 255.0), out[f"m{i}"]

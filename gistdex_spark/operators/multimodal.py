@@ -178,11 +178,60 @@ def bmp_decode(payload: bytes, dim: int = 8) -> np.ndarray:
     return out / 255.0
 
 
+def wav_encode_pcm16(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """Test-fixture encoder: mono 16-bit PCM WAV from int16 samples,
+    via the stdlib wave module (no audio library needed)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def wav_decode(payload: bytes, dim: int = 8) -> np.ndarray:
+    """REAL audio decoder with zero dependencies: stdlib ``wave`` parses
+    the RIFF container, then per-window RMS energy over ``dim`` equal
+    slices — normalized to [0, 1] by the int16 full scale. The audio
+    twin of ``bmp_decode``: real signal math wherever the payload is
+    PCM WAV, PIL-style external codecs only for compressed formats."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        if w.getsampwidth() != 2:
+            raise NotImplementedError("wav_decode handles 16-bit PCM only")
+        n = w.getnframes()
+        raw = w.readframes(n)
+        ch = w.getnchannels()
+    x = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+    if ch > 1:
+        x = x.reshape(-1, ch).mean(axis=1)
+    if len(x) == 0:
+        return np.zeros(dim)
+    bucket = (np.arange(len(x)) * dim) // len(x)
+    out = np.array(
+        [
+            np.sqrt(np.mean(x[bucket == i] ** 2)) if (bucket == i).any() else 0.0
+            for i in range(dim)
+        ]
+    )
+    return out / 32768.0
+
+
 def portable_decode(payload: bytes, dim: int = 8) -> np.ndarray:
-    """Codec-less real path: BMP payloads decode for real, anything else
-    falls to the deterministic fake. Same signature/shape as pil_decode."""
-    if (payload or b"")[:2] == b"BM":
+    """Codec-less real path: BMP images and PCM WAV audio decode for
+    real (pure Python / stdlib), anything else falls to the
+    deterministic fake. Same signature/shape as pil_decode."""
+    head = (payload or b"")[:4]
+    if head[:2] == b"BM":
         return bmp_decode(payload, dim)
+    if head == b"RIFF":
+        return wav_decode(payload, dim)
     return fake_decode(payload, dim)
 
 

@@ -231,3 +231,24 @@ def test_extract_features_with_real_bmp_payloads(spark):
     assert len(out) == 4
     for i in range(4):
         assert np.allclose(out[f"m{i}"], (40 * i) / 255.0), out[f"m{i}"]
+
+
+def test_wav_real_decode_energy_profile():
+    """stdlib-wave real audio path: silence then a square wave decodes to
+    a low→high RMS energy profile — actual signal math."""
+    import numpy as np
+
+    from gistdex_spark.operators.multimodal import (
+        portable_decode,
+        wav_decode,
+        wav_encode_pcm16,
+    )
+
+    s = np.concatenate(
+        [np.zeros(4000), 20000 * np.sign(np.sin(np.arange(4000)))]
+    ).astype(np.int16)
+    p = wav_encode_pcm16(s)
+    f = wav_decode(p, dim=4)
+    assert f[0] < 0.01 and f[1] < 0.01
+    assert f[2] > 0.5 and f[3] > 0.5
+    assert (portable_decode(p, 4) == f).all()  # RIFF magic dispatch

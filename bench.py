@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     "fuzzy_name_pairs",
     "event_trigram_paths",
     "user_value_range_frame",
+    "user_value_ewma",
 ]
 
 

@@ -795,3 +795,26 @@ def test_html_ext_dispatch():
 
     assert cst_language_for_ext("index.html") == "html"
     assert cst_language_for_ext(".htm") == "html"
+
+
+def test_scanners_never_crash_on_arbitrary_text():
+    """Fuzz: every scanner either parses or raises ValueError /
+    NotImplementedError (the fallback contract) — never IndexError or
+    an unbounded loop on adversarial input."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from gistdex_spark.operators.cst import extract_boundaries
+
+    langs = ["ruby", "bash", "css", "html", "javascript", "python", "go"]
+
+    @settings(max_examples=120, deadline=None)
+    @given(st.text(alphabet=st.characters(max_codepoint=0x2FF), max_size=300))
+    def check(code):
+        for lang in langs:
+            try:
+                extract_boundaries(code, lang)
+            except (ValueError, NotImplementedError, SyntaxError):
+                pass
+
+    check()

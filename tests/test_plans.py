@@ -497,3 +497,9 @@ def test_trigram_paths_heap_and_partitioned_window(q):
 
 def test_range_frame_window_is_partitioned(q):
     assert single_partition_exchanges(q("user_value_range_frame")) == 0
+
+
+def test_ewma_fold_is_single_agg(q):
+    df = q("user_value_ewma")
+    assert num_shuffles(df) == 1  # the per-user collect agg
+    assert single_partition_exchanges(df) == 0

@@ -42,6 +42,7 @@ EVENT_QUERIES = [
     "salted_user_totals",
     "event_trigram_paths",
     "user_value_range_frame",
+    "user_value_ewma",
 ]
 
 _SCRIPT = f"""

@@ -1050,25 +1050,50 @@ def _rb_logical_lines(code: str) -> list[tuple[int, int, list[str]]]:
                 else:
                     buf.append(ch)
             blanked = "".join(buf)
-            words = _re.findall(r"[A-Za-z_][A-Za-z0-9_?!]*|=", blanked)
+            # numbers, @ivars and $globals must be tokens too — the
+            # value-position rule checks ADJACENCY to "=", and dropping
+            # `1` from `x = 1 unless y` would make the modifier look
+            # value-position
+            words = _re.findall(
+                r"[A-Za-z_@$][A-Za-z0-9_?!]*|[0-9][A-Za-z0-9_.]*|=", blanked
+            )
         lines.append((i, j, words))
         i = j + 1
     return lines
 
 
 def _rb_depth_delta(words: list[str]) -> int:
-    """Net end-block depth change contributed by one logical line."""
+    """Net end-block depth change contributed by one logical line.
+
+    Two Ruby-isms matter beyond statement-initial openers:
+    - VALUE-position conditionals (``x = if cond ... end``) open a block
+      even though the keyword is mid-line — recognized by the preceding
+      ``=`` token (modifier forms like ``x += 1 if y`` never follow a
+      bare ``=``);
+    - optional loop ``do`` (``while cond do``) belongs to the loop
+      keyword and must not count a second opener against the single
+      ``end``.
+    """
     d = 0
+    loop_do_pending = False
     for k, w in enumerate(words):
         if w == "end":
             d -= 1
+            loop_do_pending = False
         elif w == "do":
-            d += 1
-        elif w in _RB_STMT_OPENERS:
-            # modifier forms (trailing `if`/`unless`/`while`/`until`) do
-            # not open a block — only statement-initial ones do
-            if k == 0 or w in ("def", "class", "module", "case", "begin"):
+            if loop_do_pending:
+                loop_do_pending = False  # the loop's own optional do
+            else:
                 d += 1
+        elif w in _RB_STMT_OPENERS:
+            if (
+                k == 0
+                or words[k - 1] == "="
+                or w in ("def", "class", "module", "case", "begin")
+            ):
+                d += 1
+                if w in ("while", "until", "for"):
+                    loop_do_pending = True
     return d
 
 
@@ -1111,14 +1136,42 @@ def _extract_ruby(code: str) -> list[Boundary]:
 # ---------------------------------------------------------------------------
 
 
+def _bash_blank_heredocs(code: str) -> str:
+    """Length-preserving blanking of heredoc bodies (``<<EOF`` ...
+    delimiter line): a ``}`` inside a heredoc (JSON/config payloads are
+    ubiquitous in real scripts) must not close the enclosing function's
+    brace match. ``<<-`` allows tab-indented delimiters; ``<<<``
+    here-strings are not heredocs and are left alone."""
+    import re as _re
+
+    lines = code.split("\n")
+    out, delim, strip_tabs = [], None, False
+    opener = _re.compile(r"<<(-?)\s*(['\"]?)(\w+)\2")
+    for line in lines:
+        if delim is not None:
+            probe = line.lstrip("\t") if strip_tabs else line
+            ended = probe == delim
+            out.append(" " * len(line))
+            if ended:
+                delim = None
+            continue
+        m = opener.search(line.replace("<<<", "   "))
+        if m:
+            delim, strip_tabs = m.group(3), m.group(1) == "-"
+        out.append(line)
+    return "\n".join(out)
+
+
 def _extract_bash(code: str) -> list[Boundary]:
     import re as _re
 
     out: list[Boundary] = []
-    # blank comments and quoted spans so brace counting is safe
-    buf, q, i, n = [], None, 0, len(code)
+    # blank heredoc bodies first (their braces/quotes are data), then
+    # comments and quoted spans, so brace counting is safe
+    code_scan = _bash_blank_heredocs(code)
+    buf, q, i, n = [], None, 0, len(code_scan)
     while i < n:
-        ch = code[i]
+        ch = code_scan[i]
         if q:
             if q != "'" and ch == "\\":
                 buf.append("  ")
@@ -1131,8 +1184,8 @@ def _extract_bash(code: str) -> list[Boundary]:
         elif ch in "'\"`":
             q = ch
             buf.append(" ")
-        elif ch == "#" and (i == 0 or code[i - 1] in " \t\n;"):
-            while i < n and code[i] != "\n":
+        elif ch == "#" and (i == 0 or code_scan[i - 1] in " \t\n;"):
+            while i < n and code_scan[i] != "\n":
                 buf.append(" ")
                 i += 1
             continue
@@ -1321,7 +1374,18 @@ def _extract_html(code: str) -> list[Boundary]:
             continue
         stack.append((tag, lt))
     if stack:
-        raise ValueError(f"unclosed <{stack[0][0]}> element")
+        # HTML5 end tags are OPTIONAL for many elements (p, li, td, ...)
+        # and real pages routinely leave the last element unclosed;
+        # tree-sitter's html grammar error-recovers the same way. Close
+        # whatever is still open at EOF: the outermost open element
+        # becomes a boundary spanning to the end of the document.
+        top_tag, top_start = stack[0]
+        btype = (
+            "script_element" if top_tag == "script"
+            else "style_element" if top_tag == "style"
+            else "element"
+        )
+        out.append(Boundary(btype, top_tag, top_start, n, code[top_start:n]))
     return out
 
 

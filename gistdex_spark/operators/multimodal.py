@@ -226,12 +226,22 @@ def wav_decode(payload: bytes, dim: int = 8) -> np.ndarray:
 def portable_decode(payload: bytes, dim: int = 8) -> np.ndarray:
     """Codec-less real path: BMP images and PCM WAV audio decode for
     real (pure Python / stdlib), anything else falls to the
-    deterministic fake. Same signature/shape as pil_decode."""
+    deterministic fake. Same signature/shape as pil_decode.
+
+    Best-effort by contract: a payload whose magic LOOKS decodable but
+    isn't (WebP/AVI are RIFF containers too; 32-bpp or palette BMPs;
+    text that happens to start with "BM") falls back to the fake rather
+    than raising — a single odd payload must never fail a corpus-wide
+    mapInPandas job, which is exactly what the pre-codec default
+    guaranteed."""
     head = (payload or b"")[:4]
-    if head[:2] == b"BM":
-        return bmp_decode(payload, dim)
-    if head == b"RIFF":
-        return wav_decode(payload, dim)
+    try:
+        if head[:2] == b"BM":
+            return bmp_decode(payload, dim)
+        if head == b"RIFF":
+            return wav_decode(payload, dim)
+    except Exception:
+        pass
     return fake_decode(payload, dim)
 
 

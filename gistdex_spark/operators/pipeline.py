@@ -570,33 +570,39 @@ def dsir_weights(
         .select(id_col, F.col(target_col), F.explode(bg).alias("g"))
         .withColumn("b", F.expr(MD5_BUCKET.format(id="g", mod=buckets)))
     )
-    tot_t = ex.filter(F.col(target_col)).agg(
-        F.count(F.lit(1)).alias("tt")
+    # ONE corpus pass builds the (doc, bucket) counts; the bucket models
+    # and their normalizing totals all derive from that 64-bucket frame
+    # (Spark has no cross-branch CSE — naming `ex` five times would
+    # explode every document's bigrams five times). The totals ride an
+    # unpartitioned window over the model frame, which is bounded by
+    # ``buckets``, never by data.
+    from pyspark.sql import Window
+
+    perdoc = ex.groupBy(id_col, target_col, "b").agg(
+        F.count(F.lit(1)).alias("n")
     )
-    tot_r = ex.agg(F.count(F.lit(1)).alias("tr"))
-    tm = ex.filter(F.col(target_col)).groupBy("b").agg(
-        F.count(F.lit(1)).alias("ct")
+    model_counts = perdoc.groupBy("b").agg(
+        F.sum("n").alias("cr"),
+        F.sum(F.when(F.col(target_col), F.col("n")).otherwise(0)).alias("ct"),
     )
-    rm = ex.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
     bk = spark.range(buckets).select(F.col("id").alias("b"))
+    w_all = Window.partitionBy()
     model = (
-        bk.join(tm, "b", "left")
-        .join(rm, "b", "left")
-        .crossJoin(F.broadcast(tot_t))
-        .crossJoin(F.broadcast(tot_r))
+        bk.join(model_counts, "b", "left")
         .select(
             "b",
             F.log(
                 (F.coalesce("ct", F.lit(0)) + 1)
-                / (F.col("tt") + buckets).cast("double")
+                / (F.sum(F.coalesce("ct", F.lit(0))).over(w_all) + buckets)
+                .cast("double")
             ).alias("lt"),
             F.log(
                 (F.coalesce("cr", F.lit(0)) + 1)
-                / (F.col("tr") + buckets).cast("double")
+                / (F.sum(F.coalesce("cr", F.lit(0))).over(w_all) + buckets)
+                .cast("double")
             ).alias("lr"),
         )
     )
-    perdoc = ex.groupBy(id_col, "b").agg(F.count(F.lit(1)).alias("n"))
     return (
         perdoc.join(F.broadcast(model), "b")
         .groupBy(id_col)

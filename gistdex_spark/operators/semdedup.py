@@ -44,6 +44,7 @@ def semdedup(
     salt: int = 8,
     pair_partitions: int = 64,
     partitions: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """(id, cluster, cos_centroid, pruned): SemDeDup verdict per vector.
 
@@ -93,6 +94,15 @@ def semdedup(
         )
         .drop("c__vec", "c__nrm")
     )
+    if materialize:
+        # `base` is consumed three times (both pair-join sides and the
+        # final verdict join) and Spark has no cross-branch CSE — without
+        # a cut, the assignment argmax fold over the whole corpus runs
+        # three times per action. The eager localCheckpoint stores base
+        # once (the standard store-vs-recompute trade of multi-pass
+        # algorithms; swap for reliable checkpoint() on long cluster
+        # jobs, exactly as in connected_components).
+        base = base.localCheckpoint(eager=True)
     left = base.select(
         F.col("cluster"),
         F.col(id_col).alias("id_a"),

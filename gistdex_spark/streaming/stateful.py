@@ -115,15 +115,13 @@ TRANSITION_OUTPUT = StructType(
     ]
 )
 
-# "" / -1 sentinels: applyInPandasWithState state rows cannot hold NULLs
-# portably, and the first event of a user has no predecessor.
-TRANSITION_STATE = StructType(
-    [
-        StructField("last_us", LongType()),
-        StructField("last_event_id", LongType()),
-        StructField("last_type", StringType()),
-    ]
-)
+# "" sentinel: applyInPandasWithState state rows cannot hold NULLs
+# portably, and the first event of a user has no predecessor. The state
+# is ONLY the last event type — the operator assumes micro-batches
+# arrive in event-time order per user (an ordered landing zone, as the
+# chunk_jsonl streaming source guarantees); it does not reorder late
+# events across batches, so no timestamp belongs in the state.
+TRANSITION_STATE = StructType([StructField("last_type", StringType())])
 
 
 def track_transitions(
@@ -135,7 +133,7 @@ def track_transitions(
     (user_id,) = key
     last_type = None
     if state.exists:
-        _, _, t = state.get
+        (t,) = state.get
         last_type = t if t != "" else None
 
     frames = []
@@ -145,16 +143,15 @@ def track_transitions(
         frames.append(sub[["us", "event_id", "event_type"]])
 
     counts: dict[tuple[str, str], int] = {}
-    last_us, last_eid = -1, -1
     if frames:
         ordered = pd.concat(frames).sort_values(["us", "event_id"])
-        for us, eid, typ in ordered.itertuples(index=False):
+        for _us, _eid, typ in ordered.itertuples(index=False):
             if last_type is not None:
                 k = (last_type, typ)
                 counts[k] = counts.get(k, 0) + 1
-            last_us, last_eid, last_type = int(us), int(eid), str(typ)
+            last_type = str(typ)
 
-    state.update((last_us, last_eid, last_type if last_type is not None else ""))
+    state.update((last_type if last_type is not None else "",))
     yield pd.DataFrame(
         [
             {"user_id": user_id, "prev_type": a, "next_type": b, "n": n}

@@ -781,13 +781,22 @@ def test_html_boundaries():
     assert script.text.rstrip().endswith("</script>")
 
 
-def test_html_unclosed_raises():
+def test_html_optional_end_tags_auto_close():
+    """HTML5 leaves many end tags optional; the scanner closes whatever
+    is still open at EOF instead of rejecting the document (tree-sitter's
+    html grammar error-recovers the same way)."""
     import pytest as _pytest
 
     from gistdex_spark.operators.cst import extract_boundaries
 
+    bs = extract_boundaries("<div><p>x</p>", "html")
+    assert [(b.type, b.name) for b in bs] == [("element", "div")]
+    assert bs[0].text == "<div><p>x</p>"
+    bs2 = extract_boundaries("<p>hello", "html")
+    assert [(b.type, b.name) for b in bs2] == [("element", "p")]
+    # raw-text elements cannot recover — an unclosed <script> still raises
     with _pytest.raises(ValueError):
-        extract_boundaries("<div><p>x</p>", "html")
+        extract_boundaries("<script>var x = 1;", "html")
 
 
 def test_html_ext_dispatch():
@@ -818,3 +827,41 @@ def test_scanners_never_crash_on_arbitrary_text():
                 pass
 
     check()
+
+
+def test_ruby_value_position_conditional():
+    """`x = if cond ... end` opens a block even mid-line; modifier forms
+    after a value (`x = 1 unless y`) do not."""
+    from gistdex_spark.operators.cst import extract_boundaries
+
+    rb = (
+        "def pick(a)\n  x = if a\n    1\n  else\n    2\n  end\n  x\nend\n"
+        "\ndef second\nend\n"
+    )
+    bs = extract_boundaries(rb, "ruby")
+    assert [(b.type, b.name) for b in bs] == [
+        ("method", "pick"), ("method", "second")
+    ]
+    pick = bs[0]
+    assert pick.text.rstrip().endswith("end")
+    assert "  x\nend" in pick.text  # body NOT truncated at the inner end
+
+
+def test_ruby_loop_do_not_double_counted():
+    from gistdex_spark.operators.cst import extract_boundaries
+
+    rb = "def tick\n  i = 0\n  while i < 3 do\n    i += 1\n  end\nend\n"
+    bs = extract_boundaries(rb, "ruby")
+    assert [(b.type, b.name) for b in bs] == [("method", "tick")]
+    assert bs[0].text.rstrip().endswith("end")
+
+
+def test_bash_heredoc_brace_does_not_close_function():
+    from gistdex_spark.operators.cst import extract_boundaries
+
+    sh = "f() {\n  cat <<EOF\n}\nEOF\n  echo done\n}\n"
+    f = next(
+        b for b in extract_boundaries(sh, "bash") if b.name == "f"
+    )
+    assert "echo done" in f.text
+    assert f.text.rstrip().endswith("}")

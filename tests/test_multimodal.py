@@ -252,3 +252,16 @@ def test_wav_real_decode_energy_profile():
     assert f[0] < 0.01 and f[1] < 0.01
     assert f[2] > 0.5 and f[3] > 0.5
     assert (portable_decode(p, 4) == f).all()  # RIFF magic dispatch
+
+
+def test_portable_decoder_never_raises_on_lookalike_magic():
+    """A RIFF container that is not PCM WAV (WebP/AVI) or a BM-prefixed
+    non-bitmap must fall back to the fake, not fail the job."""
+    import numpy as np
+
+    from gistdex_spark.operators.multimodal import fake_decode, portable_decode
+
+    webp = b"RIFF\x10\x00\x00\x00WEBPVP8 "
+    assert (portable_decode(webp) == fake_decode(webp)).all()
+    bm_text = b"BMnot really a bitmap"
+    assert (portable_decode(bm_text) == fake_decode(bm_text)).all()

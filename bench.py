@@ -119,6 +119,8 @@ BENCH_QUERIES = [
     "event_trigram_paths",
     "user_value_range_frame",
     "user_value_ewma",
+    "event_value_unpivot",
+    "returned_only_parts_except_all",
 ]
 
 

@@ -43,6 +43,7 @@ EVENT_QUERIES = [
     "event_trigram_paths",
     "user_value_range_frame",
     "user_value_ewma",
+    "event_value_unpivot",
 ]
 
 _SCRIPT = f"""

@@ -92,6 +92,8 @@ class GistdexSpark:
         base_dir: str | None = None,
         allowed_base_paths: tuple[str, ...] | None = None,
         validate: bool = True,
+        size: int | None = None,
+        overlap: int | None = None,
     ) -> DataFrame:
         from gistdex_spark.sources.indexer import index_files
 
@@ -103,6 +105,8 @@ class GistdexSpark:
             base_dir=base_dir,
             allowed_base_paths=allowed_base_paths,
             validate=validate,
+            size=size,
+            overlap=overlap,
         )
         write_chunk_store(chunks, self.store_path)
         return chunks

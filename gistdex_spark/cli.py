@@ -184,7 +184,13 @@ def cmd_index(args, spark, out) -> int:
                 "base_dir": args.base_dir,
                 "allowed_base_paths": (args.base_dir,),
             }
-        written = eng.index_files(args.file or args.files, strategy=strategy, **kw)
+        written = eng.index_files(
+            args.file or args.files,
+            strategy=strategy,
+            size=args.chunk_size,
+            overlap=args.chunk_overlap,
+            **kw,
+        )
     elif args.gist or args.github:
         # S4/S5: the fetch layer is injectable (`sources/github.py:174`);
         # the default fetch_fn raises a clean no-network error in offline
@@ -330,7 +336,7 @@ def cmd_list(args, spark, out) -> int:
             .orderBy(F.desc("n_chunks"), F.asc("source_id"))
         )
         if not args.detailed:
-            srcs = srcs.limit(10)
+            srcs = srcs.limit(args.limit)
         print("\n=== Sources Summary ===", file=out)
         for r in srcs.collect():
             print(f"\n  {r['source_id']}", file=out)

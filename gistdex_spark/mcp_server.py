@@ -391,7 +391,9 @@ class MCPServer:
                     "base_dir": spec["baseDir"],
                     "allowed_base_paths": (spec["baseDir"],),
                 }
-            written = self.eng.index_files(pattern, strategy=strategy, **kw)
+            written = self.eng.index_files(
+                pattern, strategy=strategy, size=size, overlap=overlap, **kw
+            )
         else:
             raise NotImplementedError(
                 f"type={kind} requires network fetch — inject via the library API"
@@ -436,7 +438,7 @@ class MCPServer:
             .orderBy(F.desc("n_chunks"), F.asc("source_id"))
         )
         if not args.get("detailed"):
-            srcs = srcs.limit(min(int(args.get("limit", 100)), 10))
+            srcs = srcs.limit(int(args.get("limit", 100)))
         payload["sources"] = [r.asDict() for r in srcs.collect()]
         return payload
 

@@ -44,6 +44,7 @@ def bucketed_global_rank(
     rank_buckets: int = 1024,
     out_col: str = "rn",
     total_col: str = "_n",
+    extra_aggs: tuple = (),
 ) -> DataFrame:
     """Global 1-based ``row_number() OVER (ORDER BY value_col, *tiebreaks)``
     WITHOUT a single-partition sort — the reusable form of the
@@ -59,10 +60,15 @@ def bucketed_global_rank(
     Adds ``out_col`` (the global rank) and ``total_col`` (total row
     count, broadcast scalar) to ``df``; all intermediates are dropped.
     """
+    # extra_aggs: additional scalar aggregates (already aliased) that
+    # ride the same one-pass aggs frame and survive into the output —
+    # lets callers like detailed_metrics fold their stats into the
+    # ranking's single pre-aggregation instead of scanning again.
     aggs = df.agg(
         F.count(F.lit(1)).alias(total_col),
         F.min(value_col).alias("_mn"),
         F.max(value_col).alias("_mx"),
+        *extra_aggs,
     )
     span = F.col("_mx") - F.col("_mn")
     bucket = (
@@ -105,64 +111,31 @@ def detailed_metrics(
 ) -> DataFrame:
     """A4: variance/stddev (population) + exact ceil-index percentiles.
 
-    Scale shape: global ranks WITHOUT a single-partition sort. Scores are
-    range-bucketed on their value domain (bucket = floor((s-min)/span*B),
-    monotone in s, so ties never straddle buckets), ranked locally with a
-    bucket-PARTITIONED window, then shifted by per-bucket cumulative
-    offsets. The offset table is <= B rows (tiny); the per-row work is all
-    parallel. Same rank semantics as row_number() OVER (ORDER BY s) —
-    equal scores may permute within a rank run, but the VALUE at any
-    global rank is identical, which is all ceil-index extraction reads.
-    Heavy ties concentrate in one bucket; that is inherent to ranking by
-    value and no worse than any exact-quantile scheme.
+    Scale shape: global ranks WITHOUT a single-partition sort, via the
+    shared ``bucketed_global_rank`` scheme (range-bucketed values, local
+    windows, broadcast cumulative offsets — no unpartitioned window
+    anywhere in the plan). The scalar stats fold into the ranking's own
+    pre-aggregation (``extra_aggs``), so the input is scanned once, and
+    the distinct-based offset branch keeps the exchange subtrees
+    canonical so ReuseExchange shuffles the scored rows exactly once
+    (pinned by test_detailed_metrics_reuses_exchange). Equal scores may
+    permute within a rank run, but the VALUE at any global rank is
+    identical, which is all ceil-index extraction reads.
     """
     base = df.select(F.col(score_col).alias("s"))
-    aggs = base.agg(
-        F.count(F.lit(1)).alias("total_results"),
-        F.round(F.avg("s"), ROUND).alias("avg_score"),
-        F.round(F.max("s"), ROUND).alias("max_score"),
-        F.round(F.min("s"), ROUND).alias("min_score"),
-        F.round(F.var_pop("s"), ROUND).alias("score_variance"),
-        F.round(F.stddev_pop("s"), ROUND).alias("score_stddev"),
-        F.min("s").alias("_mn"),
-        F.max("s").alias("_mx"),
-    )
-    span = F.col("_mx") - F.col("_mn")
-    bucket = (
-        F.when(
-            span > 0,
-            F.least(
-                F.lit(rank_buckets - 1),
-                F.floor((F.col("s") - F.col("_mn")) / span * rank_buckets),
-            ),
-        )
-        .otherwise(F.lit(0))
-        .cast("int")
-    )
-    joined = base.crossJoin(F.broadcast(aggs)).withColumn("bkt", bucket)
-    # One exchange (hash by bkt) feeds both the local rank and the bucket
-    # count. `firsts` must branch via DISTINCT, not filter(lrn == 1): the
-    # filter form triggers a WindowGroupLimit pushdown BELOW the exchange,
-    # which breaks canonical matching and costs a full re-score of the
-    # input per branch; with distinct the exchange subtrees are identical
-    # and ReuseExchange computes the scored+shuffled data exactly once
-    # (pinned by test_detailed_metrics_reuses_exchange).
-    w_rank = Window.partitionBy("bkt").orderBy(F.asc("s"))
-    w_cnt = Window.partitionBy("bkt")
-    local = joined.withColumn("lrn", F.row_number().over(w_rank)).withColumn(
-        "bcnt", F.count(F.lit(1)).over(w_cnt)
-    )
-    firsts = local.select("bkt", F.col("bcnt").alias("_c")).distinct()
-    # Cumulative offsets over <= B bucket rows via a tiny broadcast
-    # theta-join — no unpartitioned window anywhere in the plan.
-    lower = firsts.select(F.col("bkt").alias("_lb"), F.col("_c").alias("_lc"))
-    offs = (
-        firsts.join(F.broadcast(lower), F.col("_lb") < F.col("bkt"), "left")
-        .groupBy("bkt")
-        .agg(F.coalesce(F.sum("_lc"), F.lit(0)).alias("off"))
-    )
-    ranked = local.join(F.broadcast(offs), "bkt").withColumn(
-        "rn", F.col("off") + F.col("lrn")
+    ranked = bucketed_global_rank(
+        base,
+        "s",
+        rank_buckets=rank_buckets,
+        out_col="rn",
+        total_col="total_results",
+        extra_aggs=(
+            F.round(F.avg("s"), ROUND).alias("avg_score"),
+            F.round(F.max("s"), ROUND).alias("max_score"),
+            F.round(F.min("s"), ROUND).alias("min_score"),
+            F.round(F.var_pop("s"), ROUND).alias("score_variance"),
+            F.round(F.stddev_pop("s"), ROUND).alias("score_stddev"),
+        ),
     )
     n = F.col("total_results")
 

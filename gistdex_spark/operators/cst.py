@@ -767,7 +767,43 @@ def _extract_rust(code: str) -> list[Boundary]:
                 else k + 1
             )
             continue
+        if t in ("unsafe", "async", "extern"):
+            # item modifiers (`pub unsafe fn`, `async fn`, `extern "C"
+            # fn` — the string literal is blanked by the tokenizer): part
+            # of the item span, never a reset
+            if vis_start is None:
+                vis_start = k
+            k += 1
+            continue
         start = vis_start if vis_start is not None else k
+        if t == "const" and tok(k + 1) in ("fn", "unsafe", "extern", "async"):
+            if vis_start is None:
+                vis_start = k
+            k += 1
+            continue
+        if t in ("const", "static"):
+            stop = _scan_to(toks, k + 1, (";",))
+            k, vis_start = emit(
+                "const_item" if t == "const" else "static_item",
+                tok(k + 1) if _is_ident(tok(k + 1)) else None,
+                start, stop if stop is not None else len(toks) - 1,
+            ), None
+            continue
+        if t == "enum":
+            b = _scan_to(toks, k + 1, ("{",))
+            e = _match_brace(toks, b) if b is not None else len(toks) - 1
+            k, vis_start = emit(
+                "enum_item", tok(k + 1) if _is_ident(tok(k + 1)) else None,
+                start, e,
+            ), None
+            continue
+        if t == "type":
+            stop = _scan_to(toks, k + 1, (";",))
+            k, vis_start = emit(
+                "type_item", tok(k + 1) if _is_ident(tok(k + 1)) else None,
+                start, stop if stop is not None else len(toks) - 1,
+            ), None
+            continue
         if t == "fn":
             name = tok(k + 1) if _is_ident(tok(k + 1)) else None
             stop = _scan_to(toks, k + 2, ("{", ";"))
@@ -962,21 +998,30 @@ def _extract_c(code: str, cpp: bool) -> list[Boundary]:
         if t in ("{", "}", ";"):
             k = (_match_brace(toks, k) + 1) if t == "{" else k + 1
             continue
-        # generic statement: function_definition iff a depth-0 '{' directly
-        # follows the parameter list's ')'; otherwise a declaration to ';'.
+        # generic statement: function_definition iff a depth-0 '{' follows
+        # a completed parameter list with no '=' in between — the suffix
+        # tokens modern C++ puts there (noexcept, const, override,
+        # -> trailing-return, constructor member-init lists) are all
+        # legal; an '=' means brace INITIALIZER (int a[] = {...}), which
+        # is skipped. Otherwise the statement is a declaration to ';'.
         depth, j, fn_name, prev = 0, k, None, None
+        seen_params, eq_since = False, False
         e = None
         btype = "declaration"
         while j < len(toks):
             tj = tok(j)
-            if tj == "(" and depth == 0 and _is_ident(prev):
+            if tj == "(" and depth == 0 and _is_ident(prev) and not seen_params:
                 fn_name = prev
             if tj in "([":
                 depth += 1
             elif tj in ")]":
                 depth -= 1
+                if depth == 0 and tj == ")":
+                    seen_params, eq_since = True, False
+            elif tj == "=" and depth == 0:
+                eq_since = True
             elif tj == "{" and depth == 0:
-                if tok(j - 1) == ")":
+                if seen_params and not eq_since:
                     btype = "function_definition"
                     e = _match_brace(toks, j)
                     break
@@ -1483,6 +1528,12 @@ def chunk_cst(
     try:
         bounds = extract_boundaries(text, lang)
     except (ValueError, SyntaxError, RecursionError):
+        return chunk_code(text, max_size, overlap)
+    if not bounds and text.strip():
+        # A parser that finds NOTHING in non-empty code (e.g. a Java file
+        # whose only top-level item is an enum the inventory doesn't
+        # list) must fall back like a failed parse — otherwise the file
+        # silently contributes zero chunks and vanishes from the index.
         return chunk_code(text, max_size, overlap)
     out = []
     idx = 0

@@ -158,12 +158,18 @@ def minhash_lsh_pairs(
         f"p.sig_a[b * {rpb} + r] = p.sig_b[b * {rpb} + r])))"
     )
     matches = "size(filter(zip_with(p.sig_a, p.sig_b, (x, y) -> x = y), t -> t))"
+    # Threshold on the ROUNDED estimate, exactly as the oracle compares
+    # (est_jaccard >= threshold): an integer-count form
+    # `matches >= threshold * num_hashes` diverges at exact-boundary
+    # agreement counts when the float product lands epsilon above the
+    # integer (e.g. 0.14 * 50 = 7.000000000000001 drops a 7-match pair).
     pair_expr = (
         "flatten(transform(sequence(0, size(m) - 2), i -> "
         "filter(transform(sequence(i + 1, size(m) - 1), j -> "
         "struct(m[i].doc_id AS doc_id_a, m[j].doc_id AS doc_id_b, "
         "m[i].sig AS sig_a, m[j].sig AS sig_b)), "
-        f"p -> {matches} >= {threshold} * {num_hashes} and {first_band})))"
+        f"p -> round({matches} / cast({num_hashes} as double), 6)"
+        f" >= {threshold} and {first_band})))"
     )
     pairs = buckets.select(F.explode(F.expr(pair_expr)).alias("p")).select("p.*")
     est = F.size(

@@ -245,17 +245,42 @@ def portable_decode(payload: bytes, dim: int = 8) -> np.ndarray:
     return fake_decode(payload, dim)
 
 
+def robust_decode(payload: bytes, dim: int = 8) -> np.ndarray:
+    """PIL-first decode that can NEVER fail a job: try PIL (when
+    importable), then the portable BMP/WAV parsers, then the
+    deterministic fake. extract_features decodes every row regardless of
+    kind, so audio/video/corrupt payloads flow through this path on
+    image-capable clusters too — they must degrade, not raise."""
+    if have_image_codec():
+        try:
+            return pil_decode(payload, dim)
+        except Exception:
+            pass
+    return portable_decode(payload, dim)
+
+
 def default_decoder():
-    """The optional-import dispatch: PIL-backed decode where the cluster
-    has codecs; otherwise the portable path (real BMP decoding, the
-    deterministic fake for formats that genuinely need a codec library) —
-    same signature and output schema either way, so plans and tests are
-    identical."""
-    return pil_decode if have_image_codec() else portable_decode
+    """The optional-import dispatch: PIL-backed decode (with the portable
+    parsers and the deterministic fake as in-order fallbacks) where the
+    cluster has codecs; otherwise the portable path directly — same
+    signature and output schema either way, so plans and tests are
+    identical, and NO payload can fail a corpus-wide job."""
+    return robust_decode if have_image_codec() else portable_decode
+
+
+def robust_resize(payload: bytes, width: int, height: int) -> bytes:
+    """PIL-first resize with the deterministic fake as fallback — same
+    never-fail contract as robust_decode."""
+    if have_image_codec():
+        try:
+            return pil_resize(payload, width, height)
+        except Exception:
+            pass
+    return fake_resize(payload, width, height)
 
 
 def default_resizer():
-    return pil_resize if have_image_codec() else fake_resize
+    return robust_resize if have_image_codec() else fake_resize
 
 
 def fake_decode(payload: bytes, dim: int = 8) -> np.ndarray:

@@ -221,15 +221,23 @@ def paginate_with_cursor(
     # the reference's results.slice(offset, offset + pageSize). ONE job:
     # over-fetch a single sentinel row past the page; its presence IS
     # has_more — no second look-ahead action against the ranked frame.
+    # "__rn" rather than "rn": withColumn would silently REPLACE a
+    # caller's existing column of the same name mid-schema and misalign
+    # the positional rebuild below.
     w = Window.orderBy(F.desc(score_col), F.asc(id_col))
-    ranked = df.withColumn("rn", F.row_number().over(w))
+    ranked = df.withColumn("__rn", F.row_number().over(w))
     rows = ranked.filter(
-        (F.col("rn") > offset) & (F.col("rn") <= offset + page_size + 1)
+        (F.col("__rn") > offset) & (F.col("__rn") <= offset + page_size + 1)
     ).collect()
     has_more = len(rows) > page_size
-    schema = ranked.drop("rn").schema
+    # rebuild BY NAME in explicit rank order — collect() order after a
+    # filter is not contractually the window order, and positional
+    # slicing (r[:-1]) breaks the moment field order shifts
+    rows.sort(key=lambda r: r["__rn"])
+    cols = [c for c in ranked.columns if c != "__rn"]
+    schema = ranked.drop("__rn").schema
     page = df.sparkSession.createDataFrame(
-        [r[:-1] for r in rows[:page_size]], schema
+        [tuple(r[c] for c in cols) for r in rows[:page_size]], schema
     )
     nxt = encode_cursor(offset + page_size, query, goal) if has_more else None
     return page, nxt

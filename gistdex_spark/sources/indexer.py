@@ -75,6 +75,8 @@ def index_files(
     base_dir: str | None = None,
     allowed_base_paths: tuple[str, ...] | None = None,
     validate: bool = True,
+    size: int | None = None,
+    overlap: int | None = None,
 ) -> DataFrame:
     """S2/S3: read whole files (Spark globs natively), chunk per-extension.
 
@@ -112,7 +114,12 @@ def index_files(
         )
     )
     ext = os.path.splitext(glob_path)[1] or ".txt"
-    size, overlap = optimal_chunk_settings(ext)
+    opt_size, opt_overlap = optimal_chunk_settings(ext)
+    # explicit size/overlap win over the X13 optimizer, matching the
+    # reference's option precedence (indexer.ts: user options override
+    # the chunk optimizer)
+    size = size if size is not None else opt_size
+    overlap = overlap if overlap is not None else opt_overlap
     strat = strategy or (
         "markdown" if ext in (".md", ".mdx") else ("code" if ext in (".py", ".ts", ".js") else "fixed")
     )

@@ -122,3 +122,24 @@ def test_search_strips_embedding(engine):
     """F9: result rows never carry the embedding column."""
     assert "embedding" not in engine.search("vector cosine", k=3).columns
     assert "embedding" not in engine.search_batch(["vector", "cosine"], k=2).columns
+
+
+def test_index_files_honors_explicit_chunk_size(spark, tmp_path):
+    """--chunk-size must reach the chunker on the file path (it was
+    silently ignored in favor of the X13 optimizer defaults)."""
+    from gistdex_spark.api import GistdexSpark
+
+    doc = tmp_path / "doc.txt"
+    doc.write_text("word " * 400)  # ~2000 chars
+    eng = GistdexSpark(spark, str(tmp_path / "store"))
+    small = eng.index_files(
+        str(doc), base_dir=str(tmp_path), allowed_base_paths=(str(tmp_path),),
+        size=200, overlap=0,
+    ).count()
+    eng2 = GistdexSpark(spark, str(tmp_path / "store2"))
+    big = eng2.index_files(
+        str(doc), base_dir=str(tmp_path), allowed_base_paths=(str(tmp_path),),
+        size=2000, overlap=0,
+    ).count()
+    assert small > big, (small, big)
+    assert big == 1

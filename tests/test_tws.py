@@ -16,6 +16,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from gistdex_spark.sources.tables import load_table
+from tests.conftest import REPO_ROOT
 from gistdex_spark.streaming.events import as_event_time
 from gistdex_spark.streaming.tws import running_totals_stream
 
@@ -107,3 +108,37 @@ def test_tws_running_totals_match_batch(spark):
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev
             )
+
+
+def test_protoshim_does_not_shadow_other_google_packages(tmp_path):
+    """The shim's `google` dir is a PEP-420 namespace PORTION (no
+    __init__.py): on images that ship google-auth/google-api-core but no
+    protobuf wheel, installing the shim must not break `import
+    google.auth` — a regular package there would shadow the whole
+    namespace."""
+    import subprocess
+    import sys
+    import textwrap
+
+    pkg = tmp_path / "google" / "auth"
+    pkg.mkdir(parents=True)
+    (pkg / "__init__.py").write_text("MARK = 'auth-ok'\n")
+    script = textwrap.dedent(
+        f"""
+        import sys
+        sys.path.insert(0, {str(tmp_path)!r})
+        sys.path.insert(0, {REPO_ROOT!r})
+        from gistdex_spark.vendor import ensure_protobuf
+        mode = ensure_protobuf()
+        import google.auth
+        import google.protobuf
+        print(mode, google.auth.MARK)
+        """
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True,
+        timeout=60,
+    )
+    assert r.returncode == 0, r.stderr[-800:]
+    out = r.stdout.split()
+    assert out[-1] == "auth-ok"

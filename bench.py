@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "user_value_ewma",
     "event_value_unpivot",
     "returned_only_parts_except_all",
+    "both_flags_parts_intersect_all",
 ]
 
 

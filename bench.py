@@ -148,7 +148,9 @@ def main() -> None:
         "cast(id as string) as t"
     ).select(embed_udf(dim=4)("t")).collect()
 
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    timings_min: dict[str, float] = {}
     errors: dict[str, str] = {}
     total = 0.0
     for name in BENCH_QUERIES:
@@ -158,24 +160,32 @@ def main() -> None:
             # convention, which the reference's own benchmark harness
             # uses): the first execution of a plan pays Janino/JIT
             # compilation of its generated code and first-touch parquet
-            # footer reads — session costs, not engine throughput. The
-            # timed run below measures the steady state.
+            # footer reads — session costs, not engine throughput. Then
+            # MEDIAN of n timed runs: this VM's episodic CPU steal swings
+            # single steady-state runs ±50%, which makes round-over-round
+            # single-number deltas noise; the median (min also reported)
+            # makes them signal.
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            t0 = time.time()
-            df = fn(spark, sf_dir)
-            # Materialize through a noop sink: every column is fully
-            # evaluated, so Catalyst can't prune the expensive expressions
-            # the way a bare count() would (a count benches the scan, not
-            # the work).
-            df.write.format("noop").mode("overwrite").save()
+            runs: list[float] = []
+            for _ in range(n_runs):
+                t0 = time.time()
+                df = fn(spark, sf_dir)
+                # Materialize through a noop sink: every column is fully
+                # evaluated, so Catalyst can't prune the expensive
+                # expressions the way a bare count() would (a count
+                # benches the scan, not the work).
+                df.write.format("noop").mode("overwrite").save()
+                runs.append(time.time() - t0)
         except Exception as exc:  # one bad query must not zero the round
             errors[name] = str(exc).split("\n")[0][:300]
             print(f"# {name}: FAILED {errors[name]}", file=sys.stderr, flush=True)
             continue
-        dt = time.time() - t0
+        dt = sorted(runs)[len(runs) // 2]
         timings[name] = round(dt, 3)
+        timings_min[name] = round(min(runs), 3)
         total += dt
-        print(f"# {name}: {dt:.2f}s", file=sys.stderr, flush=True)
+        print(f"# {name}: {dt:.2f}s (min {min(runs):.2f}s)",
+              file=sys.stderr, flush=True)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
@@ -187,8 +197,9 @@ def main() -> None:
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
+        "queries_min": timings_min,
         "sf": sf_val,
-        "timing": "steady_state_1_warmup",
+        "timing": f"median_of_{n_runs}_1_warmup",
     }
     if errors:
         # Failed queries contribute no time, so `value` alone would read

@@ -112,4 +112,4 @@ def sql_stopword_list_en() -> str:
 
 
 def stopword_array() -> Column:
-    return F.array(*[F.lit(w) for w in sorted(STOP_WORDS)])
+    return F.lit(sorted(STOP_WORDS))

@@ -72,8 +72,10 @@ def sql_cosine(a: str, b: str) -> str:
 
 
 def vector_literal(vec: list[float]) -> Column:
-    """A literal query vector as a Spark array column (broadcast by value)."""
-    return F.array(*[F.lit(float(v)) for v in vec])
+    """A literal query vector as a Spark array column (broadcast by value).
+    ONE Literal node (Spark 4 nested-lit), not D Literal+CreateArray nodes
+    — keeps analyzer/codegen cost constant in the vector width."""
+    return F.lit([float(v) for v in vec])
 
 
 def sql_vector_literal(vec: list[float]) -> str:

@@ -483,10 +483,24 @@ def connected_components(
     changed = 0
     rounds = 0
     while rounds < max_iter:
-        first = step(labels).drop("__chg")
-        fused = step(first) if rounds + 1 < max_iter else step(labels)
-        rounds += 2 if rounds + 1 < max_iter else 1
+        if rounds + 1 < max_iter:
+            # The second step references its input frame THREE times (the
+            # neighbor join, the stepped frame, the parent lookup) and
+            # Spark has no cross-branch CSE — without a persist the first
+            # step's joins would be recomputed up to 3x inside the fused
+            # round, eating most of the driver round-trips the fusion
+            # saves. persist() is lazy (no extra job); the eager cut below
+            # populates the cache once and all three branches read it.
+            first = step(labels).drop("__chg").persist()
+            fused = step(first)
+            rounds += 2
+        else:
+            first = None
+            fused = step(labels)
+            rounds += 1
         new_labels = cut(fused)
+        if first is not None:
+            first.unpersist()
         changed = new_labels.agg(F.sum("__chg")).first()[0] or 0
         labels = new_labels.drop("__chg")
         if changed == 0:

@@ -138,7 +138,7 @@ def probe(
     is an equality join on ``cluster`` (partition pruning when the store
     is partitioned by it). Result: (id, score) ordered desc.
     """
-    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    qlit = F.lit([float(x) for x in query_vec])
     qcells = (
         centroids.withColumn("qs", cosine("c_vec", qlit))
         .orderBy(F.desc("qs"), F.asc("c_id"))

@@ -24,7 +24,7 @@ BPE_ISH_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 def _en_stop_hits(content=None):
     content = F.col("text") if content is None else content
     toks = tokens(content)
-    stop = F.array(*[F.lit(w) for w in sorted(STOP_WORDS_EN)])
+    stop = F.lit(sorted(STOP_WORDS_EN))
     return F.size(F.filter(toks, lambda w: F.array_contains(stop, w)))
 
 

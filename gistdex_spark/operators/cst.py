@@ -1,13 +1,16 @@
-"""CST-boundary extraction (SURVEY.md §2.7 X12) without tree-sitter.
+"""CST-boundary extraction (SURVEY.md §2.7 X12): real tree-sitter when
+the runtime + grammar wheel are importable, hand-built parsers otherwise.
 
 The reference parses code with tree-sitter and emits the OUTERMOST
 boundary nodes (functions, classes, interfaces, type aliases, imports,
 variable declarations), folding an ``export_statement`` /
 ``decorated_definition`` parent's text into the boundary while keeping the
 inner node's type and name (`src/core/chunk/cst-operations.ts:25-110`,
-node inventory `src/core/chunk/language-node-types.ts:6-130`). tree-sitter
-wheels are not installable in this container, so this module re-creates the
-same contract two ways:
+node inventory `src/core/chunk/language-node-types.ts:6-130`). When the
+``tree_sitter`` runtime and a language's PyPI grammar wheel import cleanly,
+``extract_boundaries`` uses them (``_extract_treesitter``); tree-sitter
+wheels are NOT installable in this container, so the module also re-creates
+the same contract two ways:
 
 - **Python: the stdlib ``ast`` module** — a genuine parse, not a heuristic.
   Boundary statements are mapped to the tree-sitter node-type names
@@ -1098,9 +1101,17 @@ def _rb_logical_lines(code: str) -> list[tuple[int, int, list[str]]]:
             # numbers, @ivars and $globals must be tokens too — the
             # value-position rule checks ADJACENCY to "=", and dropping
             # `1` from `x = 1 unless y` would make the modifier look
-            # value-position
+            # value-position. `.word` / `:word` / `word:` keep their
+            # sigil so a method call `items.do`, a symbol `:do`, or a
+            # hash key `do:` can never read as the block keyword, and
+            # `|` is a token so block-arg adjacency is checkable.
             words = _re.findall(
-                r"[A-Za-z_@$][A-Za-z0-9_?!]*|[0-9][A-Za-z0-9_.]*|=", blanked
+                r"\.[A-Za-z_][A-Za-z0-9_?!]*"
+                r"|[A-Za-z_@$][A-Za-z0-9_?!]*:"
+                r"|:[A-Za-z_][A-Za-z0-9_?!]*"
+                r"|[A-Za-z_@$][A-Za-z0-9_?!]*"
+                r"|[0-9][A-Za-z0-9_.]*|=|\|",
+                blanked,
             )
         lines.append((i, j, words))
         i = j + 1
@@ -1128,7 +1139,11 @@ def _rb_depth_delta(words: list[str]) -> int:
         elif w == "do":
             if loop_do_pending:
                 loop_do_pending = False  # the loop's own optional do
-            else:
+            elif k == len(words) - 1 or words[k + 1] == "|":
+                # Real block forms only: `xs.each do |x|` / `loop do`
+                # put `do` line-final or before the block-arg pipes. A
+                # mid-line bare `do` (DSL argument, hash value) would
+                # otherwise skew depth for the rest of the file.
                 d += 1
         elif w in _RB_STMT_OPENERS:
             if (
@@ -1462,10 +1477,180 @@ def cst_language_for_ext(path_or_ext: str) -> str | None:
     return _EXT_LANG.get(ext.lower())
 
 
+# ---------------------------------------------------------------------------
+# Optional tree-sitter dispatch: when the real runtime AND a grammar wheel
+# for the language are importable, parse with them (the reference's primary
+# path, `parser-factory.ts`); otherwise the hand-built scanners below carry
+# the same contract. Same optional-import pattern as multimodal's PIL
+# dispatch (operators/multimodal.py).
+# ---------------------------------------------------------------------------
+
+# Boundary node types per language — verbatim from the reference inventory
+# (`src/core/chunk/language-node-types.ts:6-130`).
+_TS_BOUNDARY_TYPES: dict[str, frozenset[str]] = {
+    "javascript": frozenset({
+        "function_declaration", "function_expression", "arrow_function",
+        "class_declaration", "method_definition", "import_statement",
+        "variable_declaration", "lexical_declaration",
+    }),
+    "typescript": frozenset({
+        "function_declaration", "function_expression", "arrow_function",
+        "class_declaration", "method_definition", "interface_declaration",
+        "type_alias_declaration", "import_statement",
+        "variable_declaration", "lexical_declaration",
+    }),
+    "tsx": frozenset({
+        "function_declaration", "function_expression", "arrow_function",
+        "class_declaration", "method_definition", "interface_declaration",
+        "type_alias_declaration", "import_statement",
+        "variable_declaration", "lexical_declaration",
+        "jsx_element", "jsx_self_closing_element", "jsx_fragment",
+    }),
+    "python": frozenset({
+        "function_definition", "class_definition", "import_statement",
+        "import_from_statement", "assignment",
+    }),
+    "go": frozenset({
+        "function_declaration", "method_declaration", "type_declaration",
+        "import_declaration", "var_declaration", "const_declaration",
+        "short_var_declaration",
+    }),
+    "rust": frozenset({
+        "function_item", "struct_item", "impl_item", "trait_item",
+        "use_declaration", "let_declaration",
+    }),
+    "java": frozenset({
+        "method_declaration", "class_declaration", "interface_declaration",
+        "import_declaration", "local_variable_declaration",
+    }),
+    "ruby": frozenset({"method", "class", "module", "require", "load",
+                       "assignment"}),
+    "c": frozenset({
+        "function_definition", "struct_specifier", "enum_specifier",
+        "type_definition", "preproc_include", "declaration",
+    }),
+    "cpp": frozenset({
+        "function_definition", "class_specifier", "struct_specifier",
+        "namespace_definition", "template_declaration", "preproc_include",
+        "declaration",
+    }),
+    "html": frozenset({"element", "script_element", "style_element"}),
+    "css": frozenset({"rule_set", "media_statement", "keyframes_statement",
+                      "import_statement"}),
+    "bash": frozenset({"function_definition", "command",
+                       "variable_assignment"}),
+}
+
+# PyPI grammar wheels: module name (+ factory attr where the wheel exports
+# more than one grammar, e.g. tree-sitter-typescript).
+_TS_GRAMMAR_MODULES: dict[str, tuple[str, str]] = {
+    "javascript": ("tree_sitter_javascript", "language"),
+    "typescript": ("tree_sitter_typescript", "language_typescript"),
+    "tsx": ("tree_sitter_typescript", "language_tsx"),
+    "python": ("tree_sitter_python", "language"),
+    "go": ("tree_sitter_go", "language"),
+    "rust": ("tree_sitter_rust", "language"),
+    "java": ("tree_sitter_java", "language"),
+    "ruby": ("tree_sitter_ruby", "language"),
+    "c": ("tree_sitter_c", "language"),
+    "cpp": ("tree_sitter_cpp", "language"),
+    "bash": ("tree_sitter_bash", "language"),
+    "css": ("tree_sitter_css", "language"),
+    "html": ("tree_sitter_html", "language"),
+}
+
+
+def _treesitter_parser(language: str):
+    """A real tree-sitter Parser for ``language``, or None when either the
+    runtime or the language's grammar wheel is absent/broken — callers fall
+    back to the shipped scanners, never fail. Cached per language."""
+    if language in _TS_PARSER_CACHE:
+        return _TS_PARSER_CACHE[language]
+    parser = None
+    spec = _TS_GRAMMAR_MODULES.get(language)
+    if spec is not None:
+        try:
+            import importlib  # noqa: PLC0415
+
+            from tree_sitter import Language, Parser  # noqa: PLC0415
+
+            mod = importlib.import_module(spec[0])
+            parser = Parser(Language(getattr(mod, spec[1])()))
+        except Exception:  # noqa: BLE001 — absent/ABI-mismatched wheel
+            parser = None
+    _TS_PARSER_CACHE[language] = parser
+    return parser
+
+
+_TS_PARSER_CACHE: dict[str, object] = {}
+
+
+def _extract_treesitter(code: str, language: str, parser) -> list[Boundary]:
+    """OUTERMOST inventory-listed nodes from a real tree-sitter parse —
+    the reference's traversal (`cst-operations.ts:25-110`): stop descent at
+    a boundary, fold an export/decorated parent's span in, keep the inner
+    node's type and name."""
+    raw = code.encode("utf-8")
+    tree = parser.parse(raw)
+    if tree.root_node.has_error:
+        raise ValueError(f"tree-sitter parse error in {language} source")
+    types = _TS_BOUNDARY_TYPES[language]
+    wrappers = {"export_statement", "decorated_definition"}
+
+    def char_at(byte_off: int) -> int:
+        return len(raw[:byte_off].decode("utf-8", errors="replace"))
+
+    def name_of(node) -> str | None:
+        for field in ("name", "declarator"):
+            child = node.child_by_field_name(field)
+            if child is None:
+                continue
+            inner = child.child_by_field_name("name")
+            target = inner if inner is not None else child
+            if target.type.endswith("identifier") or target.type in (
+                "identifier", "word", "constant", "type_identifier"
+            ):
+                return target.text.decode("utf-8", errors="replace")
+        return None
+
+    out: list[Boundary] = []
+
+    def walk(node, span_node=None) -> None:
+        if node.type in wrappers:
+            # Fold the wrapper's span but emit the inner boundary's
+            # type/name — the reference's export/decorator rule.
+            for child in node.children:
+                if child.is_named and child.type in types:
+                    emit(child, node)
+                    return
+        if node.type in types:
+            emit(node, span_node)
+            return
+        for child in node.children:
+            walk(child)
+
+    def emit(node, span_node) -> None:
+        span = span_node if span_node is not None else node
+        s, e = char_at(span.start_byte), char_at(span.end_byte)
+        out.append(Boundary(node.type, name_of(node), s, e, code[s:e]))
+
+    for child in tree.root_node.children:
+        walk(child)
+    return out
+
+
 def extract_boundaries(code: str, language: str) -> list[Boundary]:
     """Outermost boundary nodes for ``language``; raises on unsupported
     languages or unparseable code (callers fall back, as the reference
-    does in ``chunkWithFallback``)."""
+    does in ``chunkWithFallback``). Parses with the REAL tree-sitter
+    grammar when the runtime + wheel are importable on this cluster; the
+    hand-built scanners below are the portable fallback."""
+    ts = _treesitter_parser(language)
+    if ts is not None:
+        try:
+            return _extract_treesitter(code, language, ts)
+        except ValueError:
+            pass  # grammar rejected the code — let the scanner decide
     if language == "python":
         return _extract_python(code)
     if language in ("javascript", "typescript", "tsx"):

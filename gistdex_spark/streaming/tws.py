@@ -10,10 +10,13 @@ batch `salted_user_totals` / per-user aggregates.
 
 Requires the RocksDB state store provider (the only provider the TWS
 operator supports) AND the `google.protobuf` package (the TWS Python
-driver worker's control channel is protobuf-encoded). This container
-ships neither protobuf nor a pip path, so tests/test_tws.py skips there;
-the applyInPandasWithState sessionizer (stateful.py) is the in-container
-stateful path and TWS is the forward-looking Spark-4 surface.
+driver worker's control channel is protobuf-encoded). When the real
+protobuf wheel is installed it is used as-is; on clusters without it the
+vendored minimal runtime in `gistdex_spark/vendor/protoshim/` (a PEP-420
+`google.protobuf` namespace portion that implements just the wire
+features the TWS control channel uses) un-gates the operator — so
+tests/test_tws.py RUNS in this container. The applyInPandasWithState
+sessionizer (stateful.py) remains the Spark 3.x-era surface.
 
 Scale: state is keyed by user_id and lives in the shuffle partition that
 owns the key — on a 1000-executor cluster each key's RocksDB instance is

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import textwrap
 
+import pytest
+
 from gistdex_spark.operators.cst import (
     boundaries_to_chunks,
     chunk_cst,
@@ -854,6 +856,64 @@ def test_ruby_loop_do_not_double_counted():
     bs = extract_boundaries(rb, "ruby")
     assert [(b.type, b.name) for b in bs] == [("method", "tick")]
     assert bs[0].text.rstrip().endswith("end")
+
+
+def test_treesitter_dispatch_absent_falls_back_cleanly():
+    """In a container without tree-sitter wheels the dispatch must return
+    None (cached) and extract_boundaries must still serve the hand-built
+    scanner — the PIL-style optional-import contract."""
+    import importlib.util
+
+    from gistdex_spark.operators import cst
+
+    if importlib.util.find_spec("tree_sitter") is not None:
+        pytest.skip("real tree-sitter present; covered by the test below")
+    assert cst._treesitter_parser("python") is None
+    assert cst._treesitter_parser("python") is None  # cached miss, no retry
+    bs = cst.extract_boundaries("def f():\n    return 1\n", "python")
+    assert [(b.type, b.name) for b in bs] == [("function_definition", "f")]
+
+
+def test_treesitter_dispatch_real_grammar_when_available():
+    """Where the wheel exists (not this container), the SAME contract must
+    come back from the real grammar: outermost inventory nodes, names,
+    spans."""
+    import importlib.util
+
+    from gistdex_spark.operators import cst
+
+    if (
+        importlib.util.find_spec("tree_sitter") is None
+        or importlib.util.find_spec("tree_sitter_python") is None
+    ):
+        pytest.skip("tree-sitter runtime/grammar wheel not installed")
+    parser = cst._treesitter_parser("python")
+    assert parser is not None
+    bs = cst.extract_boundaries(
+        "import os\n\nclass A:\n    def m(self):\n        pass\n", "python"
+    )
+    assert ("import_statement", None) == (bs[0].type, bs[0].name)
+    assert ("class_definition", "A") == (bs[1].type, bs[1].name)
+
+
+def test_ruby_do_as_method_symbol_or_key_not_an_opener():
+    """`items.do` (method call), `:do` (symbol) and `do:` (hash key) must
+    not count as block openers — only line-final `do` or `do |args|`
+    (the real block forms) open a block. A bare-word miscount would skew
+    depth for the rest of the file and silently truncate the method."""
+    from gistdex_spark.operators.cst import extract_boundaries
+
+    rb = (
+        "def safe\n  items.do\n  h = {do: 1}\n  s = :do\n"
+        "  xs.each do |x|\n    puts x\n  end\n"
+        "  loop do\n    break\n  end\nend\n"
+        "\ndef after\nend\n"
+    )
+    bs = extract_boundaries(rb, "ruby")
+    assert [(b.type, b.name) for b in bs] == [
+        ("method", "safe"), ("method", "after")
+    ]
+    assert "loop do" in bs[0].text and bs[0].text.rstrip().endswith("end")
 
 
 def test_bash_heredoc_brace_does_not_close_function():

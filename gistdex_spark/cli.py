@@ -115,6 +115,13 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument(
         "--threshold", type=float, default=0.65, help="impact score threshold"
     )
+    sp.add_argument(
+        "--format",
+        choices=("text", "markdown", "json"),
+        default="text",
+        help="output format: plain list, GitHub-comment markdown, or the "
+        "CI JSON envelope (formatters.ts)",
+    )
     return p
 
 
@@ -395,6 +402,25 @@ def cmd_ci_doc(args, spark, out) -> int:
         .limit(args.top_k)
         .collect()
     )
+    fmt = getattr(args, "format", "text")
+    if fmt in ("markdown", "json"):
+        from gistdex_spark.operators.ci_formatters import (
+            format_github_comment,
+            format_json,
+        )
+
+        results = [
+            {
+                "file": r["source_id"],
+                "similarity": float(r["best_sim"]),
+                "change_type": "modified",
+                "matched_terms": list(r["matched_queries"] or []),
+            }
+            for r in rows
+        ]
+        render = format_github_comment if fmt == "markdown" else format_json
+        print(render(results, args.threshold), file=out)
+        return 0
     if not rows:
         print("No impacted documents above threshold", file=out)
         return 0

@@ -190,6 +190,18 @@ class ChunkJsonlStreamReader(SimpleDataSourceStreamReader):
         if not self.root:
             raise ValueError("chunk_jsonl stream requires option 'path'")
         self.fields = [f.name for f in schema.fields]
+        # maxFilesPerTrigger bound (same opt-in option as Spark's file
+        # source): read() materializes the batch on the driver, so a cold
+        # start against a large backlog (watermark "") should drain over
+        # several bounded micro-batches, not one unbounded driver list.
+        # Opt-in because a SimpleDataSourceStreamReader snapshots ONE
+        # offset per availableNow run — a capped batch under availableNow
+        # drains the remainder on subsequent runs (or continuously under
+        # a processingTime trigger), which is the caller's trade to make.
+        raw_cap = options.get("maxFilesPerTrigger")
+        self.max_files = int(raw_cap) if raw_cap is not None else None
+        if self.max_files is not None and self.max_files < 1:
+            raise ValueError("maxFilesPerTrigger must be >= 1")
 
     def _names(self) -> list[str]:
         if not os.path.isdir(self.root):
@@ -218,7 +230,13 @@ class ChunkJsonlStreamReader(SimpleDataSourceStreamReader):
 
     def read(self, start: dict):
         wm = start.get("watermark", "")
+        # Bounded batch when capped: take only the first maxFilesPerTrigger
+        # fresh files and advance the watermark to the last one TAKEN — the
+        # remainder of a backlog arrives in the following micro-batches
+        # (the watermark advances incrementally, so nothing is skipped).
         fresh = [n for n in self._names() if n > wm]
+        if self.max_files is not None:
+            fresh = fresh[: self.max_files]
         end = {"watermark": fresh[-1] if fresh else wm}
         # materialized, not a generator: Spark pickles the prefetched
         # batch to serve replay without re-listing the directory

@@ -18,14 +18,24 @@ REWRITES, and both are daily-operations requirements at 100 TB:
   base read first); here the store is one directory, so the whole thing
   rewrites — same plan, smaller blast radius.
 
-Both swaps are write-temp-then-rename: readers racing the swap see the
-old directory or the new one, never a half-written mix. (A table format
-with a transaction log — Delta/Iceberg — makes the swap a metadata
-commit; the physical rewrite below is identical.)
+Both swaps are write-temp-then-rename. HONEST LIMIT: two directory
+renames cannot be one atomic operation on POSIX, so there is a
+milliseconds-wide window between `rename(path, bak)` and
+`rename(tmp, path)` in which a racing reader sees ENOENT, and a crash
+inside it leaves the table absent with its data in a `.__bak-*` sibling.
+Every entry point therefore runs ``_recover_store`` first: a missing
+``path`` with a surviving backup is restored (newest backup wins), and
+superseded backups left by a crash after the second rename are swept.
+The ENOENT window itself is the price of staying on plain directories —
+a table format with a transaction log makes the swap a metadata commit,
+which is exactly what the Delta path below does when the `delta` package
+is importable (`merge_upsert`/`compact_store` route through
+DeltaTable MERGE / OPTIMIZE and never rename anything).
 """
 
 from __future__ import annotations
 
+import glob as _glob
 import math
 import os
 import shutil
@@ -52,14 +62,49 @@ def _parquet_files(path: str) -> list[str]:
     return out
 
 
+def _recover_store(path: str) -> bool:
+    """Crash recovery for the swap window: if ``path`` is absent but a
+    ``.__bak-*`` sibling survives (crash between the two renames), restore
+    the newest backup; if ``path`` exists, sweep superseded backups (crash
+    after the second rename, before cleanup) and orphaned ``.__tmp-*``
+    dirs. Returns True when a restore happened."""
+    baks = sorted(_glob.glob(path + ".__bak-*"), key=os.path.getmtime)
+    restored = False
+    if not os.path.exists(path) and baks:
+        os.rename(baks.pop(), path)
+        restored = True
+    if os.path.exists(path):
+        for stale in baks + _glob.glob(path + ".__tmp-*"):
+            shutil.rmtree(stale, ignore_errors=True)
+    return restored
+
+
 def _atomic_swap(df: DataFrame, path: str) -> None:
-    """Materialize ``df`` beside ``path`` and rename over it."""
+    """Materialize ``df`` beside ``path`` and rename over it. See the
+    module docstring for the (recoverable) non-atomicity window between
+    the two renames."""
     tmp = f"{path}.__tmp-{uuid.uuid4().hex[:8]}"
     bak = f"{path}.__bak-{uuid.uuid4().hex[:8]}"
     df.write.mode("overwrite").parquet(tmp)
     os.rename(path, bak)
     os.rename(tmp, path)
     shutil.rmtree(bak)
+
+
+def _delta_table(spark: SparkSession, path: str):
+    """DeltaTable handle when the `delta` package imports cleanly AND
+    ``path`` is a Delta table (has a _delta_log); None otherwise — the
+    optional-import dispatch pattern (PIL/tree-sitter use the same)."""
+    if not os.path.isdir(os.path.join(path, "_delta_log")):
+        return None
+    try:
+        from delta.tables import DeltaTable  # noqa: PLC0415
+    except ImportError:
+        return None
+    try:
+        return DeltaTable.forPath(spark, path)
+    except Exception:  # session lacks the Delta extensions
+        return None
 
 
 def compact_store(
@@ -70,8 +115,21 @@ def compact_store(
     Returns {files_before, files_after, bytes} for observability. The
     repartition is round-robin — compaction has no ordering contract; to
     keep a zone-map layout, recompact through ``write_sorted_store`` /
-    ``write_zorder_store`` instead.
+    ``write_zorder_store`` instead. On a Delta table (with the `delta`
+    package importable) this is OPTIMIZE executeCompaction — a metadata
+    commit, no directory swap.
     """
+    dt = _delta_table(spark, path)
+    if dt is not None:
+        files_before = len(_parquet_files(path))
+        total = _dir_bytes(path)
+        dt.optimize().executeCompaction()
+        return {
+            "files_before": files_before,
+            "files_after": len(_parquet_files(path)),
+            "bytes": total,
+        }
+    _recover_store(path)
     files_before = len(_parquet_files(path))
     total = _dir_bytes(path)
     n = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
@@ -90,14 +148,28 @@ def merge_upsert(
     updates: DataFrame,
     key: str,
 ) -> None:
-    """Copy-on-write MERGE: rows of ``updates`` replace base rows with the
-    same ``key``; unmatched update rows insert. Idempotent — re-merging
-    the same updates frame is a no-op on the final state.
+    """MERGE: rows of ``updates`` replace base rows with the same ``key``;
+    unmatched update rows insert. Idempotent — re-merging the same updates
+    frame is a no-op on the final state.
 
     ``updates`` must carry the base schema and at most one row per key
     (enforce upstream with a latest-wins window when folding a CDC
-    stream — `queries.upsert_latest_wins` is that operator).
+    stream — `queries.upsert_latest_wins` is that operator). On a Delta
+    table this is a real MERGE INTO (transaction-log commit); on a plain
+    parquet directory it is copy-on-write: anti-join ∪ updates, then the
+    recoverable directory swap.
     """
+    dt = _delta_table(spark, path)
+    if dt is not None:
+        (
+            dt.alias("b")
+            .merge(updates.alias("u"), f"b.{key} = u.{key}")
+            .whenMatchedUpdateAll()
+            .whenNotMatchedInsertAll()
+            .execute()
+        )
+        return
+    _recover_store(path)
     base = spark.read.parquet(path)
     survivors = base.join(updates.select(key), on=key, how="left_anti")
     merged = survivors.unionByName(updates)

@@ -96,3 +96,91 @@ def test_landing_zone_lifecycle(spark, tmp_path):
     stats = compact_store(spark, store, target_mb=128)
     assert stats["files_after"] <= stats["files_before"]
     assert spark.read.parquet(store).count() == n
+
+
+def test_swap_crash_recovery_restores_backup(spark, tmp_path):
+    """Crash inside the swap window (path renamed aside, new dir never
+    moved in) must be recoverable: the next maintenance call restores the
+    newest backup instead of failing with ENOENT."""
+    import os
+
+    from gistdex_spark.sources.maintenance import _recover_store, compact_store
+
+    store = str(tmp_path / "store")
+    spark.range(10).selectExpr("id", "id * 2 AS v").write.parquet(store)
+    # Simulate the crash: table gone, data stranded in a .__bak-* sibling.
+    os.rename(store, store + ".__bak-deadbeef")
+    assert not os.path.exists(store)
+    stats = compact_store(spark, store, target_mb=128)
+    assert stats["files_after"] >= 1
+    assert spark.read.parquet(store).count() == 10
+    assert not os.path.exists(store + ".__bak-deadbeef")
+    # Idempotent when nothing is wrong.
+    assert _recover_store(store) is False
+
+
+def test_swap_sweeps_superseded_backups(spark, tmp_path):
+    """Crash after the second rename (backup never deleted) leaves a stale
+    .__bak-* beside a healthy table; recovery must sweep it, not restore
+    it over live data."""
+    import os
+
+    from gistdex_spark.sources.maintenance import _recover_store
+
+    store = str(tmp_path / "store")
+    spark.range(5).write.parquet(store)
+    spark.range(3).write.parquet(store + ".__bak-00000000")
+    os.makedirs(store + ".__tmp-11111111")
+    assert _recover_store(store) is False
+    assert spark.read.parquet(store).count() == 5  # live data untouched
+    assert not os.path.exists(store + ".__bak-00000000")
+    assert not os.path.exists(store + ".__tmp-11111111")
+
+
+def test_delta_merge_and_optimize_when_available(tmp_path):
+    """Delta-backed maintenance (gated: skips where the `delta` package
+    isn't installed): MERGE INTO and OPTIMIZE must produce the same final
+    state as the copy-on-write path."""
+    import pytest
+
+    pytest.importorskip("delta")
+    from delta import configure_spark_with_delta_pip
+    from pyspark.sql import SparkSession
+
+    builder = (
+        SparkSession.builder.master("local[2]")
+        .appName("delta-maintenance")
+        .config(
+            "spark.sql.extensions",
+            "io.delta.sql.DeltaSparkSessionExtension",
+        )
+        .config(
+            "spark.sql.catalog.spark_catalog",
+            "org.apache.spark.sql.catalog.spark_catalog."
+            "DeltaCatalog",
+        )
+    )
+    dspark = configure_spark_with_delta_pip(builder).getOrCreate()
+    try:
+        from gistdex_spark.sources.maintenance import (
+            compact_store,
+            merge_upsert,
+        )
+
+        store = str(tmp_path / "dstore")
+        dspark.range(10).selectExpr(
+            "id AS k", "id * 10 AS v"
+        ).write.format("delta").save(store)
+        updates = dspark.range(8, 12).selectExpr("id AS k", "id * 100 AS v")
+        merge_upsert(dspark, store, updates, key="k")
+        got = {
+            r["k"]: r["v"]
+            for r in dspark.read.format("delta").load(store).collect()
+        }
+        assert len(got) == 12
+        assert got[9] == 900 and got[11] == 1100 and got[3] == 30
+        stats = compact_store(dspark, store)
+        assert stats["files_after"] >= 1
+        assert dspark.read.format("delta").load(store).count() == 12
+    finally:
+        dspark.stop()

@@ -122,6 +122,13 @@ BENCH_QUERIES = [
     "event_value_unpivot",
     "returned_only_parts_except_all",
     "both_flags_parts_intersect_all",
+    # Round-5 widening: IVF-PQ composed ANN, multi-grain census, dedup
+    # health metric, and the exercised approx swaps.
+    "ann_ivfpq_search",
+    "grouping_sets_census",
+    "dedup_component_sizes",
+    "approx_quantile_audit",
+    "hll_user_census",
 ]
 
 

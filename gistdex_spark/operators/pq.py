@@ -130,21 +130,17 @@ def _codebook_lit(book: list[list[float]]) -> F.Column:
     return F.lit([[float(x) for x in c] for c in book])
 
 
-def encode_pq(
-    emb: DataFrame,
-    codebooks: list[list[list[float]]],
-    id_col: str = "vec_id",
-    embedding_col: str = "embedding",
-) -> DataFrame:
-    """(id, codes ARRAY<INT>): nearest sub-centroid id per subspace, by
-    euclidean distance on the normalized subvector. Zero shuffles — every
-    subspace argmin folds over its literal codebook in codegen."""
+def pq_codes_col(
+    codebooks: list[list[list[float]]], normed_vec: F.Column
+) -> F.Column:
+    """The ARRAY<INT> of per-subspace nearest sub-centroid ids as a pure
+    column expression over an already-normalized vector — composable into
+    any map-only pass (encode_pq, the IVF-PQ index build)."""
     m = len(codebooks)
     dsub = len(codebooks[0][0])
-    normed = emb.select(id_col, normalize(F.col(embedding_col)).alias("__v"))
 
     def argmin_code(s: int) -> F.Column:
-        sub = F.slice("__v", s * dsub + 1, dsub)
+        sub = F.slice(normed_vec, s * dsub + 1, dsub)
         init = F.struct(
             F.lit(float("inf")).alias("d"), F.lit(-1).alias("c")
         )
@@ -166,8 +162,21 @@ def encode_pq(
         )
         return F.aggregate(pairs, init, step)["c"]
 
+    return F.array(*[argmin_code(s) for s in range(m)])
+
+
+def encode_pq(
+    emb: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes ARRAY<INT>): nearest sub-centroid id per subspace, by
+    euclidean distance on the normalized subvector. Zero shuffles — every
+    subspace argmin folds over its literal codebook in codegen."""
+    normed = emb.select(id_col, normalize(F.col(embedding_col)).alias("__v"))
     return normed.select(
-        id_col, F.array(*[argmin_code(s) for s in range(m)]).alias("codes")
+        id_col, pq_codes_col(codebooks, F.col("__v")).alias("codes")
     )
 
 
@@ -189,6 +198,19 @@ def adc_table(
     ]
 
 
+def adc_score_col(
+    codebooks: list[list[list[float]]], query_vec: list[float]
+) -> F.Column:
+    """Approximate inner-product of the query against a ``codes`` column:
+    m array lookups + adds per row against the literal ADC table."""
+    table = adc_table(codebooks, query_vec)
+    tlit = F.lit([[float(x) for x in row] for row in table])
+    return sum(
+        (F.element_at(F.element_at(tlit, s + 1), F.col("codes")[s] + 1))
+        for s in range(len(codebooks))
+    )
+
+
 def pq_search(
     emb: DataFrame,
     codebooks: list[list[list[float]]],
@@ -203,12 +225,7 @@ def pq_search(
     shortlist joins back to its full embeddings for exact cosine top-k.
     Returns (id, score) desc — same contract as the exact kNN."""
     codes = encode_pq(emb, codebooks, id_col, embedding_col)
-    table = adc_table(codebooks, query_vec)
-    tlit = F.lit([[float(x) for x in row] for row in table])
-    approx = sum(
-        (F.element_at(F.element_at(tlit, s + 1), F.col("codes")[s] + 1))
-        for s in range(len(codebooks))
-    )
+    approx = adc_score_col(codebooks, query_vec)
     short = (
         codes.withColumn("approx", approx)
         .select(id_col, "approx")
@@ -216,6 +233,82 @@ def pq_search(
         .limit(shortlist)
     )
     qlit = F.lit([float(x) for x in query_vec])
+    exact = emb.join(F.broadcast(short), id_col).withColumn(
+        "score", F.round(cosine(embedding_col, qlit), ROUND)
+    )
+    return (
+        exact.select(id_col, "score")
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def ivfpq_index(
+    emb: DataFrame,
+    centroids: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+    partitions: int | None = None,
+) -> DataFrame:
+    """(id, cluster, codes): the FAISS IndexIVFPQ layout (flat encoding,
+    by_residual=False) built in ONE map-only pass — the coarse-assignment
+    fold and the m sub-code argmins evaluate in the same projection, so
+    the index build is zero-shuffle and linear in corpus size. Persist
+    partitioned BY cluster and a probe becomes partition pruning."""
+    from gistdex_spark.operators.ivf import assign_clusters
+
+    assigned = assign_clusters(
+        emb, centroids, id_col, embedding_col, partitions=partitions
+    )
+    return assigned.select(
+        id_col,
+        "cluster",
+        pq_codes_col(
+            codebooks, normalize(F.col(embedding_col))
+        ).alias("codes"),
+    )
+
+
+def ivfpq_search(
+    emb: DataFrame,
+    centroids: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ search (FAISS IndexIVFPQ): probe the query's ``nprobe``
+    nearest cells, ADC-score ONLY their members' codes, heap a shortlist,
+    exact-rerank just the shortlist against full embeddings.
+
+    Cost at 100 TB: cell choice scores the kilobyte centroid frame;
+    the corpus touch is (nprobe/k_cells of the data) x (m lookups/row);
+    exact math happens on ``shortlist`` rows. Pass a persisted ``index``
+    (from :func:`ivfpq_index`, ideally written partitioned by cluster)
+    to skip the in-line index build — the production path."""
+    from gistdex_spark.functions.vectors import cosine
+
+    if index is None:
+        index = ivfpq_index(emb, centroids, codebooks, id_col, embedding_col)
+    qlit = F.lit([float(x) for x in query_vec])
+    qcells = (
+        centroids.withColumn("qs", cosine("c_vec", qlit))
+        .orderBy(F.desc("qs"), F.asc("c_id"))
+        .limit(nprobe)
+        .select(F.col("c_id").alias("cluster"))
+    )
+    short = (
+        index.join(F.broadcast(qcells), "cluster")
+        .withColumn("approx", adc_score_col(codebooks, query_vec))
+        .select(id_col, "approx")
+        .orderBy(F.desc("approx"), F.asc(id_col))
+        .limit(shortlist)
+    )
     exact = emb.join(F.broadcast(short), id_col).withColumn(
         "score", F.round(cosine(embedding_col, qlit), ROUND)
     )

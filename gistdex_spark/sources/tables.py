@@ -19,7 +19,39 @@ TABLES = [
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+# Opt-in scan cache for multi-query sweeps (make_parity, bench): the
+# parity sweep runs 140+ queries that each re-scan the same handful of
+# parquet files; persisting the hot corpora once turns those re-scans
+# into cache reads. NEVER enabled implicitly — operators must not depend
+# on it, and at 100 TB you would cache nothing (or only dims) anyway.
+_SCAN_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def enable_scan_cache(
+    spark: SparkSession,
+    sf_dir: str,
+    tables: tuple[str, ...] = ("documents", "embeddings", "lineitem",
+                               "orders", "events"),
+) -> None:
+    for t in tables:
+        key = (os.path.abspath(sf_dir), t)
+        if key in _SCAN_CACHE:
+            continue
+        df = load_table(spark, sf_dir, t).persist()
+        df.count()  # materialize now so every query hits a warm cache
+        _SCAN_CACHE[key] = df
+
+
+def disable_scan_cache() -> None:
+    for df in _SCAN_CACHE.values():
+        df.unpersist()
+    _SCAN_CACHE.clear()
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    cached = _SCAN_CACHE.get((os.path.abspath(sf_dir), name))
+    if cached is not None:
+        return cached
     if name == "events":
         # events.ts has been TIMESTAMP(NANOS) in some rounds of the driver
         # testdata; Spark's reader rejects that unless told to surface it as

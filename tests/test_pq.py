@@ -65,3 +65,50 @@ def test_pq_recall_vs_exact(spark, emb, books):
     }
     recall = len(got & exact) / 10
     assert recall >= 0.8, f"recall@10 {recall} below floor"
+
+
+def test_ivfpq_index_one_pass_layout(spark, emb, books):
+    """(id, cluster, codes) from a single map-only pass — the FAISS
+    IndexIVFPQ layout; codes carry m entries and clusters come from the
+    coarse quantizer."""
+    from gistdex_spark.operators.ivf import first_c_centroids
+    from gistdex_spark.operators.pq import ivfpq_index
+
+    cents = first_c_centroids(emb, 8)
+    idx = ivfpq_index(emb, cents, books)
+    assert idx.columns == ["vec_id", "cluster", "codes"]
+    row = idx.first()
+    assert len(row["codes"]) == 16
+    assert 0 <= row["cluster"] < 8
+    assert idx.count() == emb.count()
+    # Index build is map-only: no shuffle exchange in the physical plan.
+    plan = idx._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_ivfpq_recall_vs_exact(spark, emb, books):
+    """Composed approximation (cell pruning + PQ codes) on the hash
+    embeddings (the documented hard case) must clear the 0.5 recall@10
+    floor that make_parity gates."""
+    from pyspark.sql import functions as F
+
+    from gistdex_spark.operators.ivf import train_centroids
+    from gistdex_spark.operators.pq import ivfpq_search
+    from gistdex_spark.queries import QN_MAIN, with_score
+
+    exact = {
+        r["vec_id"]
+        for r in with_score(emb, QV_MAIN, QN_MAIN)
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(10)
+        .collect()
+    }
+    cents = train_centroids(emb, k=8, seed=42, max_iter=5)
+    got = {
+        r["vec_id"]
+        for r in ivfpq_search(
+            emb, cents, books, QV_MAIN, k=10, nprobe=4, shortlist=100
+        ).collect()
+    }
+    recall = len(got & exact) / 10
+    assert recall >= 0.5, f"ivfpq recall@10 {recall} below floor"

@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "dedup_component_sizes",
     "approx_quantile_audit",
     "hll_user_census",
+    "neardup_pagerank",
 ]
 
 

@@ -11,8 +11,10 @@ m=8 -> 0.8 only at shortlist 200 — near-random hash embeddings are the
 hard case for PQ, real model embeddings cluster far better.)
 
 Scale design mirrors operators/ivf.py:
-- TRAIN m tiny k-means models (MLlib, distributed) on subvector slices;
-  codebooks are m x ksub x (D/m) floats — kilobytes, driver-held.
+- TRAIN on a bounded sample (FAISS practice): one distributed scan
+  collects a deterministic-seed sample (<=train_sample rows), then m
+  in-memory seeded k-means++ fits over its subvector slices; codebooks
+  are m x ksub x (D/m) floats — kilobytes, driver-held.
 - ENCODE is a zero-shuffle per-row fold: each subvector argmins over its
   broadcast codebook inside codegen. Linear in corpus size.
 - SEARCH is asymmetric distance computation (ADC): the query builds an

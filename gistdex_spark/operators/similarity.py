@@ -158,3 +158,71 @@ def best_match_per_doc(
             "match_count",
         )
     )
+
+
+def binary_signature(
+    vec_col: str = "embedding", lo_bits: int = 32, hi_bits: int = 32
+):
+    """(lo, hi) BIGINT halves of the 1-bit-per-dimension sign signature —
+    binary quantization, the most aggressive embedding compression
+    (64 float32 -> 8 bytes, 32x). Split into two 32-bit halves so the
+    arithmetic stays inside signed BIGINT on every engine (2^63 would
+    overflow). Zero-shuffle fold per half."""
+
+    def half(offset: int, bits: int):
+        powers = F.lit([1 << i for i in range(bits)])
+        return F.aggregate(
+            F.zip_with(
+                F.slice(vec_col, offset + 1, bits),
+                powers,
+                lambda x, p: F.when(x > 0, p).otherwise(F.lit(0)),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    return half(0, lo_bits), half(lo_bits, hi_bits)
+
+
+def binary_signature_py(vec: list[float]) -> tuple[int, int]:
+    lo = sum(1 << i for i in range(32) if vec[i] > 0)
+    hi = sum(1 << i for i in range(32) if vec[32 + i] > 0)
+    return lo, hi
+
+
+def ann_binary_sign(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Binary-quantized ANN: Hamming-distance shortlist on the sign
+    signature (bit_count(xor) — 2 instructions per 32 dims), then exact
+    cosine rerank of ONLY the shortlist. Fully deterministic (sign bits
+    and Hamming ties broken by id are engine-independent), so unlike
+    IVF/PQ this quantization gets a full VALUE oracle, not a recall
+    floor. At rest, store (lo, hi) as columns: the shortlist pass then
+    reads 16 bytes/row instead of the embedding."""
+    lo, hi = binary_signature(vec_col)
+    qlo, qhi = binary_signature_py(query_vec)
+    sig = emb.select(id_col, vec_col, lo.alias("__lo"), hi.alias("__hi"))
+    ham = F.expr(
+        f"cast(bit_count(__lo ^ {qlo}L) as int)"
+        f" + cast(bit_count(__hi ^ {qhi}L) as int)"
+    )
+    short = (
+        sig.withColumn("__ham", ham)
+        .orderBy(F.asc("__ham"), F.asc(id_col))
+        .limit(shortlist)
+    )
+    return (
+        short.withColumn(
+            "score",
+            F.round(cosine(F.col(vec_col), vector_literal(query_vec)), ROUND),
+        )
+        .select(id_col, "score")
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )

@@ -112,3 +112,20 @@ def test_ivfpq_recall_vs_exact(spark, emb, books):
     }
     recall = len(got & exact) / 10
     assert recall >= 0.5, f"ivfpq recall@10 {recall} below floor"
+
+
+def test_binary_signature_roundtrip_and_shape(spark, emb):
+    """Sign signature: two BIGINT halves reproduce the per-dimension sign
+    bits exactly (32x compression of a 64-float vector into 16 bytes)."""
+    from gistdex_spark.operators.similarity import (
+        binary_signature,
+        binary_signature_py,
+    )
+
+    lo, hi = binary_signature("embedding")
+    row = emb.select("embedding", lo.alias("lo"), hi.alias("hi")).first()
+    plo, phi = binary_signature_py(list(row["embedding"]))
+    assert (row["lo"], row["hi"]) == (plo, phi)
+    for i, x in enumerate(row["embedding"]):
+        half, bit = (row["lo"], i) if i < 32 else (row["hi"], i - 32)
+        assert ((half >> bit) & 1) == (1 if x > 0 else 0)

@@ -612,3 +612,69 @@ def simhash_pairs_between(
         .filter((F.col("hamming") <= max_distance) & first_band)
         .select("new_id", "old_id", "hamming")
     )
+
+
+def exact_substring_spans(
+    df: DataFrame,
+    span_len: int = 32,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+) -> DataFrame:
+    """Exact-substring duplication census (the fixed-width equality form of
+    Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): every ``span_len``-char window of every document, windows
+    whose exact text occurs in >= ``min_docs`` DISTINCT documents are
+    duplicated spans; per document report how many of its windows are
+    duplicated. MinHash/SimHash flag whole near-dup documents — this
+    catches verbatim template/boilerplate SPANS inside otherwise-distinct
+    documents, which suffix-array dedup targets at training scale.
+
+    Scale shape: the window explode is narrow (fan-out = doc length, no
+    shuffle); duplicated-span discovery is ONE map-side-combined hash
+    aggregate keyed by the span text, and the flag-back is an equality
+    shuffle join on the span key (never broadcast: the duplicated-span
+    set grows with corpus size) followed by a per-doc hash agg. At 100 TB
+    you would key the aggregate by a 64-bit hash of the span rather than
+    the text to shrink the shuffle — kept as text here so the DuckDB
+    oracle compares the identical values.
+    """
+    spans = (
+        df.filter(F.length(content_col) >= span_len)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0), F.length(content_col) - F.lit(span_len)
+                    ),
+                    lambda i: F.col(content_col).substr(
+                        i + F.lit(1), F.lit(span_len)
+                    ),
+                )
+            ).alias("span"),
+        )
+    )
+    dup = (
+        spans.groupBy("span")
+        .agg(F.count_distinct(F.col(id_col)).alias("span_docs"))
+        .filter(F.col("span_docs") >= min_docs)
+        .select("span")
+        .withColumn("__dup", F.lit(1))
+    )
+    return (
+        spans.join(dup, "span", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.coalesce(F.col("__dup"), F.lit(0))).alias("n_dup_spans"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.floor(
+                F.col("n_dup_spans") / F.col("n_spans") * 1_000_000
+            )
+            / 1_000_000.0,
+        )
+        .filter(F.col("n_dup_spans") > 0)
+    )

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from gistdex_spark.functions.text import match_count, query_words
+from gistdex_spark.functions.text import match_count, query_words, tokens
 from gistdex_spark.functions.vectors import cosine, vector_literal
 
 ROUND = 6
@@ -155,6 +155,175 @@ def paginate(
     rn = F.row_number().over(w)
     lo, hi = page * page_size, (page + 1) * page_size
     return df.withColumn("rn", rn).filter((F.col("rn") > lo) & (F.col("rn") <= hi)).drop("rn")
+
+
+def bm25(
+    df: DataFrame,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    score_col: str = "score",
+) -> DataFrame:
+    """Okapi BM25 over the multilingual tokenizer, query-terms-only.
+
+    The reference scores keyword relevance by substring match counts
+    (`search.ts:34-40`); BM25 is the standard upgrade a search engine ships:
+    idf-weighted, length-normalized term frequency (Robertson/Sparck Jones,
+    the Lucene `k1`/`b` form with idf = ln(1 + (N - df + 0.5)/(df + 0.5))).
+
+    Scale shape: NO inverted index is materialized — only the query's own
+    terms are counted. Pass 1 computes per-doc tf per term (narrow map over
+    the scan), then ONE map-side-combined aggregate reduces corpus stats
+    (N, avg dl, per-term df) to a single broadcast row; pass 2 is a narrow
+    scoring map. Two scans, zero shuffles of the corpus, and the final
+    top-k (done by the caller) compiles to TakeOrderedAndProject. The idf
+    is rounded to 6 dp before the fold so both engines multiply identical
+    doubles; the per-term sum is chained in listed-term order (sequential,
+    engine-independent).
+    """
+    toks = tokens(text_col)
+
+    def _eq(term):  # F.filter treats 2-arg lambdas as (element, index)
+        return lambda x: x == F.lit(term)
+
+    tf_cols = [
+        F.size(F.filter(toks, _eq(t))).alias(f"__tf_{i}")
+        for i, t in enumerate(terms)
+    ]
+    perdoc = df.select(
+        F.col(id_col), F.size(toks).cast("double").alias("__dl"), *tf_cols
+    )
+    stats = perdoc.agg(
+        F.count("*").cast("double").alias("__n"),
+        (F.sum("__dl") / F.count("*")).alias("__avgdl"),
+        *[
+            F.sum((F.col(f"__tf_{i}") > 0).cast("int"))
+            .cast("double")
+            .alias(f"__df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = perdoc.crossJoin(F.broadcast(stats))
+    norm = F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("__dl") / F.col("__avgdl")
+    )
+    total = F.lit(0.0)
+    for i in range(len(terms)):
+        idf = F.round(
+            F.log(
+                F.lit(1.0)
+                + (F.col("__n") - F.col(f"__df_{i}") + F.lit(0.5))
+                / (F.col(f"__df_{i}") + F.lit(0.5))
+            ),
+            ROUND,
+        )
+        tf = F.col(f"__tf_{i}").cast("double")
+        total = total + idf * (tf * F.lit(k1 + 1.0)) / (tf + norm)
+    return scored.select(
+        F.col(id_col), F.round(total, ROUND).alias(score_col)
+    ).filter(F.col(score_col) > 0)
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    rrf_k: int = 60,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    fused_col: str = "rrf_score",
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Büttcher 2009) of two
+    ranked candidate lists: rrf(d) = Σ 1/(k + rank_i(d)), full-outer on id.
+
+    Inputs are already-bounded candidate lists (post-top-k), so the rank
+    windows run over at most the fused candidate caps — bounded by the
+    retrieval parameters, never the corpus — and the join broadcasts.
+    1/(k+rank) is an exact double of small integers on every engine; no
+    rounding boundary exists to diverge.
+    """
+    wa = Window.orderBy(F.desc(score_col), F.asc(id_col))
+    ra = ranked_a.select(id_col, F.row_number().over(wa).alias("__ra"))
+    rb = ranked_b.select(id_col, F.row_number().over(wa).alias("__rb"))
+    # full outer can't BroadcastHashJoin; both sides are post-top-k
+    # (tens of rows), so the exchange is trivially small.
+    fused = ra.join(rb, id_col, "full_outer")
+    contrib_a = F.when(
+        F.col("__ra").isNotNull(), F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("__ra"))
+    ).otherwise(F.lit(0.0))
+    contrib_b = F.when(
+        F.col("__rb").isNotNull(), F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("__rb"))
+    ).otherwise(F.lit(0.0))
+    return fused.select(
+        id_col, F.round(contrib_a + contrib_b, ROUND).alias(fused_col)
+    )
+
+
+def mmr_select(
+    candidates: DataFrame,
+    k: int = 5,
+    lam: float = 0.7,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversification (Carbonell & Goldstein
+    1998): greedily pick k items maximizing lam*relevance -
+    (1-lam)*max_sim_to_already_selected.
+
+    Distribution contract: ``candidates`` is an already-top-N retrieval
+    result (bounded by the retrieval parameter, never the corpus). The
+    pairwise similarity matrix is computed DISTRIBUTED (broadcast
+    self-join, cosine rounded to 6 dp engine-side); only the N relevance
+    rows + N*(N-1) sim rows are collected for the greedy loop — the same
+    bounded-collect contract as pagination. The objective is truncated by
+    floor-scaling (floor(x*1e6)/1e6), the one rounding form that is the
+    identical function of the same double in Python, Spark, and DuckDB
+    (see q2_cheapest_supplier) — ties broken by id ascending.
+    """
+    import math as _m
+
+    from gistdex_spark.functions.vectors import cosine
+
+    spark = candidates.sparkSession
+    cand = candidates.select(id_col, score_col, vec_col)
+    a = cand.select(
+        F.col(id_col).alias("__i"),
+        F.col(score_col).alias("__rel"),
+        F.col(vec_col).alias("__va"),
+    )
+    bside = cand.select(F.col(id_col).alias("__j"), F.col(vec_col).alias("__vb"))
+    pairs = (
+        a.crossJoin(F.broadcast(bside))
+        .filter(F.col("__i") != F.col("__j"))
+        .select(
+            "__i",
+            "__j",
+            F.round(cosine(F.col("__va"), F.col("__vb")), ROUND).alias("__s"),
+        )
+    )
+    rel = {r["__i"]: r["__rel"] for r in a.select("__i", "__rel").collect()}
+    sim: dict[tuple, float] = {
+        (r["__i"], r["__j"]): r["__s"] for r in pairs.collect()
+    }
+    selected: list[tuple] = []  # (rank, id, mmr)
+    chosen: list = []
+    remaining = sorted(rel)
+    while remaining and len(selected) < k:
+        best = None
+        for d in remaining:  # id-ascending scan => asc tiebreak for free
+            max_s = max((sim[(d, s)] for s in chosen), default=0.0)
+            raw = lam * rel[d] - (1.0 - lam) * max_s
+            m = _m.floor(raw * 1_000_000) / 1_000_000
+            if best is None or m > best[1]:
+                best = (d, m)
+        selected.append((len(selected) + 1, best[0], best[1]))
+        chosen.append(best[0])
+        remaining.remove(best[0])
+    return spark.createDataFrame(
+        selected, schema=f"sel_rank INT, {id_col} BIGINT, mmr DOUBLE"
+    )
 
 
 def encode_cursor(offset: int, query: str, goal: str) -> str:

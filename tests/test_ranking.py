@@ -1,0 +1,178 @@
+"""Unit tests for the retrieval-quality family: BM25, RRF fusion, MMR
+diversification, exact-substring span dedup. Values are checked against
+independent Python recomputations of the same published formulas
+(Robertson/Sparck Jones BM25; Cormack et al. 2009 RRF; Carbonell &
+Goldstein 1998 MMR; Lee et al. 2022 span dedup)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from gistdex_spark.operators import search as S
+from gistdex_spark.operators.dedup import exact_substring_spans
+
+K1, B = 1.2, 0.75
+
+
+def _bm25_py(corpus: dict[int, str], terms: list[str]) -> dict[int, float]:
+    """Independent reference BM25 (whitespace tokens suffice here)."""
+    toks = {i: t.lower().split() for i, t in corpus.items()}
+    n = float(len(corpus))
+    avgdl = sum(len(v) for v in toks.values()) / n
+    out = {}
+    for i, tk in toks.items():
+        dl = float(len(tk))
+        score = 0.0
+        for t in terms:
+            tf = float(tk.count(t))
+            df = float(sum(1 for v in toks.values() if t in v))
+            idf = round(math.log(1.0 + (n - df + 0.5) / (df + 0.5)), 6)
+            score += idf * (tf * (K1 + 1.0)) / (
+                tf + K1 * (1.0 - B + B * dl / avgdl)
+            )
+        if round(score, 6) > 0:
+            out[i] = round(score, 6)
+    return out
+
+
+def test_bm25_matches_reference_formula(spark):
+    corpus = {
+        1: "spark table join merge table",
+        2: "join the window stream",
+        3: "no relevant words here at all",
+        4: "table table table table table scan scan",
+    }
+    df = spark.createDataFrame(
+        list(corpus.items()), schema="doc_id BIGINT, text STRING"
+    )
+    got = {
+        r["doc_id"]: r["score"]
+        for r in S.bm25(df, ["table", "join", "merge"], k1=K1, b=B).collect()
+    }
+    assert got == _bm25_py(corpus, ["table", "join", "merge"])
+    assert 3 not in got, "zero-score docs must be filtered"
+
+
+def test_bm25_idf_downweights_common_terms(spark):
+    # 'common' is in every doc, 'rare' in one: equal tf must score rare higher
+    rows = [(i, "common filler") for i in range(1, 10)] + [
+        (10, "common rare")
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id BIGINT, text STRING")
+    scores = {
+        r["doc_id"]: r["score"] for r in S.bm25(df, ["common", "rare"]).collect()
+    }
+    only_common = scores[1]
+    both = scores[10]
+    assert both > 2 * only_common
+
+
+def test_rrf_fuse_hand_values(spark):
+    a = spark.createDataFrame(
+        [(1, 0.9), (2, 0.8), (3, 0.7)], schema="doc_id BIGINT, score DOUBLE"
+    )
+    b = spark.createDataFrame(
+        [(2, 5.0), (4, 4.0)], schema="doc_id BIGINT, score DOUBLE"
+    )
+    got = {r["doc_id"]: r["rrf_score"] for r in S.rrf_fuse(a, b).collect()}
+    assert got == {
+        1: round(1 / 61, 6),
+        2: round(1 / 62 + 1 / 61, 6),
+        3: round(1 / 63, 6),
+        4: round(1 / 62, 6),
+    }
+    # doc 2 (present in both lists) must outrank every single-list doc
+    assert max(got, key=lambda d: (got[d], -d)) == 2
+
+
+def test_rrf_rank_ties_break_by_id(spark):
+    a = spark.createDataFrame(
+        [(7, 0.5), (3, 0.5)], schema="doc_id BIGINT, score DOUBLE"
+    )
+    b = spark.createDataFrame([], schema="doc_id BIGINT, score DOUBLE")
+    got = {r["doc_id"]: r["rrf_score"] for r in S.rrf_fuse(a, b).collect()}
+    assert got[3] == round(1 / 61, 6)  # id asc wins the score tie
+    assert got[7] == round(1 / 62, 6)
+
+
+def _unit(*xs):
+    n = math.sqrt(sum(x * x for x in xs))
+    return [x / n for x in xs]
+
+
+def test_mmr_skips_redundant_second_hit(spark):
+    # docs 1 and 2 nearly identical; greedy MMR must pick 1 then the
+    # orthogonal 3, not the near-duplicate 2 — pure relevance would say 2.
+    rows = [
+        (1, 0.95, _unit(1.0, 0.01, 0.0)),
+        (2, 0.94, _unit(1.0, 0.02, 0.0)),
+        (3, 0.60, _unit(0.0, 1.0, 0.0)),
+        (4, 0.50, _unit(0.0, 0.0, 1.0)),
+    ]
+    cand = spark.createDataFrame(
+        rows, schema="vec_id BIGINT, score DOUBLE, embedding ARRAY<DOUBLE>"
+    )
+    sel = S.mmr_select(cand, k=3, lam=0.7, id_col="vec_id").collect()
+    picked = [r["vec_id"] for r in sorted(sel, key=lambda r: r["sel_rank"])]
+    assert picked[0] == 1
+    assert picked[1] in (3, 4) and picked[1] != 2
+    assert len(picked) == 3
+    # rank-1 objective is floor-scaled lam*rel
+    r1 = next(r for r in sel if r["sel_rank"] == 1)
+    assert r1["mmr"] == math.floor(0.7 * 0.95 * 1_000_000) / 1_000_000
+
+
+def test_mmr_caps_at_candidate_count(spark):
+    cand = spark.createDataFrame(
+        [(1, 0.9, _unit(1.0, 0.0)), (2, 0.8, _unit(0.0, 1.0))],
+        schema="vec_id BIGINT, score DOUBLE, embedding ARRAY<DOUBLE>",
+    )
+    sel = S.mmr_select(cand, k=5, id_col="vec_id").collect()
+    assert sorted(r["vec_id"] for r in sel) == [1, 2]
+
+
+def test_exact_substring_spans_counts(spark):
+    shared = "X" * 20 + "SHARED-TEMPLATE-Y" + "Z" * 20  # > 32 chars common
+    rows = [
+        (1, "aaa " + shared + " tail one"),
+        (2, "bbbbb " + shared + " other tail"),
+        (3, "entirely unique content with no duplicated windows " + "q" * 40),
+        (4, "short"),  # below span_len: contributes nothing
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id BIGINT, text STRING")
+    got = {r["doc_id"]: r for r in exact_substring_spans(df, 32, 2).collect()}
+    assert set(got) == {1, 2}, "only docs sharing a 32-char span flagged"
+    for i in (1, 2):
+        n = len(rows[i - 1][1]) - 31
+        assert got[i]["n_spans"] == n
+        assert 0 < got[i]["n_dup_spans"] < n
+        assert (
+            got[i]["dup_frac"]
+            == math.floor(got[i]["n_dup_spans"] / n * 1_000_000) / 1_000_000
+        )
+    # the two docs share the same windows of the common fragment
+    assert got[1]["n_dup_spans"] == got[2]["n_dup_spans"]
+
+
+def test_exact_substring_min_docs_threshold(spark):
+    t = "the same forty-character span appears here!! pad pad pad"
+    df = spark.createDataFrame(
+        [(1, t), (2, t), (3, t)], schema="doc_id BIGINT, text STRING"
+    )
+    assert exact_substring_spans(df, 32, min_docs=4).count() == 0
+    assert exact_substring_spans(df, 32, min_docs=3).count() == 3
+
+
+def test_bm25_stats_reduce_to_broadcast_row(spark):
+    df = spark.createDataFrame(
+        [(1, "table join"), (2, "merge")], schema="doc_id BIGINT, text STRING"
+    )
+    plan = (
+        S.bm25(df, ["table"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan

@@ -7,6 +7,7 @@ from __future__ import annotations
 import pytest
 
 from gistdex_spark.plans.inspect import (
+    executed_plan,
     final_plan,
     has_take_ordered,
     join_strategies,
@@ -553,3 +554,40 @@ def test_pagerank_round_is_join_plus_agg(spark):
     plan = final_plan(df)
     assert "Sort [" not in plan.split("TakeOrdered")[0] or True
     assert single_partition_exchanges(df) == 0
+
+
+def test_bm25_topk_is_heap_with_broadcast_stats(q):
+    """BM25 corpus stats must reach the scoring map as ONE broadcast row
+    (never a shuffle keyed by anything), and the top-k must be a heap."""
+    df = q("bm25_topk")
+    assert has_take_ordered(df)
+    plan = executed_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    s = scan_for(df, "documents")
+    assert "lang" not in s["columns"], "bm25 must prune to doc_id+text"
+
+
+def test_hybrid_rrf_fuses_bounded_lists(q):
+    """RRF ranks run AFTER both top-20 cuts: every window input is limited,
+    so the single-partition stages are bounded by retrieval parameters."""
+    df = q("hybrid_rrf")
+    assert has_take_ordered(df) or "GlobalLimit" in final_plan(df)
+    assert "CartesianProduct" not in executed_plan(df)
+
+
+def test_exact_substring_join_is_equality_keyed(q):
+    """Span dedup must never go quadratic: equality joins only, no
+    cartesian/broadcast-nested-loop, no unpartitioned window."""
+    plan = executed_plan(q("dedup_exact_substring"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window [" not in plan
+
+
+def test_heavy_hitters_candidates_stay_tiny(q):
+    """The MG candidate merge and the audit joins must be broadcast-side;
+    only the exact census is allowed a corpus-keyed shuffle."""
+    df = q("heavy_hitters_audit")
+    plan = executed_plan(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert has_take_ordered(df)

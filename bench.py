@@ -131,6 +131,12 @@ BENCH_QUERIES = [
     "hll_user_census",
     "neardup_pagerank",
     "ann_binary_sign",
+    "bm25_topk",
+    "hybrid_rrf",
+    "mmr_diversify",
+    "dedup_exact_substring",
+    "heavy_hitters_audit",
+    "rag_retrieval_pipeline",
 ]
 
 

@@ -183,17 +183,23 @@ def bm25(
     doubles; the per-term sum is chained in listed-term order (sequential,
     engine-independent).
     """
-    toks = tokens(text_col)
-
     def _eq(term):  # F.filter treats 2-arg lambdas as (element, index)
         return lambda x: x == F.lit(term)
 
+    # Materialize the token array ONCE per row in its own projection:
+    # the regex split is referenced 1 + len(terms) times downstream, and
+    # CollapseProject keeps non-cheap multiply-referenced projections
+    # separate — inlining it would re-tokenize per referencing expression
+    # (the ivfpq normalize-fold blowup, ~len(terms)x the scan cost).
+    tokd = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
     tf_cols = [
-        F.size(F.filter(toks, _eq(t))).alias(f"__tf_{i}")
+        F.size(F.filter(F.col("__toks"), _eq(t))).alias(f"__tf_{i}")
         for i, t in enumerate(terms)
     ]
-    perdoc = df.select(
-        F.col(id_col), F.size(toks).cast("double").alias("__dl"), *tf_cols
+    perdoc = tokd.select(
+        F.col(id_col),
+        F.size("__toks").cast("double").alias("__dl"),
+        *tf_cols,
     )
     stats = perdoc.agg(
         F.count("*").cast("double").alias("__n"),

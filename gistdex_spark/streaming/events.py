@@ -112,3 +112,27 @@ def sliding_counts_stream(
             "total_value",
         )
     )
+
+
+def dedup_within_watermark_stream(
+    events: DataFrame, delay: str = "2 hours"
+) -> DataFrame:
+    """Spark 3.5+ dropDuplicatesWithinWatermark: unlike dropDuplicates
+    (whose state for a key lives until the event-time column ages past the
+    watermark), this guarantees state EVICTION once the key's first
+    arrival is `delay` older than the max seen event time — the bounded-
+    state contract a 24/7 dedup stream needs when duplicates always land
+    within a known skew window."""
+    return events.withWatermark("ts", delay).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def enrich_stream(
+    events: DataFrame, dim: DataFrame, on: str = "event_type"
+) -> DataFrame:
+    """Stream-static enrichment join: the static dimension broadcasts to
+    every executor once per (re)plan and each micro-batch maps over it —
+    no stream-side state at all (vs stream-stream joins). The standard
+    shape for attaching slowly-changing reference data to a firehose."""
+    return events.join(F.broadcast(dim), on, "left")

@@ -99,3 +99,46 @@ def test_sliding_counts_stream_matches_batch(spark):
         assert expected[k] == v, k
     missing = set(expected) - set(got)
     assert len(missing) <= 3 * 12, f"too many held-back windows: {len(missing)}"
+
+
+def test_dedup_within_watermark_matches_batch_distinct(spark):
+    from gistdex_spark.streaming.events import dedup_within_watermark_stream
+
+    stream_src, batch = _stream_events(spark)
+    q = run_availablenow(
+        dedup_within_watermark_stream(stream_src), "dedup_ww_test", "append"
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS d "
+                    "FROM dedup_ww_test").collect()[0]
+    expected = batch.select("event_id").distinct().count()
+    # every id exactly once, and nothing beyond the batch-distinct set
+    assert got.n == got.d == expected
+
+
+def test_enrich_stream_matches_batch_join(spark):
+    from gistdex_spark.streaming.events import enrich_stream
+
+    dim = spark.createDataFrame(
+        [("click", "ui"), ("view", "ui"), ("purchase", "commerce")],
+        schema="event_type string, category string",
+    )
+    stream_src, batch = _stream_events(spark)
+    q = run_availablenow(
+        enrich_stream(stream_src, dim), "enrich_test", "append"
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.category,): r.n
+        for r in spark.sql(
+            "SELECT category, count(*) AS n FROM enrich_test GROUP BY category"
+        ).collect()
+    }
+    expected = {
+        (r.category,): r.n
+        for r in batch.join(dim, "event_type", "left")
+        .groupBy("category")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == expected and got, "enriched stream must equal batch join"

@@ -416,3 +416,114 @@ def paginate_with_cursor(
     )
     nxt = encode_cursor(offset + page_size, query, goal) if has_more else None
     return page, nxt
+
+
+def bm25_sparse(
+    df: DataFrame,
+    terms_df: DataFrame,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    score_col: str = "score",
+) -> DataFrame:
+    """BM25 in long/sparse form: the term set is DATA (a one-column
+    DataFrame), not pivoted columns — the shape for data-dependent or
+    large query sets (pseudo-relevance feedback, benchmark query batches),
+    where one pivoted column per term would blow up the projection.
+
+    Scale shape: tokens explode narrow, the term filter is a broadcast
+    semi-join (query sets are small vs the corpus; for truly huge term
+    sets drop the broadcast and it becomes a plain equality join), tf and
+    df are map-side-combined hash aggs, and corpus stats ride one
+    broadcast row. The per-doc sum folds contributions in TERM ORDER
+    (array_sort + sequential aggregate) so the float sum is
+    engine-identical — a plain SUM() would accumulate in partition order.
+    """
+    tokd = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    perdoc = tokd.select(
+        F.col(id_col), F.size("__toks").cast("double").alias("__dl")
+    )
+    stats = perdoc.agg(
+        F.count("*").cast("double").alias("__n"),
+        (F.sum("__dl") / F.count("*")).alias("__avgdl"),
+    )
+    hits = (
+        tokd.select(
+            F.col(id_col),
+            F.size("__toks").cast("double").alias("__dl"),
+            F.explode("__toks").alias("term"),
+        )
+        .join(F.broadcast(terms_df.select("term").distinct()), "term")
+        .groupBy(id_col, "term", "__dl")
+        .agg(F.count("*").cast("double").alias("__tf"))
+    )
+    dfreq = hits.groupBy("term").agg(
+        F.count("*").cast("double").alias("__df")
+    )
+    contrib = (
+        hits.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "__contrib",
+            F.round(
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("__n") - F.col("__df") + F.lit(0.5))
+                    / (F.col("__df") + F.lit(0.5))
+                ),
+                ROUND,
+            )
+            * (F.col("__tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("__tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("__dl") / F.col("__avgdl"))
+            ),
+        )
+    )
+    ordered_fold = F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("term", "__contrib"))),
+            lambda s: s["__contrib"],
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        contrib.groupBy(id_col)
+        .agg(F.round(ordered_fold, ROUND).alias(score_col))
+        .filter(F.col(score_col) > 0)
+    )
+
+
+def prf_expand_terms(
+    df: DataFrame,
+    seed_hits: DataFrame,
+    seed_terms: list[str],
+    n_expand: int = 5,
+    min_len: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pseudo-relevance feedback term selection (the RM-style expansion
+    step): the most frequent non-stopword, non-seed terms of the seed
+    result docs, deterministically cut by (count desc, term asc). The
+    seed-hit id set is bounded (post-top-k), so it broadcasts into a
+    semi-join and the expansion agg touches only those docs' tokens."""
+    from gistdex_spark.functions.text import stopword_array
+
+    hits_docs = df.join(
+        F.broadcast(seed_hits.select(id_col)), id_col, "left_semi"
+    )
+    toks = hits_docs.select(F.explode(tokens(text_col)).alias("term"))
+    return (
+        toks.filter(F.length("term") >= min_len)
+        .filter(~F.array_contains(stopword_array(), F.col("term")))
+        .filter(~F.col("term").isin(seed_terms))
+        .groupBy("term")
+        .agg(F.count("*").alias("__n"))
+        .orderBy(F.desc("__n"), F.asc("term"))
+        .limit(n_expand)
+        .select("term")
+    )

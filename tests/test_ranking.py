@@ -176,3 +176,40 @@ def test_bm25_stats_reduce_to_broadcast_row(spark):
         .toString()
     )
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_bm25_sparse_equals_pivoted(spark):
+    """The long-form (term-set-as-data) BM25 must produce the exact same
+    scores as the pivoted-columns form on the same corpus and terms."""
+    corpus = {
+        1: "spark table join merge table",
+        2: "join the window stream",
+        3: "no relevant words here at all",
+        4: "table table table table table scan scan",
+    }
+    df = spark.createDataFrame(
+        list(corpus.items()), schema="doc_id BIGINT, text STRING"
+    )
+    terms = ["table", "join", "merge"]
+    piv = {r["doc_id"]: r["score"] for r in S.bm25(df, terms).collect()}
+    tdf = spark.createDataFrame([(t,) for t in terms], schema="term string")
+    sparse = {r["doc_id"]: r["score"] for r in S.bm25_sparse(df, tdf).collect()}
+    assert sparse == piv
+
+
+def test_prf_expansion_is_deterministic_top_terms(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta beta gamma"),
+            (2, "alpha beta delta"),
+            (3, "unrelated filler words"),
+        ],
+        schema="doc_id BIGINT, text STRING",
+    )
+    seed = spark.createDataFrame([(1,), (2,)], schema="doc_id BIGINT")
+    got = [
+        r["term"]
+        for r in S.prf_expand_terms(df, seed, ["alpha"], n_expand=2).collect()
+    ]
+    # beta (3 hits) then delta/gamma tie broken alphabetically
+    assert got == ["beta", "delta"]

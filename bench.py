@@ -137,6 +137,7 @@ BENCH_QUERIES = [
     "dedup_exact_substring",
     "heavy_hitters_audit",
     "rag_retrieval_pipeline",
+    "prf_expanded_search",
 ]
 
 

@@ -293,7 +293,11 @@ def mmr_select(
     from gistdex_spark.functions.vectors import cosine
 
     spark = candidates.sparkSession
-    cand = candidates.select(id_col, score_col, vec_col)
+    # a NULL embedding cannot be diversified against (cosine -> NULL sims
+    # would poison the greedy max); drop such candidates up front
+    cand = candidates.select(id_col, score_col, vec_col).filter(
+        F.col(vec_col).isNotNull()
+    )
     a = cand.select(
         F.col(id_col).alias("__i"),
         F.col(score_col).alias("__rel"),
@@ -327,8 +331,10 @@ def mmr_select(
         selected.append((len(selected) + 1, best[0], best[1]))
         chosen.append(best[0])
         remaining.remove(best[0])
+    # carry the caller's id type through (string chunk ids work too)
+    id_type = candidates.schema[id_col].dataType.simpleString()
     return spark.createDataFrame(
-        selected, schema=f"sel_rank INT, {id_col} BIGINT, mmr DOUBLE"
+        selected, schema=f"sel_rank INT, {id_col} {id_type}, mmr DOUBLE"
     )
 
 

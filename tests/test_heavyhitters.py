@@ -68,7 +68,13 @@ def test_mg_tiny_k_forces_decrements_but_keeps_heavies(spark):
 
 
 def test_mg_summary_is_bounded_per_partition(spark):
-    # every partition emits <= k rows before the merge agg
-    rows = [(f"u{i}",) for i in range(10_000)]
+    # every partition emits <= k rows before the merge agg — on data where
+    # counters SURVIVE (heavy repeats + tail), so the bound is exercised
+    # non-vacuously; all-singleton data would evict everything and pass
+    # with 0 rows no matter how broken the operator
+    rows = [(f"h{i % 40}",) for i in range(4_000)] + [
+        (f"u{i}",) for i in range(6_000)
+    ]
     df = spark.createDataFrame(rows, schema="item string").repartition(5)
-    assert misra_gries_candidates(df, "item", k=32).count() <= 5 * 32
+    n = misra_gries_candidates(df, "item", k=32).count()
+    assert 0 < n <= 5 * 32

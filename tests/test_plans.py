@@ -13,6 +13,7 @@ from gistdex_spark.plans.inspect import (
     join_strategies,
     num_shuffles,
     scan_for,
+    scans,
     single_partition_exchanges,
 )
 from gistdex_spark.queries import REGISTRY
@@ -600,5 +601,8 @@ def test_rag_pipeline_broadcasts_selection_not_corpus(q):
     plan = executed_plan(df)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
-    s = scan_for(df, "documents")
-    assert "text" in s["columns"] or True  # bm25 branch reads text
+    # the retrieval branches run during MMR construction (their shapes are
+    # pinned by the bm25/rrf component tests); the FINAL plan is only the
+    # result-card join, whose documents scan must prune text away
+    doc_scans = [s for s in scans(df) if "documents" in s["location"]]
+    assert doc_scans and all("text" not in s["columns"] for s in doc_scans)

@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "heavy_hitters_audit",
     "rag_retrieval_pipeline",
     "prf_expanded_search",
+    "bloom_prefilter_revenue",
 ]
 
 

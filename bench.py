@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "rag_retrieval_pipeline",
     "prf_expanded_search",
     "bloom_prefilter_revenue",
+    "weighted_sample_mixture",
 ]
 
 

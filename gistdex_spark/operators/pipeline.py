@@ -613,3 +613,37 @@ def dsir_weights(
             ).alias("dsir_weight"),
         )
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    n: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted sampling without replacement, batch form of Efraimidis &
+    Spirakis (2006): each row gets key = ln(u) / w with u a DETERMINISTIC
+    md5-uniform in (0, 1]; the n largest keys are an exact weighted
+    sample — a row's inclusion probability is proportional to its weight.
+    The training-data use: quality- or length-weighted corpus subsetting
+    that is reproducible across engines, partitionings, and reruns
+    (TABLESAMPLE and rand() are neither).
+
+    Scale shape: key is a narrow map expression; top-n compiles to
+    TakeOrderedAndProject (per-partition heaps, n-row driver merge) — no
+    shuffle, no sort of the corpus. Rows with non-positive weight are
+    excluded (they would get -inf/undefined keys).
+    """
+    h = F.expr(
+        f"cast(conv(substring(md5(cast({id_col} as string)), 1, 15), 16, 10) "
+        "as bigint)"
+    )
+    u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 60))
+    key = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__es_key", key)
+        .orderBy(F.desc("__es_key"), F.asc(id_col))
+        .limit(n)
+        .drop("__es_key")
+    )

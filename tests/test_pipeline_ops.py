@@ -214,3 +214,32 @@ def test_curation_observe_metrics(spark):
     assert n_in == docs.count()
     assert n_in >= n_gated >= n_kept > 0
     assert n_kept == n_out
+
+
+def test_weighted_sample_determinism_and_bias(spark):
+    from gistdex_spark.operators.pipeline import weighted_sample
+
+    rows = [(i, (i % 10) + 1) for i in range(1, 1001)]  # weights 1..10
+    df = spark.createDataFrame(rows, schema="doc_id BIGINT, w INT")
+    s1 = sorted(r["doc_id"] for r in weighted_sample(df, "w", 100).collect())
+    s2 = sorted(
+        r["doc_id"]
+        for r in weighted_sample(df.repartition(7), "w", 100).collect()
+    )
+    assert s1 == s2, "sample must be partition-independent"
+    assert len(s1) == 100
+    # inclusion probability ∝ weight: the sample's mean weight must sit
+    # well above the population mean (5.5); E-S with these weights gives
+    # ~7+, so 6.0 is a loose, non-flaky floor for a deterministic sample
+    wmap = dict(rows)
+    assert sum(wmap[i] for i in s1) / 100 > 6.0
+
+
+def test_weighted_sample_drops_nonpositive_weights(spark):
+    df = spark.createDataFrame(
+        [(1, 0), (2, -3), (3, 5)], schema="doc_id BIGINT, w INT"
+    )
+    from gistdex_spark.operators.pipeline import weighted_sample
+
+    got = [r["doc_id"] for r in weighted_sample(df, "w", 10).collect()]
+    assert got == [3]

@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "prf_expanded_search",
     "bloom_prefilter_revenue",
     "weighted_sample_mixture",
+    "constraint_audit",
 ]
 
 

@@ -141,6 +141,7 @@ BENCH_QUERIES = [
     "bloom_prefilter_revenue",
     "weighted_sample_mixture",
     "constraint_audit",
+    "peak_concurrency",
 ]
 
 

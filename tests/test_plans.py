@@ -606,3 +606,44 @@ def test_rag_pipeline_broadcasts_selection_not_corpus(q):
     # result-card join, whose documents scan must prune text away
     doc_scans = [s for s in scans(df) if "documents" in s["location"]]
     assert doc_scans and all("text" not in s["columns"] for s in doc_scans)
+
+
+def test_bloom_probe_prunes_before_the_join(q):
+    """The bloom predicate must sit on the lineitem side BEFORE the
+    equi-join's exchange; the bloom itself arrives by broadcast."""
+    df = q("bloom_prefilter_revenue")
+    plan = executed_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    # probe predicate (md5-derived bit tests) appears as a Filter
+    assert plan.count("md5") >= 5, "probe hashes must be in the plan"
+
+
+def test_weighted_sample_is_heap_cut(q):
+    """E-S sampling must compile to TakeOrderedAndProject — never a
+    global sort of the corpus by sampling key."""
+    df = q("weighted_sample_mixture")
+    assert has_take_ordered(df)
+    plan = executed_plan(df)
+    assert "Sort [" not in plan.split("TakeOrdered")[0]
+
+
+def test_constraint_audit_fk_check_is_anti_join(q):
+    plan = executed_plan(q("constraint_audit"))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_peak_concurrency_window_is_partitioned(q):
+    """The sweep-line running sum must be a (event_type, day)-partitioned
+    window — no single-partition global ordering of all endpoints."""
+    df = q("peak_concurrency")
+    assert single_partition_exchanges(df) == 0
+
+
+def test_prf_sparse_join_is_broadcast_semi(q):
+    """The sparse BM25 term filter must reach the exploded tokens as a
+    broadcast join, and nothing in the PRF composition goes cartesian."""
+    plan = executed_plan(q("prf_expanded_search"))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

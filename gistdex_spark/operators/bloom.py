@@ -7,12 +7,18 @@ filter of the (much smaller) key side — Spark's own runtime filter
 but its `bloom_filter_agg` expression is internal-only, so this module
 builds the same structure from public primitives:
 
-- build: each key sets ``n_hashes`` bits (md5-derived positions — the
-  repo-standard engine-portable hash) in an ``m_bits`` array, aggregated
-  as (word -> 32-bit mask) via bit_or and shipped as ONE broadcast row
-  holding a MAP<BIGINT,BIGINT> (absent word == all-zero mask).
-- probe: a narrow map-side expression ANDing the bit tests — no shuffle,
-  no Python; the fact scan streams past the kilobyte-scale map.
+- build: each key sets ``n_hashes`` positions (md5-derived — the
+  repo-standard engine-portable hash) in a ``m_bits`` universe; the
+  DISTINCT set positions ship as ONE broadcast row holding a
+  MAP<BIGINT,BOOLEAN>. The map is bounded by m_bits entries no matter
+  how many keys feed it (positions saturate), so the broadcast stays
+  megabyte-scale at any key count; a 32x-denser bit-packed layout is
+  possible but costs a second hash evaluation per probe (word + bit both
+  need the position, and Catalyst does not CSE across filter conjuncts),
+  and the probe is the per-row hot-path cost of the whole design.
+- probe: ONE map lookup per hash seed, ANDed — a narrow map-side
+  expression with exactly ``n_hashes`` md5 evaluations per row, no
+  shuffle, no Python; the fact scan streams past the broadcast map.
 
 No false negatives by construction, so a bloom-pruned join returns the
 IDENTICAL result to the plain join — which is how the oracle checks it:
@@ -46,46 +52,34 @@ def build_bloom(
     m_bits: int = 131072,
     n_hashes: int = 5,
 ) -> DataFrame:
-    """One-row DataFrame (column ``bf``: MAP<BIGINT,BIGINT>) — the bloom
-    bit array in 32-bit words. Build cost: one narrow explode (n_hashes
-    rows per key) + one map-side-combined bit_or agg whose output is at
-    most m_bits/32 rows, collapsed into a single broadcastable map."""
-    assert m_bits % 32 == 0
+    """One-row DataFrame (column ``bf``: MAP<BIGINT,BOOLEAN>) — the set of
+    occupied bloom positions. Build cost: one narrow explode (n_hashes
+    rows per key) + one map-side-combined distinct whose output is at
+    most m_bits rows, collapsed into a single broadcastable map."""
     k = F.col(key_col)
     pos = keys.select(
         F.explode(
             F.array(*[_hash_pos(k, s, m_bits) for s in range(n_hashes)])
         ).alias("pos")
-    )
-    # 32-bit words: every mask value (2^0..2^31) is exactly representable
-    # as both a double and a positive BIGINT, so pow-based bit math is
-    # portable across engines with no sign-bit edge at 63
-    masks = pos.select(
-        ((F.col("pos") - F.col("pos") % 32) / 32).cast("long").alias("word"),
-        F.pow(F.lit(2.0), (F.col("pos") % 32).cast("double"))
-        .cast("long")
-        .alias("mask"),
-    )
-    words = masks.groupBy("word").agg(F.expr("bit_or(mask)").alias("mask"))
-    return words.agg(
-        F.map_from_entries(F.collect_list(F.struct("word", "mask"))).alias("bf")
+    ).distinct()
+    return pos.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("pos"), F.lit(True)))
+        ).alias("bf")
     )
 
 
 def might_contain(
     bf: Column, key: Column, m_bits: int = 131072, n_hashes: int = 5
 ) -> Column:
-    """True unless some hash position's bit is unset — the map-side probe
-    predicate. A missing map entry is an all-zero word."""
+    """True unless some hash position is unoccupied — the map-side probe
+    predicate. Exactly one hash evaluation and one map lookup per seed."""
     test = F.lit(True)
     for s in range(n_hashes):
-        pos = _hash_pos(key, s, m_bits)
-        word = ((pos - pos % 32) / 32).cast("long")
-        word_mask = F.coalesce(
-            F.element_at(bf, word), F.lit(0).cast("long")
+        hit = F.coalesce(
+            F.element_at(bf, _hash_pos(key, s, m_bits)), F.lit(False)
         )
-        bit = F.pow(F.lit(2.0), (pos % 32).cast("double")).cast("long")
-        test = test & (word_mask.bitwiseAND(bit) != 0)
+        test = test & hit
     return test
 
 

@@ -634,10 +634,7 @@ def weighted_sample(
     shuffle, no sort of the corpus. Rows with non-positive weight are
     excluded (they would get -inf/undefined keys).
     """
-    h = F.expr(
-        f"cast(conv(substring(md5(cast({id_col} as string)), 1, 15), 16, 10) "
-        "as bigint)"
-    )
+    h = F.expr(MD5_BUCKET.format(id=id_col, mod=f"{1 << 60}L"))
     u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 60))
     key = F.log(u) / F.col(weight_col).cast("double")
     return (

@@ -609,14 +609,30 @@ def test_rag_pipeline_broadcasts_selection_not_corpus(q):
 
 
 def test_bloom_probe_prunes_before_the_join(q):
-    """The bloom predicate must sit on the lineitem side BEFORE the
-    equi-join's exchange; the bloom itself arrives by broadcast."""
+    """The bloom predicate must sit on the lineitem side BELOW the
+    equi-join (probe-then-join, not join-then-probe): in the plan tree
+    the md5 probe filter prints after the equi-join node and before the
+    lineitem scan it guards."""
     df = q("bloom_prefilter_revenue")
     plan = executed_plan(df)
-    assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
-    # probe predicate (md5-derived bit tests) appears as a Filter
-    assert plan.count("md5") >= 5, "probe hashes must be in the plan"
+    lines = plan.splitlines()
+    l_join = next(
+        i for i, ln in enumerate(lines)
+        if "BroadcastHashJoin" in ln or "SortMergeJoin" in ln
+    )
+    # the probe predicate rides the bloom-attach BNLJ's join condition
+    l_probe = next(
+        i for i, ln in enumerate(lines)
+        if "md5" in ln and ("Filter" in ln or "BroadcastNestedLoopJoin" in ln)
+    )
+    l_scan = next(
+        i for i, ln in enumerate(lines) if "lineitem.parquet" in ln
+    )
+    assert l_join < l_probe < l_scan, (
+        "bloom probe must guard the lineitem scan inside the join's "
+        "streamed subtree"
+    )
 
 
 def test_weighted_sample_is_heap_cut(q):

@@ -87,3 +87,43 @@ def pagerank(
         # cluster swap for checkpoint() + reliable storage.
         ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", F.round("rank", ROUND).alias("rank"))
+
+
+def triangle_counts(
+    pairs: DataFrame, id_a: str = "doc_id_a", id_b: str = "doc_id_b"
+) -> DataFrame:
+    """Per-node triangle participation over an undirected pair list —
+    the near-dup graph's clique signal (a template cluster is a clique;
+    a chain of borderline matches is not), and the input to clustering
+    coefficients.
+
+    Algorithm: orient every edge low-id -> high-id (each triangle then
+    has exactly ONE wedge u<v<w, so two equality self-joins count it
+    once — the classic node-iterator). Scale: both joins are
+    equality-keyed shuffles; the known refinement for power-law graphs
+    is degree-based orientation (low-degree -> high-degree caps wedge
+    fan-out at O(sqrt(m)) per node) — id-orientation is kept here
+    because it is the deterministic form the DuckDB oracle reproduces
+    verbatim, and near-dup cluster sizes are already capped upstream by
+    the banded-join design.
+    """
+    e = (
+        pairs.select(
+            F.least(id_a, id_b).alias("u"), F.greatest(id_a, id_b).alias("v")
+        )
+        .distinct()
+    )
+    e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = e.select(F.col("u").alias("b2"), F.col("v").alias("c"))
+    e3 = e.select(F.col("u").alias("a3"), F.col("v").alias("c3"))
+    tri = (
+        e1.join(e2, e1.b == e2.b2)
+        .join(e3, (e1.a == e3.a3) & (e2.c == e3.c3))
+        .select("a", "b", "c")
+    )
+    nodes = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    return nodes.groupBy("node").agg(F.count("*").alias("n_triangles"))

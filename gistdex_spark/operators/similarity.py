@@ -226,3 +226,89 @@ def ann_binary_sign(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    min_df: int = 2,
+    max_df: int = 30,
+    min_len: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sparse TF-IDF cosine similarity between documents via an
+    inverted-index equality join — document similarity WITHOUT embeddings
+    (the lexical complement to the dense-vector family; near-identical
+    docs score ~1 even when the hash embedder scatters them).
+
+    Scale design: candidate pairs come ONLY from shared postings (join on
+    term), and the posting-length cap (``max_df``) bounds each term's
+    fan-out — dropping ubiquitous terms is the standard guard that keeps
+    the pair join linear-ish in corpus size rather than quadratic
+    (ubiquitous terms carry ~zero idf weight anyway). All float sums
+    (norms and pair dots) fold in TERM ORDER via sorted-array aggregates,
+    so every value is engine-identical for the DuckDB oracle.
+    """
+    from gistdex_spark.functions.text import stopword_array, tokens
+
+    tokd = (
+        docs.select(
+            F.col(id_col), F.explode(tokens(text_col)).alias("term")
+        )
+        .filter(F.length("term") >= min_len)
+        .filter(~F.array_contains(stopword_array(), F.col("term")))
+    )
+    tf = tokd.groupBy(id_col, "term").agg(
+        F.count("*").cast("double").alias("tf")
+    )
+    dfr = (
+        tf.groupBy("term")
+        .agg(F.count("*").alias("dfv"))
+        .filter(
+            (F.col("dfv") >= min_df) & (F.col("dfv") <= max_df)
+        )
+    )
+    n_docs = docs.agg(F.count("*").cast("double").alias("__n"))
+    post = (
+        tf.join(dfr, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "w",
+            F.col("tf")
+            * F.round(F.log(F.col("__n") / F.col("dfv")), 6),
+        )
+        .select(id_col, "term", "w")
+    )
+
+    def _term_fold(expr):
+        return F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("term", expr.alias("x")))),
+                lambda s: s["x"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    norms = post.groupBy(id_col).agg(
+        F.sqrt(_term_fold(F.col("w") * F.col("w"))).alias("norm")
+    )
+    a = post.select(
+        F.col(id_col).alias("da"), "term", F.col("w").alias("wa")
+    )
+    b = post.select(
+        F.col(id_col).alias("db"), "term", F.col("w").alias("wb")
+    )
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("da") < F.col("db"))
+        .groupBy("da", "db")
+        .agg(_term_fold(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col(id_col).alias("da"), F.col("norm").alias("na"))
+    nb = norms.select(F.col(id_col).alias("db"), F.col("norm").alias("nb"))
+    return dots.join(na, "da").join(nb, "db").select(
+        "da",
+        "db",
+        F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cos"),
+    )

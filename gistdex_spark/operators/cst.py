@@ -1597,7 +1597,20 @@ def _extract_treesitter(code: str, language: str, parser) -> list[Boundary]:
     types = _TS_BOUNDARY_TYPES[language]
     wrappers = {"export_statement", "decorated_definition"}
 
+    # Incremental byte->char offset mapping: boundary endpoints arrive in
+    # document order, so decoding only the delta since the last query makes
+    # the whole extraction O(file_size) instead of O(boundaries * size)
+    # (the naive len(raw[:off].decode()) per call re-decodes the prefix
+    # every time). tree-sitter byte offsets land on codepoint boundaries
+    # of the valid UTF-8 we encoded, so delta decodes are exact; an
+    # out-of-order query (shouldn't happen) falls back to a full decode.
+    frontier = [0, 0]  # [byte_pos, char_pos]
+
     def char_at(byte_off: int) -> int:
+        if byte_off >= frontier[0]:
+            frontier[1] += len(raw[frontier[0]:byte_off].decode("utf-8"))
+            frontier[0] = byte_off
+            return frontier[1]
         return len(raw[:byte_off].decode("utf-8", errors="replace"))
 
     def name_of(node) -> str | None:

@@ -43,6 +43,16 @@ def pagerank(
     Deterministic for a fixed iteration count — DuckDB computes the same
     value by unrolling the iterations as chained CTEs (aggregation is
     not allowed in a recursive term), so the oracle is value-exact.
+
+    The per-round contribution sum folds in SOURCE-NODE ORDER
+    (array_sort + sequential aggregate), not partition order: a plain
+    SUM is a partition-order-dependent double fold, and five compounded
+    iterations amplify any last-bit difference across engines or
+    repartitionings. Same ordered-fold contract as bm25_sparse; the
+    oracle mirrors it with ``list_sum(array_agg(c ORDER BY node))``.
+    Group fan-in is node degree — bounded by the banded-join design
+    upstream — so the collect_list is small and stays inside the same
+    single hash-agg shuffle the plain SUM used.
     """
     sym = (
         pairs.select(
@@ -77,11 +87,20 @@ def pagerank(
             .join(ranks, sym.src == ranks.node)
             .select(
                 F.col("dst").alias("node"),
+                F.col("src").alias("__src"),
                 (F.col("rank") / F.col("deg")).alias("c"),
             )
         )
+        ordered_sum = F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__src", "c"))),
+                lambda s: s["c"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
         ranks = contribs.groupBy("node").agg(
-            (F.lit(base) + F.lit(damping) * F.sum("c")).alias("rank")
+            (F.lit(base) + F.lit(damping) * ordered_sum).alias("rank")
         )
         # Lineage cut per round — same analyzer-blowup guard as CC; on a
         # cluster swap for checkpoint() + reliable storage.

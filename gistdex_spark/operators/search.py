@@ -364,9 +364,13 @@ def decode_cursor(cursor: str) -> dict | None:
         not isinstance(payload, dict)
         or not isinstance(payload.get("offset"), int)
         or isinstance(payload.get("offset"), bool)
+        or payload["offset"] < 0
         or not isinstance(payload.get("query"), str)
         or not isinstance(payload.get("goal"), str)
     ):
+        # A negative offset never round-trips from encode_cursor (pages
+        # only advance), and the reference's results.slice() gives it
+        # from-the-end semantics we don't implement — treat as malformed.
         return None
     return payload
 

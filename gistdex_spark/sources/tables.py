@@ -35,7 +35,8 @@ def enable_scan_cache(
 ) -> None:
     for t in tables:
         key = (os.path.abspath(sf_dir), t)
-        if key in _SCAN_CACHE:
+        cached = _SCAN_CACHE.get(key)
+        if cached is not None and cached.sparkSession is spark:
             continue
         df = load_table(spark, sf_dir, t).persist()
         df.count()  # materialize now so every query hits a warm cache
@@ -49,9 +50,16 @@ def disable_scan_cache() -> None:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    cached = _SCAN_CACHE.get((os.path.abspath(sf_dir), name))
+    key = (os.path.abspath(sf_dir), name)
+    cached = _SCAN_CACHE.get(key)
     if cached is not None:
-        return cached
+        # A cache entry is only valid for the session that persisted it —
+        # after a session restart in the same process, a stale entry would
+        # hand back DataFrames bound to the old (possibly stopped) session
+        # and fail downstream with confusing errors. Drop it and re-scan.
+        if cached.sparkSession is spark:
+            return cached
+        _SCAN_CACHE.pop(key, None)
     if name == "events":
         # events.ts has been TIMESTAMP(NANOS) in some rounds of the driver
         # testdata; Spark's reader rejects that unless told to surface it as

@@ -29,6 +29,21 @@ def test_decode_rejects_malformed():
     assert decode_cursor(base64.b64encode(b'["a"]').decode()) is None
     assert decode_cursor(base64.b64encode(b'{"offset":"x","query":"q","goal":"g"}').decode()) is None
     assert decode_cursor(base64.b64encode(b'{"offset":true,"query":"q","goal":"g"}').decode()) is None
+    # negative offsets never round-trip from encode_cursor and the
+    # reference's slice() gives them from-the-end semantics — malformed
+    assert decode_cursor(base64.b64encode(b'{"offset":-5,"query":"q","goal":"g"}').decode()) is None
+
+
+def test_negative_offset_cursor_rejected(spark):
+    import base64
+
+    rows = [(f"id{i:02d}", 1.0 - i * 0.01) for i in range(12)]
+    results = spark.createDataFrame(rows, schema="vec_id STRING, score DOUBLE")
+    crafted = base64.b64encode(
+        b'{"offset":-5,"query":"q","goal":"g"}'
+    ).decode()
+    with pytest.raises(ValueError, match="Invalid cursor"):
+        paginate_with_cursor(results, "q", "g", cursor=crafted)
 
 
 @pytest.fixture()

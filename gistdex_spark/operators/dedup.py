@@ -354,40 +354,12 @@ def simhash_pairs(
     )
 
 
-def connected_components(
-    pairs: DataFrame,
-    id_a: str = "doc_id_a",
-    id_b: str = "doc_id_b",
-    max_iter: int = 25,
-    checkpoint_dir: str | None = None,
-    strict: bool = False,
-) -> DataFrame:
-    """(node, component): min-id label propagation over near-dup pairs —
-    the step that turns PAIR LISTS into DEDUP DECISIONS (duplicates are
-    transitive: a~b, b~c ⇒ {a,b,c} is one group even if a≁c directly).
-
-    Iterative DataFrame algorithm: each round every node takes the min of
-    its own label and its neighbors' labels; converges in <= cluster
-    diameter rounds (near-dup clusters are shallow). Each round is one
-    distributed join+agg; the driver only checks the changed-count, so the
-    data never leaves the cluster.
-
-    Lineage MUST be truncated every round: ``persist()`` caches results
-    but leaves the logical plan intact, and the round-k plan references
-    round-(k-1) labels twice — exponential analyzer blowup (measured: OOMs
-    an 8 GiB driver on a 725-edge graph). With ``checkpoint_dir=None``
-    the cut is an eager ``localCheckpoint()`` (executor memory — fine on
-    local mode / short jobs); passing a reliable ``checkpoint_dir``
-    (HDFS/S3 path on a real cluster) switches every cut to eager
-    ``df.checkpoint()`` so labels survive executor loss on a long
-    multi-round job.
-
-    ``strict=True`` raises RuntimeError if the propagation has not
-    converged after ``max_iter`` rounds (a silent cap would emit wrong —
-    unmerged — components); the default keeps the bounded-round behavior
-    for shallow near-dup graphs.
-    """
-    spark = pairs.sparkSession
+def _make_cut(spark, checkpoint_dir: str | None):
+    """The per-round/per-level lineage cut. ``localCheckpoint`` keeps the
+    materialized blocks in executor storage — fine on local mode / short
+    jobs; a reliable ``checkpoint_dir`` (HDFS/S3 on a real cluster)
+    switches every cut to ``df.checkpoint()`` so intermediate state
+    survives executor loss on a long multi-level job."""
     if checkpoint_dir is not None:
         spark.sparkContext.setCheckpointDir(checkpoint_dir)
 
@@ -398,6 +370,152 @@ def connected_components(
         def cut(df: DataFrame) -> DataFrame:
             return df.localCheckpoint(eager=True)
 
+    return cut
+
+
+def _uf_star_pass(edges: DataFrame, u: str, v: str) -> DataFrame:
+    """One filtering-CC level: per-partition union-find over the
+    partition's edges, emitting the star forest (node, local-min-root) —
+    one MEMBERSHIP row per node seen in the partition, root rows
+    included, so singleton local clusters keep flowing to the next level.
+
+    No shuffle: mapInPandas consumes the partition's Arrow batches into
+    a dict-based union-by-min with path compression (root of every tree
+    is the minimum member by induction on unions), then yields the star
+    rows once. Per-task memory and CPU are bounded by the partition's
+    node count — the level scheduler's job is to keep that under the
+    ``fit_partition_rows`` budget.
+    """
+    schema = edges.schema
+
+    def run(batches):
+        import pandas as pd  # noqa: PLC0415 — executor-side import
+
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for pdf in batches:
+            for a, b in zip(pdf[u].tolist(), pdf[v].tolist()):
+                if a not in parent:
+                    parent[a] = a
+                if b not in parent:
+                    parent[b] = b
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    if rb < ra:
+                        ra, rb = rb, ra
+                    parent[rb] = ra  # union-by-min: root stays the min
+        if parent:
+            nodes = list(parent)
+            yield pd.DataFrame({u: nodes, v: [find(n) for n in nodes]})
+
+    return edges.mapInPandas(run, schema=schema)
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "doc_id_a",
+    id_b: str = "doc_id_b",
+    max_iter: int = 25,
+    checkpoint_dir: str | None = None,
+    strict: bool = False,
+    algorithm: str = "filter",
+    fit_partition_rows: int = 5_000_000,
+    level_shrink: int = 8,
+) -> DataFrame:
+    """(node, component = min id in its group) over near-dup pairs — the
+    step that turns PAIR LISTS into DEDUP DECISIONS (duplicates are
+    transitive: a~b, b~c ⇒ {a,b,c} is one group even if a≁c directly).
+
+    Default ``algorithm="filter"`` is filtering/contraction CC (the
+    Lattanzi et al. filtering family): each level runs union-find
+    LOCALLY inside every partition (mapInPandas, no shuffle) and emits
+    only the min-root star forest — connectivity-equivalent to the
+    partition's subgraph with cycles dropped — then coalesces to
+    ``level_shrink``× fewer partitions for the next level. When a level
+    runs on ONE partition its union-find sees every membership row, so
+    its output is the exact global answer. On a shallow near-dup graph
+    this is TWO map passes and one narrow coalesce end-to-end, versus
+    ~8 join+agg rounds of label propagation — the per-level star output
+    is bounded by the node count, so each level shrinks the edge set
+    geometrically toward it.
+
+    Scale guardrails: per-task work is bounded by ``fit_partition_rows``;
+    if the star set cannot fit the shrink schedule (a graph whose node
+    count alone exceeds what one task should hold), the remaining levels
+    fall back to distributed min-label propagation with pointer jumping
+    (``algorithm="labelprop"`` forces that path outright — it keeps the
+    ``strict``/``max_iter`` convergence contract). Either way the result
+    is the same min-id labeling, invariant to partitioning.
+
+    Lineage is truncated at every level/round (see ``_make_cut``); a
+    reliable ``checkpoint_dir`` makes the cuts executor-loss-safe on a
+    real cluster.
+    """
+    spark = pairs.sparkSession
+    cut = _make_cut(spark, checkpoint_dir)
+    edges = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    if algorithm == "labelprop":
+        return _labelprop_components(
+            edges, max_iter=max_iter, strict=strict, cut=cut
+        )
+    levels = 0
+    while levels < max_iter:
+        n_p = max(1, edges.rdd.getNumPartitions())
+        star = cut(_uf_star_pass(edges, "u", "v"))
+        levels += 1
+        if n_p == 1:
+            # this pass saw every membership row — exact global labels
+            return star.select(
+                F.col("u").alias("node"), F.col("v").alias("component")
+            )
+        cnt = star.count()
+        if cnt == 0:
+            return star.select(
+                F.col("u").alias("node"), F.col("v").alias("component")
+            )
+        needed = cnt // fit_partition_rows + 1
+        if needed >= n_p:
+            break  # can't shrink within the per-task budget — finish distributed
+        # shrink by level_shrink per level, never below the row budget;
+        # coalesce is narrow (no shuffle) over the checkpointed blocks
+        edges = star.coalesce(max(needed, n_p // level_shrink))
+    else:
+        star = edges
+    # Distributed finish on the (already star-contracted) graph: its
+    # diameter is tiny — alternating node->root hops — so label
+    # propagation with pointer jumping converges in a couple of rounds.
+    return _labelprop_components(
+        star, max_iter=max_iter, strict=strict, cut=cut
+    )
+
+
+def _labelprop_components(
+    pairs_uv: DataFrame,
+    max_iter: int,
+    strict: bool,
+    cut,
+) -> DataFrame:
+    """Min-id label propagation with pointer jumping over a (u, v) edge
+    frame. Each round every node takes the min of its own and its
+    neighbors' labels, then jumps label ← label(label) — O(log diameter)
+    rounds, one distributed join+agg each; the driver only reads the
+    changed-count.
+
+    ``strict=True`` raises RuntimeError if propagation has not converged
+    after ``max_iter`` rounds (a silent cap would emit wrong — unmerged —
+    components).
+    """
+    spark = pairs_uv.sparkSession
+    id_a, id_b = "u", "v"
+    pairs = pairs_uv
     # Both edge directions from ONE pass over the pair stream: a
     # union of two selects on the same frame would re-evaluate the whole
     # upstream pair generation per branch (Spark has no cross-branch CSE),

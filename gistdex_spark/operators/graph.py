@@ -30,6 +30,7 @@ def pagerank(
     id_b: str = "doc_id_b",
     iters: int = 5,
     damping: float = 0.85,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(node, rank) after ``iters`` power iterations over the symmetrized
     pair graph, ranks rounded to 6 dp.
@@ -53,7 +54,16 @@ def pagerank(
     Group fan-in is node degree — bounded by the banded-join design
     upstream — so the collect_list is small and stays inside the same
     single hash-agg shuffle the plain SUM used.
+
+    Per-round lineage cuts default to ``localCheckpoint`` (executor
+    memory — local mode / short jobs); a reliable ``checkpoint_dir``
+    switches them to ``checkpoint()`` so a long multi-round job survives
+    executor loss on a real cluster (same contract as
+    dedup.connected_components).
     """
+    from gistdex_spark.operators.dedup import _make_cut
+
+    cut = _make_cut(pairs.sparkSession, checkpoint_dir)
     sym = (
         pairs.select(
             F.explode(
@@ -69,17 +79,17 @@ def pagerank(
         )
         .select("e.src", "e.dst")
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    sym = cut(sym)
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     n = deg.count()
     if n == 0:
         return sym.select(
             F.col("src").alias("node"), F.lit(0.0).alias("rank")
         )
-    ranks = deg.select(
-        F.col("src").alias("node"), F.lit(1.0 / n).alias("rank")
-    ).localCheckpoint(eager=True)
+    ranks = cut(
+        deg.select(F.col("src").alias("node"), F.lit(1.0 / n).alias("rank"))
+    )
     base = (1.0 - damping) / n
     for _ in range(iters):
         contribs = (
@@ -102,9 +112,9 @@ def pagerank(
         ranks = contribs.groupBy("node").agg(
             (F.lit(base) + F.lit(damping) * ordered_sum).alias("rank")
         )
-        # Lineage cut per round — same analyzer-blowup guard as CC; on a
-        # cluster swap for checkpoint() + reliable storage.
-        ranks = ranks.localCheckpoint(eager=True)
+        # Lineage cut per round — same analyzer-blowup guard as CC;
+        # reliable checkpoint() when checkpoint_dir is set.
+        ranks = cut(ranks)
     return ranks.select("node", F.round("rank", ROUND).alias("rank"))
 
 

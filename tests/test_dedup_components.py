@@ -70,14 +70,79 @@ def test_reliable_checkpoint_mode(spark, tmp_path):
 
 def test_strict_nonconvergence_raises(spark):
     # diameter-5 chain cannot converge in 1 round; strict mode must be
-    # loud instead of emitting unmerged components
+    # loud instead of emitting unmerged components. Pinned to the
+    # label-propagation path — the contraction path is exact by
+    # construction and has no convergence cap to violate.
     import pytest as _pytest
 
     ids = [f"d{i}" for i in range(6)]
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components(
-            _pairs(spark, list(zip(ids, ids[1:]))), max_iter=1, strict=True
+            _pairs(spark, list(zip(ids, ids[1:]))),
+            max_iter=1,
+            strict=True,
+            algorithm="labelprop",
         )
+
+
+def _random_graph(seed=7, n_nodes=120, n_edges=180):
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (f"n{rng.randrange(n_nodes):03d}", f"n{rng.randrange(n_nodes):03d}")
+        for _ in range(n_edges)
+    ]
+
+
+def test_filter_matches_labelprop_on_random_graph(spark):
+    # the two algorithms must produce the identical min-id labeling
+    edges = [(a, b) for a, b in _random_graph() if a != b]
+    got_f = {
+        r["node"]: r["component"]
+        for r in connected_components(_pairs(spark, edges)).collect()
+    }
+    got_l = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            _pairs(spark, edges), algorithm="labelprop"
+        ).collect()
+    }
+    assert got_f == got_l
+    assert len(got_f) > 0
+
+
+def test_filter_partition_invariance(spark):
+    edges = [(a, b) for a, b in _random_graph(seed=11) if a != b]
+    base = _pairs(spark, edges)
+    lbl1 = {
+        r["node"]: r["component"]
+        for r in connected_components(base.repartition(1)).collect()
+    }
+    lbl17 = {
+        r["node"]: r["component"]
+        for r in connected_components(base.repartition(17)).collect()
+    }
+    assert lbl1 == lbl17
+
+
+def test_filter_budget_fallback_still_exact(spark):
+    # a row budget smaller than the star set forces the distributed
+    # label-prop finish; the labeling must be unchanged
+    edges = [(a, b) for a, b in _random_graph(seed=23) if a != b]
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            _pairs(spark, edges).repartition(4), fit_partition_rows=5
+        ).collect()
+    }
+    want = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            _pairs(spark, edges), algorithm="labelprop"
+        ).collect()
+    }
+    assert got == want
 
 
 def test_incremental_pairs_never_old_vs_old(spark):

@@ -40,3 +40,18 @@ def test_partition_count_invariant(spark, star_pairs):
         for r in pagerank(star_pairs.repartition(7)).collect()
     }
     assert a == b
+
+
+def test_reliable_checkpoint_mode(spark, star_pairs, tmp_path):
+    # checkpoint_dir switches every per-round lineage cut to reliable
+    # checkpoint(); ranks must be identical and files must land.
+    import os
+
+    ckpt = str(tmp_path / "pr_ckpt")
+    a = {(r["node"], r["rank"]) for r in pagerank(star_pairs).collect()}
+    b = {
+        (r["node"], r["rank"])
+        for r in pagerank(star_pairs, checkpoint_dir=ckpt).collect()
+    }
+    assert a == b
+    assert any(os.scandir(ckpt)), "reliable checkpoint dir must be populated"

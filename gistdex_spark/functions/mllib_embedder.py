@@ -19,6 +19,8 @@ transform() is a narrow map. Both stay inside the JVM.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.ml.feature import IDF, HashingTF, Normalizer, RegexTokenizer
 from pyspark.ml.functions import vector_to_array
 from pyspark.sql import DataFrame
@@ -61,6 +63,132 @@ class TfidfEmbedder:
         return normed.withColumn(out_col, vector_to_array(F.col("__vec"))).drop(
             "__tokens", "__tf", "__tfidf", "__vec"
         )
+
+
+class Word2VecEmbedder:
+    """A REAL trained embedding model behind the exact ``embed_udf``
+    pandas_udf contract (STRING -> ARRAY<FLOAT>, Arrow-batched).
+
+    MLlib Word2Vec (skip-gram) fit as one distributed job; a document
+    embedding is the L2-normalized mean of its words' vectors — the
+    same composition Word2VecModel.transform uses, minus normalization.
+    Two consumption paths:
+
+    - ``transform(df)``: the 100 TB path — tokenize + model.transform
+      entirely JVM-side, then normalize; no Python in the loop.
+    - ``udf()``: the drop-in slot for every operator that takes the
+      deterministic ``embed_udf`` — word vectors ship to workers as a
+      closure-captured matrix (bounded: vocab x dim floats, the same
+      bounded-model practice as the PQ codebooks), lookup + mean +
+      normalize run vectorized per Arrow batch.
+
+    Proves the BASELINE north star ("batch embedding generation via
+    MLlib") with a real trained model: swapping ``udf()`` in for
+    ``embed_udf(dim)`` changes no operator code (tested).
+    """
+
+    def __init__(self, dim: int = 64, min_count: int = 1, seed: int = 42):
+        self.dim = dim
+        self.min_count = min_count
+        self.seed = seed
+        self._model = None
+
+    def fit(
+        self, corpus: DataFrame, content_col: str = "text"
+    ) -> "Word2VecEmbedder":
+        from pyspark.ml.feature import Word2Vec  # noqa: PLC0415
+
+        tok = RegexTokenizer(
+            inputCol=content_col, outputCol="__tokens",
+            pattern=r"\s+", toLowercase=True,
+        )
+        self._model = Word2Vec(
+            vectorSize=self.dim, minCount=self.min_count, seed=self.seed,
+            inputCol="__tokens", outputCol="__vec",
+        ).fit(tok.transform(corpus))
+        return self
+
+    def transform(
+        self, df: DataFrame, content_col: str = "text",
+        out_col: str = "embedding",
+    ) -> DataFrame:
+        """JVM-side scale path: tokenize -> model.transform (word-vector
+        mean) -> L2 normalize -> ARRAY<DOUBLE> column."""
+        if self._model is None:
+            raise RuntimeError("call fit() first")
+        tok = RegexTokenizer(
+            inputCol=content_col, outputCol="__tokens",
+            pattern=r"\s+", toLowercase=True,
+        )
+        avg = self._model.transform(tok.transform(df))
+        normed = Normalizer(
+            inputCol="__vec", outputCol="__nvec", p=2.0
+        ).transform(avg)
+        return normed.withColumn(
+            out_col, vector_to_array(F.col("__nvec"))
+        ).drop("__tokens", "__vec", "__nvec")
+
+    def udf(self):
+        """The ``embed_udf``-signature slot: Arrow-batched pandas_udf
+        STRING -> ARRAY<FLOAT> over the fitted model's word vectors."""
+        if self._model is None:
+            raise RuntimeError("call fit() first")
+        from pyspark.sql.types import ArrayType, FloatType  # noqa: PLC0415
+
+        rows = self._model.getVectors().collect()  # bounded: vocab x dim
+        vocab = {r["word"]: i for i, r in enumerate(rows)}
+        mat = np.array([r["vector"].toArray() for r in rows])
+        dim = self.dim
+
+        @F.pandas_udf(ArrayType(FloatType()))
+        def _embed(texts: pd.Series) -> pd.Series:
+            import re  # noqa: PLC0415
+
+            out = []
+            for t in texts:
+                idx = [
+                    vocab[w]
+                    for w in re.split(r"\s+", (t or "").lower())
+                    if w in vocab
+                ]
+                if not idx:
+                    out.append([0.0] * dim)
+                    continue
+                v = mat[idx].mean(axis=0)
+                n = float(np.linalg.norm(v))
+                out.append([float(x) for x in (v / n if n else v)])
+            return pd.Series(out)
+
+        return _embed
+
+
+def sentence_transformer_embed_udf(model_name: str = "all-MiniLM-L6-v2"):
+    """Optional-import slot for a neural sentence encoder behind the same
+    pandas_udf contract. The model loads lazily ONCE PER PYTHON WORKER
+    (not per batch) and encodes each Arrow batch in one forward pass —
+    the batched-remote-API shape of the reference
+    (`embedding.ts:17-123`) with the network hop removed. Raises
+    ModuleNotFoundError where the wheel is absent (this container); the
+    availability-gated test skips there."""
+    import importlib  # noqa: PLC0415
+
+    importlib.import_module("sentence_transformers")  # fail fast on driver
+    from pyspark.sql.types import ArrayType, FloatType  # noqa: PLC0415
+
+    @F.pandas_udf(ArrayType(FloatType()))
+    def _embed(texts: pd.Series) -> pd.Series:
+        from sentence_transformers import SentenceTransformer  # noqa: PLC0415
+
+        global _ST_MODEL_CACHE  # per-worker singleton
+        cache = globals().setdefault("_ST_MODEL_CACHE", {})
+        if model_name not in cache:
+            cache[model_name] = SentenceTransformer(model_name)
+        vecs = cache[model_name].encode(
+            [t or "" for t in texts], normalize_embeddings=True
+        )
+        return pd.Series([[float(x) for x in v] for v in vecs])
+
+    return _embed
 
 
 def mllib_lsh_neardup_pairs(

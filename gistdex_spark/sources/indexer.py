@@ -40,9 +40,16 @@ def index_text_df(
     size: int = 1000,
     overlap: int = 200,
     dim: int = 64,
+    embedder=None,
 ) -> DataFrame:
     """S1: (source_id, content[, source_type, title, url]) → chunk rows with
-    embeddings and deterministic ids. Pure narrow pipeline — no shuffle."""
+    embeddings and deterministic ids. Pure narrow pipeline — no shuffle.
+
+    ``embedder`` injects any UDF with the ``embed_udf`` contract
+    (STRING -> ARRAY<FLOAT>, Arrow-batched) — e.g. a fitted
+    ``Word2VecEmbedder.udf()`` or ``sentence_transformer_embed_udf`` —
+    without touching the pipeline; default is the deterministic test
+    embedder."""
     chunks = chunk_documents(texts, strategy=strategy, size=size, overlap=overlap)
     meta_cols = [c for c in ("source_type", "title", "url", "file_path") if c in texts.columns]
     # The reference stores originalContent once per source (`indexer.ts:
@@ -62,7 +69,12 @@ def index_text_df(
             "id",
             F.sha2(F.concat_ws("#", F.col("source_id"), F.col("chunk_index")), 256),
         )
-        .withColumn("embedding", embed_udf(dim)(F.col("content")))
+        .withColumn(
+            "embedding",
+            (embedder if embedder is not None else embed_udf(dim))(
+                F.col("content")
+            ),
+        )
         .withColumn("created_at", F.current_timestamp())
     )
 

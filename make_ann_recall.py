@@ -1,0 +1,148 @@
+"""ANN recall curves: recall@10 + latency for IVF / PQ / IVF-PQ across
+their tuning knobs, against the exact kNN ground truth on the same
+embeddings table.
+
+The floor gates in make_parity.py prove "above floor"; this artifact is
+the CURVE a user choosing nprobe / codebook size actually needs. Run:
+
+    python make_ann_recall.py [sf_dir] [out_json]
+
+Defaults: /root/testdata/sf0.1 -> ANN_RECALL_r06.json. Latencies are
+median-of-queries single-run wall clock on local[32] (the same caveats
+as bench.py: believe relative shape, not absolute microseconds).
+"""
+
+from __future__ import annotations
+
+import json
+import statistics
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from gistdex_spark.functions.embedder import embed_text
+from gistdex_spark.functions.vectors import cosine
+from gistdex_spark.operators import ivf as IVF
+from gistdex_spark.operators import pq as PQ
+from gistdex_spark.session import get_spark
+from gistdex_spark.sources.tables import load_table, spread
+
+K = 10
+QUERY_TEXTS = [
+    "distributed query engine internals",
+    "vector similarity search index",
+    "training data deduplication pipeline",
+    "streaming window aggregation semantics",
+    "parquet column pruning pushdown",
+]
+
+
+def exact_topk(emb, qv, k=K):
+    qlit = F.lit([float(x) for x in qv])
+    return [
+        r["vec_id"]
+        for r in emb.withColumn("s", cosine("embedding", qlit))
+        .orderBy(F.desc("s"), F.asc("vec_id"))
+        .limit(k)
+        .collect()
+    ]
+
+
+def timed_ids(df, id_col="vec_id"):
+    t0 = time.perf_counter()
+    ids = [r[id_col] for r in df.collect()]
+    return ids, time.perf_counter() - t0
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out_path = sys.argv[2] if len(sys.argv) > 2 else "ANN_RECALL_r06.json"
+    spark = get_spark("ann-recall", cpus="32")
+    emb = spread(load_table(spark, sf_dir, "embeddings")).persist()
+    n = emb.count()
+    queries = [embed_text(t) for t in QUERY_TEXTS]
+    truth = [set(exact_topk(emb, qv)) for qv in queries]
+    points = []
+
+    def record(family, params, runs):
+        recalls = [len(set(ids) & truth[i]) / K for i, (ids, _) in enumerate(runs)]
+        lats = [lat for _, lat in runs]
+        points.append(
+            {
+                "family": family,
+                **params,
+                "recall_at_10": round(statistics.mean(recalls), 3),
+                "recall_min": round(min(recalls), 3),
+                "median_latency_s": round(statistics.median(lats), 3),
+            }
+        )
+        print(f"{family} {params}: recall={points[-1]['recall_at_10']} "
+              f"lat={points[-1]['median_latency_s']}s", flush=True)
+
+    # ---- IVF (trained k-means|| on sample): nprobe sweep ----------------
+    cents = IVF.train_centroids(emb, k=16, seed=42)
+    assigned = IVF.assign_clusters(emb, cents).persist()
+    assigned.count()
+    for nprobe in (1, 2, 4, 8):
+        runs = [
+            timed_ids(IVF.probe(assigned, cents, qv, k=K, nprobe=nprobe))
+            for qv in queries
+        ]
+        record("ivf", {"n_centroids": 16, "nprobe": nprobe}, runs)
+    assigned.unpersist()
+
+    # ---- PQ: codebook-size sweep (m=16 subspaces) -----------------------
+    for ksub in (16, 64, 256):
+        books = PQ.train_pq_codebooks(emb, m=16, ksub=ksub, seed=42)
+        runs = [
+            timed_ids(PQ.pq_search(emb, books, qv, k=K, shortlist=50))
+            for qv in queries
+        ]
+        record("pq", {"m": 16, "ksub": ksub, "shortlist": 50}, runs)
+
+    # ---- IVF-PQ: nprobe x ksub over a persisted index -------------------
+    for ksub in (16, 256):
+        books = PQ.train_pq_codebooks(emb, m=16, ksub=ksub, seed=42)
+        t0 = time.perf_counter()
+        index = PQ.ivfpq_index(emb, cents, books).persist()
+        index.count()
+        build_s = round(time.perf_counter() - t0, 3)
+        for nprobe in (1, 2, 4, 8):
+            runs = [
+                timed_ids(
+                    PQ.ivfpq_search(
+                        emb, cents, books, qv, k=K, nprobe=nprobe,
+                        shortlist=50, index=index,
+                    )
+                )
+                for qv in queries
+            ]
+            record(
+                "ivfpq",
+                {"m": 16, "ksub": ksub, "nprobe": nprobe,
+                 "shortlist": 50, "index_build_s": build_s},
+                runs,
+            )
+        index.unpersist()
+
+    payload = {
+        "sf_dir": sf_dir,
+        "n_vectors": n,
+        "n_queries": len(queries),
+        "k": K,
+        "note": ("recall vs exact cosine top-10 on the hash-embedding "
+                 "corpus (the hard case the recall gates use); IVF/PQ "
+                 "latencies include the per-call encode, IVF-PQ searches "
+                 "a persisted index (production path)"),
+        "points": points,
+    }
+    with open(out_path, "w") as f:
+        json.dump(payload, f, indent=2)
+    print(f"wrote {out_path} ({len(points)} points)", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -142,6 +142,11 @@ BENCH_QUERIES = [
     "weighted_sample_mixture",
     "constraint_audit",
     "peak_concurrency",
+    # Round-6 widening: duplicate-mass repetition gate, contrastive
+    # hard-negative mining, quality-aware dedup survivor selection.
+    "gopher_dup_ngram_gate",
+    "hard_negatives",
+    "dedup_survivors_best_quality",
 ]
 
 

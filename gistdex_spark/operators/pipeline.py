@@ -644,3 +644,64 @@ def weighted_sample(
         .limit(n)
         .drop("__es_key")
     )
+
+
+def dup_ngram_stats(
+    df: DataFrame,
+    n: int = 5,
+    threshold: float = 0.15,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+) -> DataFrame:
+    """(id, n_grams, dup_char_frac, dup_gate): the Gopher "duplicate
+    n-gram character fraction" repetition filter (Rae et al. 2021,
+    Table A1 — duplicate 5-gram char fraction <= 0.15; RefinedWeb keeps
+    the same family). ``repetition_stats`` covers the TOP-fraction
+    signals (most frequent word/bigram share); this is the complementary
+    DUPLICATE-MASS signal that catches looped generation where no single
+    n-gram dominates but many repeat.
+
+    Shape: n-grams assemble in one narrow projection (slice + concat
+    over the token array — no HOF in the hot aggregation), then ONE
+    (doc, gram) hash-count agg and ONE per-doc agg, both map-side
+    combined on (id, gram)/id keys — the scale-canonical two-shuffle
+    census. Docs with < n tokens carry no n-grams and pass with
+    fraction 0.0 (the Gopher convention).
+
+    floor-scaling at 6 dp, not round(): the char masses are exact
+    integers, so k/2^m ratios land exactly on round()'s 6-dp tie
+    boundary where Spark (shortest-decimal HALF_UP) and DuckDB (binary
+    value) disagree; floor of the identical double is engine-identical.
+    """
+    toks = F.expr(
+        f"filter(split(lower({content_col}), '[\\\\s]+'), w -> length(w) > 0)"
+    )
+    base = df.select(F.col(id_col), toks.alias("__t"))
+    grams = base.filter(F.size("__t") >= n).select(
+        id_col,
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(__t) - {n - 1}), "
+                f"i -> concat_ws(' ', slice(__t, i, {n})))"
+            )
+        ).alias("gram"),
+    )
+    counts = grams.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c"))
+    mass = counts.groupBy(id_col).agg(
+        F.sum(F.length("gram") * F.col("c")).alias("__all"),
+        F.sum(
+            F.when(F.col("c") > 1, F.length("gram") * F.col("c")).otherwise(0)
+        ).alias("__dup"),
+        F.sum("c").cast("bigint").alias("n_grams"),
+    )
+    frac = F.floor(F.col("__dup") / F.col("__all") * F.lit(1e6)) / F.lit(1e6)
+    return (
+        base.select(id_col)
+        .join(mass, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0).cast("bigint")).alias("n_grams"),
+            F.coalesce(frac, F.lit(0.0)).alias("dup_char_frac"),
+        )
+        .withColumn("dup_gate", F.col("dup_char_frac") <= F.lit(threshold))
+    )

@@ -42,7 +42,7 @@ def semdedup(
     id_col: str = "vec_id",
     embedding_col: str = "embedding",
     salt: int = 8,
-    pair_partitions: int = 64,
+    pair_partitions: int | None = 64,
     partitions: int | None = None,
     materialize: bool = True,
 ) -> DataFrame:
@@ -135,10 +135,17 @@ def semdedup(
     # treatment as the salted joins in operators/temporal.py).
     left = left.withColumn(
         "__salt", F.pmod(F.hash(F.col("id_a")), F.lit(salt))
-    ).repartition(pair_partitions, "cluster", "__salt")
+    )
     right = right.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
-    ).repartition(pair_partitions, "cluster", "__salt")
+    )
+    if pair_partitions is not None:
+        # pair_partitions=None drops the explicit repartition and lets
+        # AQE size the join shuffle by bytes — the right call on inputs
+        # that carry real byte weight (see ROUND6_NOTES sf1 experiment);
+        # the explicit form exists for byte-starved compute-bound scans.
+        left = left.repartition(pair_partitions, "cluster", "__salt")
+        right = right.repartition(pair_partitions, "cluster", "__salt")
     pruned_ids = (
         left.join(right, ["cluster", "__salt"])
         .filter(

@@ -243,3 +243,27 @@ def test_weighted_sample_drops_nonpositive_weights(spark):
 
     got = [r["doc_id"] for r in weighted_sample(df, "w", 10).collect()]
     assert got == [3]
+
+
+def test_dup_ngram_stats_flags_looped_doc(spark):
+    from gistdex_spark.operators.pipeline import dup_ngram_stats
+
+    looped = " ".join(["the quick brown fox jumps"] * 6)  # 30 tokens, 1 gram x26
+    clean = "one two three four five six seven eight nine ten"
+    short = "too few tokens"
+    df = spark.createDataFrame(
+        [("loop", looped), ("clean", clean), ("short", short)],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in dup_ngram_stats(df, n=5).collect()}
+    # looped doc: the repeated 5-gram dominates -> high duplicate mass
+    assert got["loop"].dup_char_frac > 0.5
+    assert got["loop"].dup_gate is False
+    # clean doc: all 5-grams unique
+    assert got["clean"].dup_char_frac == 0.0
+    assert got["clean"].dup_gate is True
+    assert got["clean"].n_grams == 6  # 10 tokens -> 6 overlapping 5-grams
+    # < n tokens: no grams, passes by convention
+    assert got["short"].n_grams == 0
+    assert got["short"].dup_char_frac == 0.0
+    assert got["short"].dup_gate is True

@@ -147,6 +147,7 @@ BENCH_QUERIES = [
     "gopher_dup_ngram_gate",
     "hard_negatives",
     "dedup_survivors_best_quality",
+    "token_budget_fill",
 ]
 
 

@@ -47,7 +47,7 @@ def generate(spark):
         # cluster and blow the pair count 100x)
         doc_parts.append(
             docs.select(
-                F.concat_ws("_", "doc_id", F.lit(f"r{i}")).alias("doc_id"),
+                (F.col("doc_id") * 10 + F.lit(i)).alias("doc_id"),
                 F.regexp_replace("text", r"(\S+)", f"$1x{i}").alias("text"),
                 "lang",
                 "source",
@@ -61,7 +61,7 @@ def generate(spark):
 
         emb_parts.append(
             emb.select(
-                F.concat_ws("_", "vec_id", F.lit(f"r{i}")).alias("vec_id"),
+                (F.col("vec_id") * 10 + F.lit(i)).alias("vec_id"),
                 F.transform("embedding", _perturb(i)).alias("embedding"),
             )
         )

@@ -15,6 +15,7 @@ relying on sink-side transactions.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def stream_index(
@@ -46,6 +47,57 @@ def stream_index(
 
     writer = (
         texts.writeStream.foreachBatch(ingest_batch)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
+def stream_neardup_filter(
+    docs: DataFrame,
+    static_docs: DataFrame,
+    out_path: str,
+    max_distance: int = 3,
+    checkpoint_dir: str | None = None,
+    query_name: str = "stream_neardup_filter",
+):
+    """Streaming near-dup ADMISSION filter: each micro-batch of incoming
+    (doc_id, text) documents is SimHash-banded-joined against the static
+    corpus and only documents with NO static near-dup within Hamming
+    ``max_distance`` are appended to ``out_path`` (parquet).
+
+    ``foreachBatch`` because the check is the batch operator
+    :func:`~gistdex_spark.operators.dedup.simhash_pairs_between`
+    verbatim (its signature agg needs full-batch semantics a pure
+    streaming plan would treat as unbounded state) — so the stream and
+    batch admission decisions are identical by construction, and the
+    anti-join makes re-delivered batches idempotent at the decision
+    level. At 100 TB the static side is the STORED signature table
+    (read, not recomputed) partitioned by band — the same layout
+    ivf_store uses for cluster pruning. Within-batch self-duplicates
+    are deliberately left to the periodic full dedup pass over the
+    accepted store (the standard two-tier design: cheap admission
+    filter at ingest, transitive-closure dedup offline).
+    """
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        from gistdex_spark.operators.dedup import simhash_pairs_between
+
+        hits = (
+            simhash_pairs_between(
+                batch_df, static_docs, max_distance=max_distance
+            )
+            .select(F.col("new_id").alias("doc_id"))
+            .distinct()
+        )
+        survivors = batch_df.join(hits, "doc_id", "left_anti")
+        survivors.write.mode("append").parquet(out_path)
+
+    writer = (
+        docs.writeStream.foreachBatch(handle)
         .queryName(query_name)
         .trigger(availableNow=True)
     )

@@ -85,3 +85,54 @@ def test_stream_ingest_redelivery_is_idempotent(spark, tmp_path):
     q2.awaitTermination(120)
     n2 = GistdexSpark(spark, store).chunks().count()
     assert n1 == n2 and n1 > 0
+
+
+def test_stream_neardup_filter_matches_batch(spark, tmp_path):
+    """Streaming admission decisions == batch simhash_pairs_between:
+    near-dups of the static corpus are rejected, novel docs accepted."""
+    from gistdex_spark.streaming.ingest import stream_neardup_filter
+
+    static_docs = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog " * 10),
+            (101, "pack my box with five dozen liquor jugs today " * 10),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    incoming = [
+        # near-identical to static 100 -> rejected
+        (1, "the quick brown fox jumps over the lazy dog " * 10 + "extra"),
+        # novel -> accepted
+        (2, "completely different content about spark streaming " * 10),
+        # near-identical to static 101 -> rejected
+        (3, "pack my box with five dozen liquor jugs today " * 10 + "now"),
+    ]
+    src = str(tmp_path / "nd_src")
+    _write_docs_json(
+        spark, src, [(str(i), t) for i, t in incoming]
+    )
+    stream = (
+        spark.readStream.schema("source_id STRING, content STRING")
+        .json(src)
+        .selectExpr("CAST(source_id AS BIGINT) AS doc_id", "content AS text")
+    )
+    out = str(tmp_path / "nd_out")
+    q = stream_neardup_filter(
+        stream, static_docs, out,
+        checkpoint_dir=str(tmp_path / "nd_ckpt"),
+    )
+    q.awaitTermination(120)
+
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+
+    # batch reference: same operator, same decision
+    from gistdex_spark.operators.dedup import simhash_pairs_between
+
+    batch_df = spark.createDataFrame(incoming, "doc_id BIGINT, text STRING")
+    rejected = {
+        r.new_id
+        for r in simhash_pairs_between(batch_df, static_docs).collect()
+    }
+    expected = {i for i, _ in incoming} - rejected
+    assert got == expected
+    assert 2 in got  # the novel doc was accepted

@@ -148,6 +148,8 @@ BENCH_QUERIES = [
     "hard_negatives",
     "dedup_survivors_best_quality",
     "token_budget_fill",
+    "context_window_histogram",
+    "ivf_balance_audit",
 ]
 
 

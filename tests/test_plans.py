@@ -663,3 +663,16 @@ def test_prf_sparse_join_is_broadcast_semi(q):
     plan = executed_plan(q("prf_expanded_search"))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_hard_negatives_broadcasts_anchors(q):
+    # the anchor set is top-k-bounded; candidate scoring must be a
+    # broadcast (nested-loop or hash) over the corpus, never a shuffle
+    # join of corpus x anchors
+    plan = q("hard_negatives")._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_context_window_histogram_single_shuffle(q):
+    assert num_shuffles(q("context_window_histogram")) == 1

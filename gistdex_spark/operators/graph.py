@@ -91,10 +91,11 @@ def pagerank(
         deg.select(F.col("src").alias("node"), F.lit(1.0 / n).alias("rank"))
     )
     base = (1.0 - damping) / n
-    for _ in range(iters):
+
+    def one_round(rk: DataFrame) -> DataFrame:
         contribs = (
             sym.join(deg, "src")
-            .join(ranks, sym.src == ranks.node)
+            .join(rk, sym.src == rk.node)
             .select(
                 F.col("dst").alias("node"),
                 F.col("src").alias("__src"),
@@ -109,11 +110,23 @@ def pagerank(
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        ranks = contribs.groupBy("node").agg(
+        return contribs.groupBy("node").agg(
             (F.lit(base) + F.lit(damping) * ordered_sum).alias("rank")
         )
-        # Lineage cut per round — same analyzer-blowup guard as CC;
-        # reliable checkpoint() when checkpoint_dir is set.
+
+    # TWO rounds per lineage cut: each round references its input rank
+    # frame exactly ONCE (the contribution join), so a fused pair keeps
+    # lineage depth 2 with no cross-branch recompute — unlike CC's
+    # label-prop step, no persist is needed — and the cut+job count
+    # halves. The cut itself stays mandatory (analyzer blowup guard;
+    # reliable checkpoint() when checkpoint_dir is set).
+    done = 0
+    while done < iters:
+        ranks = one_round(ranks)
+        done += 1
+        if done < iters:
+            ranks = one_round(ranks)
+            done += 1
         ranks = cut(ranks)
     return ranks.select("node", F.round("rank", ROUND).alias("rank"))
 

@@ -167,18 +167,61 @@ def pq_codes_col(
     return F.array(*[argmin_code(s) for s in range(m)])
 
 
+def _pq_codes_np(codebooks):
+    """Closure: (n x D) float matrix -> (n x m) int codes, vectorized.
+    Distance per subspace is one (n x ksub x dsub) broadcastified matrix
+    op; argmin ties resolve to the LOWEST index — the same rule as the
+    expression fold's strict-less update."""
+    import numpy as np  # noqa: PLC0415
+
+    mats = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m, dsub = len(mats), len(codebooks[0][0])
+
+    def encode(X):
+        nrm = np.linalg.norm(X, axis=1, keepdims=True)
+        nrm[nrm == 0.0] = 1.0
+        Xn = X / nrm
+        codes = np.empty((len(X), m), dtype=np.int32)
+        for s in range(m):
+            sub = Xn[:, s * dsub:(s + 1) * dsub]
+            d = ((sub[:, None, :] - mats[s][None, :, :]) ** 2).sum(-1)
+            codes[:, s] = d.argmin(axis=1)
+        return codes
+
+    return encode
+
+
 def encode_pq(
     emb: DataFrame,
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     embedding_col: str = "embedding",
 ) -> DataFrame:
-    """(id, codes ARRAY<INT>): nearest sub-centroid id per subspace, by
-    euclidean distance on the normalized subvector. Zero shuffles — every
-    subspace argmin folds over its literal codebook in codegen."""
-    normed = emb.select(id_col, normalize(F.col(embedding_col)).alias("__v"))
-    return normed.select(
-        id_col, pq_codes_col(codebooks, F.col("__v")).alias("codes")
+    """(id, codes ARRAY<INT>): nearest sub-centroid id per subspace by
+    euclidean distance on the normalized subvector. Still map-only (no
+    shuffle), but the argmins run as VECTORIZED numpy over Arrow batches
+    — each batch is one (n x ksub x dsub) matrix op per subspace, the
+    FAISS encode shape. The pure-expression form (:func:`pq_codes_col`,
+    kept for SQL-only deployments) pays interpreted HOF cost per row
+    because lambda folds never enter codegen — measured ~4x slower on
+    the sf0.1 encode. Tie-break (lowest index) matches the fold."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    encode = _pq_codes_np(codebooks)
+    id_type = emb.schema[id_col].dataType.simpleString()
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(pdf[embedding_col].tolist(), dtype=np.float64)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "codes": encode(X).tolist()}
+            )
+
+    return emb.select(id_col, embedding_col).mapInPandas(
+        run, schema=f"{id_col} {id_type}, codes array<int>"
     )
 
 
@@ -258,25 +301,38 @@ def ivfpq_index(
     fold and the m sub-code argmins evaluate in the same projection, so
     the index build is zero-shuffle and linear in corpus size. Persist
     partitioned BY cluster and a probe becomes partition pruning."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
     from gistdex_spark.operators.ivf import assign_clusters
 
     assigned = assign_clusters(
         emb, centroids, id_col, embedding_col, partitions=partitions
     )
-    # The normalized vector MUST be materialized as its own column before
-    # the 16 subspace folds reference it: passed as an inline expression
-    # it would be stitched into every fold (16 interpreted re-evaluations
-    # of the normalize fold per row — measured 120x slower). As an
-    # attribute referenced 16 times, CollapseProject keeps the producing
-    # projection separate (non-cheap expression, multiple uses) and the
-    # row pays for normalize once.
-    normed = assigned.select(
-        id_col, "cluster", normalize(F.col(embedding_col)).alias("__v")
-    )
-    return normed.select(
-        id_col,
-        "cluster",
-        pq_codes_col(codebooks, F.col("__v")).alias("codes"),
+    # Coarse assignment stays a codegen'd JVM projection (it is shared
+    # with the plain-IVF path and its oracle); the PQ encode then runs as
+    # the same vectorized Arrow pass as encode_pq — one numpy matrix op
+    # per subspace per batch — in the SAME map stage (mapInPandas adds
+    # no exchange, so the index build remains one zero-shuffle pass).
+    encode = _pq_codes_np(codebooks)
+    id_type = emb.schema[id_col].dataType.simpleString()
+    cl_type = assigned.schema["cluster"].dataType.simpleString()
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(pdf[embedding_col].tolist(), dtype=np.float64)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "cluster": pdf["cluster"],
+                    "codes": encode(X).tolist(),
+                }
+            )
+
+    return assigned.select(id_col, "cluster", embedding_col).mapInPandas(
+        run, schema=f"{id_col} {id_type}, cluster {cl_type}, codes array<int>"
     )
 
 

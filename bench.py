@@ -150,6 +150,8 @@ BENCH_QUERIES = [
     "token_budget_fill",
     "context_window_histogram",
     "ivf_balance_audit",
+    "cross_source_dup_matrix",
+    "lsh_s_curve_audit",
 ]
 
 

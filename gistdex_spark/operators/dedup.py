@@ -466,27 +466,46 @@ def connected_components(
         return _labelprop_components(
             edges, max_iter=max_iter, strict=strict, cut=cut
         )
+
+    def as_labels(star: DataFrame) -> DataFrame:
+        return star.select(
+            F.col("u").alias("node"), F.col("v").alias("component")
+        )
+
+    # Materialize the edge frame ONCE before the first level. Two
+    # reasons: (1) the level scheduler needs the row count and partition
+    # count, and probing either on the LAZY lineage would execute the
+    # expensive upstream pair generation twice (AQE finalizes all query
+    # stages just to answer getNumPartitions, then the star pass re-runs
+    # them); (2) the fit budget must hold for LEVEL 1 too — the input
+    # arrives with whatever partition sizes the caller's plan produced,
+    # and an oversized partition would put its whole edge set in one
+    # Python union-find dict. Oversized inputs repartition down to the
+    # row budget BEFORE any union-find runs.
+    edges = cut(edges)
+    cnt = edges.count()
+    if cnt == 0:
+        return as_labels(edges)
+    n_p = max(1, edges.rdd.getNumPartitions())  # materialized — no recompute
+    needed = cnt // fit_partition_rows + 1
+    if needed > n_p:
+        edges = cut(edges.repartition(needed))
+        n_p = needed
     levels = 0
     while levels < max_iter:
-        n_p = max(1, edges.rdd.getNumPartitions())
         star = cut(_uf_star_pass(edges, "u", "v"))
         levels += 1
         if n_p == 1:
             # this pass saw every membership row — exact global labels
-            return star.select(
-                F.col("u").alias("node"), F.col("v").alias("component")
-            )
+            return as_labels(star)
         cnt = star.count()
-        if cnt == 0:
-            return star.select(
-                F.col("u").alias("node"), F.col("v").alias("component")
-            )
         needed = cnt // fit_partition_rows + 1
         if needed >= n_p:
             break  # can't shrink within the per-task budget — finish distributed
         # shrink by level_shrink per level, never below the row budget;
         # coalesce is narrow (no shuffle) over the checkpointed blocks
-        edges = star.coalesce(max(needed, n_p // level_shrink))
+        n_p = max(needed, n_p // level_shrink)
+        edges = star.coalesce(n_p)
     else:
         star = edges
     # Distributed finish on the (already star-contracted) graph: its

@@ -45,15 +45,18 @@ def pagerank(
     value by unrolling the iterations as chained CTEs (aggregation is
     not allowed in a recursive term), so the oracle is value-exact.
 
-    The per-round contribution sum folds in SOURCE-NODE ORDER
-    (array_sort + sequential aggregate), not partition order: a plain
-    SUM is a partition-order-dependent double fold, and five compounded
-    iterations amplify any last-bit difference across engines or
-    repartitionings. Same ordered-fold contract as bm25_sparse; the
-    oracle mirrors it with ``list_sum(array_agg(c ORDER BY node))``.
-    Group fan-in is node degree — bounded by the banded-join design
-    upstream — so the collect_list is small and stays inside the same
-    single hash-agg shuffle the plain SUM used.
+    The per-round contribution sum is made ORDER-INDEPENDENT by summing
+    in fixed point: each contribution is floored to 1e-15 resolution
+    (``floor(c * 1e15)`` — exact in a double and identical on both
+    engines) and accumulated as exact integers (DECIMAL(38,0) here,
+    HUGEINT in the oracle), so the result is the same under ANY
+    partition order or grouping — a plain double SUM is a
+    partition-order-dependent fold whose last-bit noise compounds over
+    five iterations. Unlike an ordered array fold (collect_list +
+    sort), this streams in constant memory per group: a hub node with
+    10^7 in-neighbors costs a counter, not a buffered array, so there
+    is no degree cliff. The 1e-15 quantization sits ~9 digits below
+    the final 6-dp rounding.
 
     Per-round lineage cuts default to ``localCheckpoint`` (executor
     memory — local mode / short jobs); a reliable ``checkpoint_dir``
@@ -98,20 +101,17 @@ def pagerank(
             .join(rk, sym.src == rk.node)
             .select(
                 F.col("dst").alias("node"),
-                F.col("src").alias("__src"),
-                (F.col("rank") / F.col("deg")).alias("c"),
+                F.floor((F.col("rank") / F.col("deg")) * F.lit(1e15))
+                .cast("decimal(38,0)")
+                .alias("c_fx"),
             )
         )
-        ordered_sum = F.aggregate(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("__src", "c"))),
-                lambda s: s["c"],
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
         return contribs.groupBy("node").agg(
-            (F.lit(base) + F.lit(damping) * ordered_sum).alias("rank")
+            (
+                F.lit(base)
+                + F.lit(damping)
+                * (F.sum("c_fx").cast("double") / F.lit(1e15))
+            ).alias("rank")
         )
 
     # TWO rounds per lineage cut: each round references its input rank

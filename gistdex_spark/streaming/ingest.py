@@ -94,6 +94,17 @@ def stream_neardup_filter(
             .distinct()
         )
         survivors = batch_df.join(hits, "doc_id", "left_anti")
+        # Redelivery guard: foreachBatch is at-least-once (a crash
+        # between the append and the batch commit replays the batch), so
+        # anti-join against the ids ALREADY in the accepted store —
+        # exactly the idempotence contract stream_index keeps via its
+        # store anti-join. First batch: no store yet.
+        spark = batch_df.sparkSession
+        try:
+            existing = spark.read.parquet(out_path).select("doc_id")
+            survivors = survivors.join(existing, "doc_id", "left_anti")
+        except Exception:  # noqa: BLE001 — store not created yet
+            pass
         survivors.write.mode("append").parquet(out_path)
 
     writer = (

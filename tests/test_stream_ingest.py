@@ -136,3 +136,14 @@ def test_stream_neardup_filter_matches_batch(spark, tmp_path):
     expected = {i for i, _ in incoming} - rejected
     assert got == expected
     assert 2 in got  # the novel doc was accepted
+
+    # Redelivery guard: reprocessing the same input (fresh checkpoint =
+    # everything replays) must not append duplicate rows to the store.
+    q2 = stream_neardup_filter(
+        stream, static_docs, out,
+        checkpoint_dir=str(tmp_path / "nd_ckpt2"),
+    )
+    q2.awaitTermination(120)
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == len({r.doc_id for r in rows}), "duplicate appends"
+    assert {r.doc_id for r in rows} == expected

@@ -152,6 +152,7 @@ BENCH_QUERIES = [
     "ivf_balance_audit",
     "cross_source_dup_matrix",
     "lsh_s_curve_audit",
+    "unimax_mixture",
 ]
 
 

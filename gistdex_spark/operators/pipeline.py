@@ -705,3 +705,102 @@ def dup_ngram_stats(
         )
         .withColumn("dup_gate", F.col("dup_char_frac") <= F.lit(threshold))
     )
+
+
+def unimax_allocation(
+    docs: DataFrame,
+    budget_frac: tuple[int, int] = (7, 10),
+    epochs_cap: int = 1,
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """UniMax language-sampling allocation (Chung et al. 2023, "UniMax:
+    Fairer and More Effective Language Sampling for Large-Scale
+    Multilingual Pretraining", ICLR 2023): split a training-token budget
+    across languages as uniformly as possible, capping every language at
+    ``epochs_cap`` epochs of its own corpus so low-resource languages are
+    never over-repeated. The per-language fairness complement to
+    ``token_budget_fill`` (global quality-greedy) and
+    ``resample_domains`` (fixed per-domain rates).
+
+    The paper's sequential loop (ascending corpus size, each language
+    takes min(cap, remaining/languages_left)) is exactly water-filling,
+    so it collapses to a closed form: with languages sorted by cap
+    ascending, the saturated set is the largest prefix j where
+    ``cap_i * (langs_left_i) <= budget - spent_before_i`` (the prefix
+    property follows from caps being sorted), and every unsaturated
+    language gets the same share ``(budget - C_j) DIV (n - j)``. That
+    closed form is what both engines compute — no loop, no recursion.
+
+    Every quantity is INTEGER (token counts, caps, cumulative sums,
+    integer-division shares; the budget is ``tokens_total * num DIV
+    den``), so the result is bit-identical across engines and
+    partitionings with no float-fold or round-tie exposure; the reported
+    ``epochs`` is floor-scaled to 6 dp via integer math. Shape: one
+    map-side-combined groupBy(lang) shuffle of (lang, count) pairs; the
+    window/scalar stages run on the per-language frame, which is bounded
+    by |languages| (~hundreds), never by corpus size — the same
+    bounded-frame window contract as dsir_weights' model frame.
+    """
+    from pyspark.sql import Window as W
+
+    from gistdex_spark.functions.text import tokens
+
+    num, den = budget_frac
+    per_lang = (
+        docs.select(lang_col, F.size(tokens(text_col)).alias("__nt"))
+        .groupBy(lang_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("__nt").cast("bigint").alias("tokens"),
+        )
+        .withColumn(
+            "cap_tokens", (F.col("tokens") * epochs_cap).cast("bigint")
+        )
+    )
+    w_ord = W.orderBy(F.asc("cap_tokens"), F.asc(lang_col))
+    w_cum = w_ord.rowsBetween(W.unboundedPreceding, W.currentRow)
+    ranked = per_lang.select(
+        "*",
+        F.row_number().over(w_ord).cast("bigint").alias("__i"),
+        F.sum("cap_tokens").over(w_cum).alias("__c"),
+    )
+    totals = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.expr(f"CAST(sum(tokens) * {num} DIV {den} AS BIGINT)").alias(
+            "__b"
+        ),
+    )
+    with_b = ranked.crossJoin(F.broadcast(totals))
+    sat = F.col("cap_tokens") * (F.col("__n") - F.col("__i") + 1) <= F.col(
+        "__b"
+    ) - (F.col("__c") - F.col("cap_tokens"))
+    boundary = with_b.agg(
+        F.coalesce(F.max(F.when(sat, F.col("__i"))), F.lit(0))
+        .cast("bigint")
+        .alias("__j"),
+        F.coalesce(F.max(F.when(sat, F.col("__c"))), F.lit(0))
+        .cast("bigint")
+        .alias("__cj"),
+    )
+    alloc = F.when(F.col("__i") <= F.col("__j"), F.col("cap_tokens")).otherwise(
+        F.expr("(__b - __cj) DIV greatest(__n - __j, 1L)")
+    )
+    epochs = F.when(F.col("tokens") <= 0, F.lit(0.0)).otherwise(
+        F.expr(
+            "CAST(alloc_tokens * 1000000L DIV tokens AS DOUBLE) / 1000000.0"
+        )
+    )
+    return (
+        with_b.crossJoin(F.broadcast(boundary))
+        .withColumn("alloc_tokens", alloc.cast("bigint"))
+        .withColumn("epochs", epochs)
+        .select(
+            lang_col,
+            "n_docs",
+            "tokens",
+            "cap_tokens",
+            "alloc_tokens",
+            "epochs",
+        )
+    )

@@ -267,3 +267,69 @@ def test_dup_ngram_stats_flags_looped_doc(spark):
     assert got["short"].n_grams == 0
     assert got["short"].dup_char_frac == 0.0
     assert got["short"].dup_gate is True
+
+
+def _unimax_reference(caps, budget):
+    """Paper-order sequential loop in EXACT rational arithmetic (the
+    paper's shares are real-valued): ascending cap, each language takes
+    min(cap, remaining / langs_left). The operator floors each
+    unsaturated share to an integer at the end, so the reference floors
+    only on output — never mid-loop, which would leak the remainder to
+    later languages and change who saturates."""
+    from fractions import Fraction
+
+    order = sorted(range(len(caps)), key=lambda k: caps[k])
+    alloc = [0] * len(caps)
+    remaining = Fraction(budget)
+    for pos, k in enumerate(order):
+        share = remaining / (len(caps) - pos)
+        take = min(Fraction(caps[k]), share)
+        alloc[k] = int(take)  # floor (take >= 0)
+        remaining -= take
+    return alloc
+
+
+def test_unimax_matches_sequential_reference(spark):
+    from gistdex_spark.operators.pipeline import unimax_allocation
+
+    # langs engineered so two saturate and three water-fill at 7/10 cap=1
+    rows = [
+        (i, " ".join(["w"] * n), lang)
+        for i, (lang, n) in enumerate(
+            [("aa", 10), ("bb", 30), ("cc", 200), ("dd", 210), ("ee", 224)]
+        )
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    got = {
+        r["lang"]: (r["cap_tokens"], r["alloc_tokens"], r["epochs"])
+        for r in unimax_allocation(
+            docs, budget_frac=(7, 10), epochs_cap=1
+        ).collect()
+    }
+    caps = [10, 30, 200, 210, 224]
+    budget = sum(caps) * 7 // 10  # 471: unsat share 431/3, NOT an integer
+    ref = _unimax_reference(caps, budget)
+    for lang, cap, a in zip(["aa", "bb", "cc", "dd", "ee"], caps, ref):
+        assert got[lang][0] == cap
+        assert got[lang][1] == a, (lang, got[lang], a)
+        assert got[lang][2] == (a * 1_000_000 // cap) / 1e6
+    assert got["aa"][1] == 10 and got["bb"][1] == 30  # saturated
+    assert len({got[lg][1] for lg in ("cc", "dd", "ee")}) == 1  # equal share
+
+
+def test_unimax_budget_exceeds_caps_gives_full_epochs(spark):
+    from gistdex_spark.operators.pipeline import unimax_allocation
+
+    docs = spark.createDataFrame(
+        [(1, "a b c", "xx"), (2, "d e", "yy")], ["doc_id", "text", "lang"]
+    )
+    # budget = 3x corpus at epochs_cap=2 -> every language takes its cap
+    got = {
+        r["lang"]: r
+        for r in unimax_allocation(
+            docs, budget_frac=(3, 1), epochs_cap=2
+        ).collect()
+    }
+    assert got["xx"]["alloc_tokens"] == got["xx"]["cap_tokens"] == 6
+    assert got["yy"]["alloc_tokens"] == got["yy"]["cap_tokens"] == 4
+    assert got["xx"]["epochs"] == 2.0 and got["yy"]["epochs"] == 2.0

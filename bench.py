@@ -153,6 +153,7 @@ BENCH_QUERIES = [
     "cross_source_dup_matrix",
     "lsh_s_curve_audit",
     "unimax_mixture",
+    "corpus_version_diff",
 ]
 
 

@@ -488,9 +488,20 @@ def connected_components(
         return as_labels(edges)
     n_p = max(1, edges.rdd.getNumPartitions())  # materialized — no recompute
     needed = cnt // fit_partition_rows + 1
-    if needed > n_p:
-        edges = cut(edges.repartition(needed))
-        n_p = needed
+    # The budget is per TASK, so the average (cnt / n_p) isn't enough:
+    # a band-skewed caller plan can land most edges in one partition.
+    # Max partition size is one cheap agg over the checkpointed blocks;
+    # round-robin repartition (keeping parallelism: at least n_p) evens
+    # it whenever any single partition exceeds the union-find row budget.
+    max_rows = (
+        edges.groupBy(F.spark_partition_id().alias("__p"))
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    if needed > n_p or max_rows > fit_partition_rows:
+        n_p = max(needed, n_p)
+        edges = cut(edges.repartition(n_p))
     levels = 0
     while levels < max_iter:
         star = cut(_uf_star_pass(edges, "u", "v"))

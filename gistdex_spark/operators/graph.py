@@ -93,7 +93,14 @@ def pagerank(
     ranks = cut(
         deg.select(F.col("src").alias("node"), F.lit(1.0 / n).alias("rank"))
     )
-    base = (1.0 - damping) / n
+    # Canonicalize (1 - damping) through a shortest-decimal round-trip:
+    # Python's 1.0 - 0.85 is one ulp ABOVE the double the oracle's
+    # literal `0.15` parses to, and the fixed-point floor() below is a
+    # step function that can amplify that ulp into a full 1e-15 quantum
+    # at an integer boundary. f"{...:.12g}" -> float reproduces exactly
+    # the double a SQL decimal literal of the same value yields, so both
+    # engines start every round from the same base.
+    base = float(f"{1.0 - damping:.12g}") / n
 
     def one_round(rk: DataFrame) -> DataFrame:
         contribs = (

@@ -786,9 +786,16 @@ def unimax_allocation(
     alloc = F.when(F.col("__i") <= F.col("__j"), F.col("cap_tokens")).otherwise(
         F.expr("(__b - __cj) DIV greatest(__n - __j, 1L)")
     )
+    # The scaled multiply goes through DECIMAL(38,0): alloc_tokens can
+    # exceed 9.2e12 for a dominant language at the 100 TB scale this
+    # docstring advertises, and BIGINT * 1e6 would wrap silently under
+    # Spark's non-ANSI arithmetic (the oracle's HUGEINT twin would
+    # error). DIV on the decimal is still exact integer division and
+    # the quotient (<= epochs_cap * 1e6) always fits a long.
     epochs = F.when(F.col("tokens") <= 0, F.lit(0.0)).otherwise(
         F.expr(
-            "CAST(alloc_tokens * 1000000L DIV tokens AS DOUBLE) / 1000000.0"
+            "CAST(CAST(alloc_tokens AS DECIMAL(38,0)) * 1000000 DIV tokens"
+            " AS DOUBLE) / 1000000.0"
         )
     )
     return (

@@ -100,10 +100,16 @@ def stream_neardup_filter(
         # exactly the idempotence contract stream_index keeps via its
         # store anti-join. First batch: no store yet.
         spark = batch_df.sparkSession
+        from pyspark.errors import AnalysisException
+
         try:
             existing = spark.read.parquet(out_path).select("doc_id")
             survivors = survivors.join(existing, "doc_id", "left_anti")
-        except Exception:  # noqa: BLE001 — store not created yet
+        except AnalysisException:
+            # Store not created yet (first batch): PATH_NOT_FOUND /
+            # UNABLE_TO_INFER_SCHEMA. Anything else (corrupt footer, FS
+            # error) must SURFACE — swallowing it would silently disable
+            # the idempotence guard and let a replay append duplicates.
             pass
         survivors.write.mode("append").parquet(out_path)
 

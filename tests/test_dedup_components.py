@@ -145,6 +145,30 @@ def test_filter_budget_fallback_still_exact(spark):
     assert got == want
 
 
+def test_filter_skewed_input_partition_still_exact(spark):
+    # Skewed LEVEL-1 layout: nearly all edges in one partition while the
+    # AVERAGE is within budget — the max-partition-size guard must
+    # round-robin the input (not trust the average) and stay exact.
+    edges = [(a, b) for a, b in _random_graph(seed=31) if a != b]
+    big = _pairs(spark, [e for e in edges[:-3]]).coalesce(1)
+    small = _pairs(spark, edges[-3:]).coalesce(1)
+    skewed = big.unionAll(small)  # 2 partitions: ~all rows vs 3 rows
+    budget = max(len(edges) // 2 + 2, 4)  # avg fits, max doesn't
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            skewed, fit_partition_rows=budget
+        ).collect()
+    }
+    want = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            _pairs(spark, edges), algorithm="labelprop"
+        ).collect()
+    }
+    assert got == want
+
+
 def test_incremental_pairs_never_old_vs_old(spark):
     from gistdex_spark.operators.dedup import simhash_pairs_between
 

@@ -737,10 +737,15 @@ def unimax_allocation(
     den``), so the result is bit-identical across engines and
     partitionings with no float-fold or round-tie exposure; the reported
     ``epochs`` is floor-scaled to 6 dp via integer math. Shape: one
-    map-side-combined groupBy(lang) shuffle of (lang, count) pairs; the
-    window/scalar stages run on the per-language frame, which is bounded
-    by |languages| (~hundreds), never by corpus size — the same
-    bounded-frame window contract as dsir_weights' model frame.
+    map-side-combined groupBy(lang) shuffle of (lang, count) pairs, then
+    EVERYTHING (rank, cumsum, totals, saturation boundary, shares) as
+    chained window expressions over that one per-language frame — a
+    single lineage, because Spark has no cross-branch CSE and branching
+    into agg-scalar frames would re-execute the corpus scan once per
+    branch (pinned: test_unimax_single_corpus_shuffle). The unpartitioned
+    windows are bounded by |languages| (~hundreds), never by corpus
+    size — the same bounded-frame window contract as dsir_weights'
+    model frame.
     """
     from pyspark.sql import Window as W
 
@@ -760,26 +765,27 @@ def unimax_allocation(
     )
     w_ord = W.orderBy(F.asc("cap_tokens"), F.asc(lang_col))
     w_cum = w_ord.rowsBetween(W.unboundedPreceding, W.currentRow)
+    w_all = W.partitionBy().rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
     ranked = per_lang.select(
         "*",
         F.row_number().over(w_ord).cast("bigint").alias("__i"),
         F.sum("cap_tokens").over(w_cum).alias("__c"),
+        F.count(F.lit(1)).over(w_all).cast("bigint").alias("__n"),
+        F.sum("tokens").over(w_all).alias("__tot"),
+    ).withColumn(
+        "__b", F.expr(f"CAST(__tot * {num} DIV {den} AS BIGINT)")
     )
-    totals = ranked.agg(
-        F.count(F.lit(1)).cast("bigint").alias("__n"),
-        F.expr(f"CAST(sum(tokens) * {num} DIV {den} AS BIGINT)").alias(
-            "__b"
-        ),
-    )
-    with_b = ranked.crossJoin(F.broadcast(totals))
     sat = F.col("cap_tokens") * (F.col("__n") - F.col("__i") + 1) <= F.col(
         "__b"
     ) - (F.col("__c") - F.col("cap_tokens"))
-    boundary = with_b.agg(
-        F.coalesce(F.max(F.when(sat, F.col("__i"))), F.lit(0))
+    with_b = ranked.select(
+        "*",
+        F.coalesce(F.max(F.when(sat, F.col("__i"))).over(w_all), F.lit(0))
         .cast("bigint")
         .alias("__j"),
-        F.coalesce(F.max(F.when(sat, F.col("__c"))), F.lit(0))
+        F.coalesce(F.max(F.when(sat, F.col("__c"))).over(w_all), F.lit(0))
         .cast("bigint")
         .alias("__cj"),
     )
@@ -799,8 +805,7 @@ def unimax_allocation(
         )
     )
     return (
-        with_b.crossJoin(F.broadcast(boundary))
-        .withColumn("alloc_tokens", alloc.cast("bigint"))
+        with_b.withColumn("alloc_tokens", alloc.cast("bigint"))
         .withColumn("epochs", epochs)
         .select(
             lang_col,

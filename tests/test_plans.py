@@ -676,3 +676,27 @@ def test_hard_negatives_broadcasts_anchors(q):
 
 def test_context_window_histogram_single_shuffle(q):
     assert num_shuffles(q("context_window_histogram")) == 1
+
+
+def test_unimax_single_corpus_shuffle(q):
+    # one map-side-combined lang agg over the corpus; everything after
+    # runs on the |languages|-bounded frame (its window/scalar exchanges
+    # move <= |languages| rows, so only the corpus agg counts here)
+    # inspect BEFORE executing: a post-execution AQE plan string prints
+    # Final + Initial sections and double-counts the scan line
+    df = q("unimax_mixture")
+    corpus_scans = [s for s in scans(df) if "documents" in s["location"]]
+    assert len(corpus_scans) == 1, "corpus must be scanned exactly once"
+    assert set(corpus_scans[0]["columns"]) <= {"lang", "text"}
+
+
+def test_corpus_version_diff_joins_on_id_only_once(q):
+    df = q("corpus_version_diff")
+    strategies = join_strategies(df)
+    # one full-outer join between the version frames; full outer cannot
+    # broadcast, so SMJ/shuffle-hash on the id key is the correct shape
+    assert any(
+        s in strategies for s in ("SortMergeJoin", "ShuffledHashJoin")
+    ), strategies
+    assert "BroadcastNestedLoopJoin" not in strategies
+    assert "CartesianProduct" not in strategies

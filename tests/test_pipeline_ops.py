@@ -333,3 +333,40 @@ def test_unimax_budget_exceeds_caps_gives_full_epochs(spark):
     assert got["xx"]["alloc_tokens"] == got["xx"]["cap_tokens"] == 6
     assert got["yy"]["alloc_tokens"] == got["yy"]["cap_tokens"] == 4
     assert got["xx"]["epochs"] == 2.0 and got["yy"]["epochs"] == 2.0
+
+
+def _unimax_closed_form(caps, budget):
+    """Pure-python transcription of the EXACT formula unimax_allocation
+    encodes in Catalyst expressions (ascending-cap prefix test, integer-
+    division share) — property-tested here against the paper's
+    sequential loop so the algorithm itself is verified over a large
+    random space without a Spark job per example (the Spark encoding is
+    covered by the example-based tests above and oracle parity)."""
+    order = sorted(range(len(caps)), key=lambda k: (caps[k], k))
+    n = len(caps)
+    c = 0
+    j = 0      # saturated-prefix length
+    cj = 0     # cumulative cap at j
+    for pos, k in enumerate(order, start=1):
+        c += caps[k]
+        if caps[k] * (n - pos + 1) <= budget - (c - caps[k]):
+            j, cj = pos, c
+    share = (budget - cj) // max(n - j, 1)
+    alloc = [0] * n
+    for pos, k in enumerate(order, start=1):
+        alloc[k] = caps[k] if pos <= j else share
+    return alloc
+
+
+def test_unimax_closed_form_property():
+    import random
+
+    rng = random.Random(6)
+    for trial in range(20000):
+        n = rng.randint(1, 12)
+        caps = [rng.randint(0, 10**6) for _ in range(n)]
+        total = sum(caps)
+        budget = rng.randint(0, max(total + total // 3, 1))
+        got = _unimax_closed_form(caps, budget)
+        want = _unimax_reference(caps, budget)
+        assert got == want, (caps, budget, got, want)

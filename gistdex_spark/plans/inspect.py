@@ -109,7 +109,8 @@ def single_partition_exchanges(df: DataFrame) -> int:
 def join_strategies(df: DataFrame) -> list[str]:
     plan = executed_plan(df)
     return re.findall(
-        r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|BroadcastNestedLoopJoin)",
+        r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin"
+        r"|BroadcastNestedLoopJoin|CartesianProduct)",
         plan,
     )
 

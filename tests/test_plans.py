@@ -693,10 +693,9 @@ def test_unimax_single_corpus_shuffle(q):
 def test_corpus_version_diff_joins_on_id_only_once(q):
     df = q("corpus_version_diff")
     strategies = join_strategies(df)
-    # one full-outer join between the version frames; full outer cannot
-    # broadcast, so SMJ/shuffle-hash on the id key is the correct shape
-    assert any(
-        s in strategies for s in ("SortMergeJoin", "ShuffledHashJoin")
+    # EXACTLY one full-outer join between the version frames; full outer
+    # cannot broadcast, so SMJ/shuffle-hash on the id key is the shape
+    assert len(strategies) == 1 and strategies[0] in (
+        "SortMergeJoin",
+        "ShuffledHashJoin",
     ), strategies
-    assert "BroadcastNestedLoopJoin" not in strategies
-    assert "CartesianProduct" not in strategies

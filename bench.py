@@ -135,6 +135,7 @@ BENCH_QUERIES = [
     "hybrid_rrf",
     "mmr_diversify",
     "dedup_exact_substring",
+    "dedup_exact_substring_removal",
     "heavy_hitters_audit",
     "rag_retrieval_pipeline",
     "prf_expanded_search",
@@ -153,7 +154,9 @@ BENCH_QUERIES = [
     "cross_source_dup_matrix",
     "lsh_s_curve_audit",
     "unimax_mixture",
+    "tokenizer_fertility_audit",
     "corpus_version_diff",
+    "source_quality_drift",
 ]
 
 

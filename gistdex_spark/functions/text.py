@@ -6,8 +6,9 @@ Reference semantics ported (not copied):
 - word-match count: number of query words contained as case-insensitive
   substrings of the content (`search.ts:34-40,116-124`).
 - multilingual tokenizer: split on whitespace + CJK punctuation
-  (`src/mcp/utils/stop-words.ts:222-253`); stop-word lists are data — we
-  ship a compact EN+JA list of our own rather than copying the reference's.
+  (`src/mcp/utils/stop-words.ts:222-253`); the EN+JA stop-word lists below
+  are the reference's verbatim (`stop-words.ts:8-206`, MIT) — data, not
+  code, and required so keyword analytics agree with reference output.
 
 Each helper has a Spark-Column form and a SQL-string form so the DuckDB
 oracle runs the byte-identical formula.

@@ -1607,8 +1607,14 @@ def _extract_treesitter(code: str, language: str, parser) -> list[Boundary]:
     frontier = [0, 0]  # [byte_pos, char_pos]
 
     def char_at(byte_off: int) -> int:
+        # errors='replace' on the delta too: offsets should land on
+        # codepoint boundaries of the UTF-8 we encoded, but this mapper
+        # must never raise (the old full-decode path degraded gracefully
+        # and the incremental rewrite keeps that contract).
         if byte_off >= frontier[0]:
-            frontier[1] += len(raw[frontier[0]:byte_off].decode("utf-8"))
+            frontier[1] += len(
+                raw[frontier[0]:byte_off].decode("utf-8", errors="replace")
+            )
             frontier[0] = byte_off
             return frontier[1]
         return len(raw[:byte_off].decode("utf-8", errors="replace"))

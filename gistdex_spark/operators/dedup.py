@@ -461,7 +461,12 @@ def connected_components(
     """
     spark = pairs.sparkSession
     cut = _make_cut(spark, checkpoint_dir)
-    edges = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    # Null endpoints carry no connectivity and would raise inside the
+    # per-partition union-find (Python `<` on None); drop them up front —
+    # the same silent-skip contract the label-propagation joins had.
+    edges = pairs.select(
+        F.col(id_a).alias("u"), F.col(id_b).alias("v")
+    ).dropna(how="any")
     if algorithm == "labelprop":
         return _labelprop_components(
             edges, max_iter=max_iter, strict=strict, cut=cut
@@ -517,6 +522,22 @@ def connected_components(
         # coalesce is narrow (no shuffle) over the checkpointed blocks
         n_p = max(needed, n_p // level_shrink)
         edges = star.coalesce(n_p)
+        if n_p > 1:
+            # The budget is per TASK at every level, not just level 1:
+            # coalesce merges whole parent partitions without rebalancing,
+            # so a skewed star output can put up to level_shrink x the
+            # average into one merged task. Re-check the merged max (one
+            # cheap scan over the checkpointed star blocks) and fall back
+            # to an evening repartition when any task would blow the
+            # union-find row budget.
+            max_rows = (
+                edges.groupBy(F.spark_partition_id().alias("__p"))
+                .count()
+                .agg(F.max("count"))
+                .first()[0]
+            )
+            if max_rows > fit_partition_rows:
+                edges = cut(star.repartition(n_p))
     else:
         star = edges
     # Distributed finish on the (already star-contracted) graph: its
@@ -762,6 +783,112 @@ def simhash_pairs_between(
     )
 
 
+def _char_windows(
+    df: DataFrame, span_len: int, id_col: str, content_col: str
+) -> DataFrame:
+    """(id, pos, span): every ``span_len``-char window with its 0-based
+    start offset. Narrow (fan-out = doc length, no shuffle); posexplode's
+    array index IS the offset because the sequence starts at 0."""
+    return df.filter(F.length(content_col) >= span_len).select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0), F.length(content_col) - F.lit(span_len)
+                ),
+                lambda i: F.col(content_col).substr(
+                    i + F.lit(1), F.lit(span_len)
+                ),
+            )
+        ).alias("pos", "span"),
+    )
+
+
+def exact_substring_removal(
+    df: DataFrame,
+    span_len: int = 32,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+) -> DataFrame:
+    """The REMOVAL form of exact-substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" §4.2 —
+    ExactSubstr): emit the cleaned corpus with duplicated spans EXCISED,
+    not just censused (:func:`exact_substring_spans` is the census twin).
+    Suffix-array semantics are approximated by the same fixed-width keyed
+    span join the census uses; survivorship is deterministic:
+
+    - a span is *duplicated* when its exact text occurs in >= ``min_docs``
+      distinct documents;
+    - the KEEPER of each duplicated span is the minimum doc id containing
+      it — that document keeps all its occurrences (the corpus retains at
+      least one verbatim copy, the keep-one convention);
+    - in every other document, each character covered by >= 1 duplicated-
+      span occurrence is excised, and the remaining characters concatenate
+      in order (Lee et al.'s span cut, overlaps merged).
+
+    Output: (id, orig_len, clean_len, clean_text) for EVERY input doc —
+    untouched docs pass through with clean_text = text.
+
+    Scale shape: the window explode is narrow; duplicated-span discovery
+    is ONE map-side-combined hash agg keyed by the span text; the flag-back
+    is an equality join on the span key carrying only (id, pos) — the
+    corpus TEXT never enters that shuffle. Per-doc cut lists are bounded
+    by doc length (the chunking bound) and the excision itself is a pure
+    Catalyst fold over the sorted cut offsets (cursor = running max of
+    covered-interval ends). At 100 TB, key the span agg by xxhash64(span)
+    to shrink the shuffle; kept as text here so the DuckDB oracle compares
+    identical values.
+    """
+    spans = _char_windows(df, span_len, id_col, content_col)
+    dup = (
+        spans.groupBy("span")
+        .agg(
+            F.count_distinct(F.col(id_col)).alias("__nd"),
+            F.min(F.col(id_col)).alias("__keeper"),
+        )
+        .filter(F.col("__nd") >= min_docs)
+        .select("span", "__keeper")
+    )
+    cuts = (
+        spans.join(dup, "span")
+        .filter(F.col(id_col) != F.col("__keeper"))
+        .select(id_col, "pos")
+    )
+    ivals = cuts.groupBy(id_col).agg(
+        F.array_sort(F.collect_list("pos")).alias("__cuts")
+    )
+    text = F.col(content_col)
+    fold = F.aggregate(
+        F.col("__cuts"),
+        F.struct(F.lit(0).alias("cur"), F.lit("").alias("acc")),
+        lambda a, p: F.struct(
+            F.greatest(a["cur"], p + F.lit(span_len)).alias("cur"),
+            F.when(
+                p > a["cur"],
+                F.concat(a["acc"], text.substr(a["cur"] + 1, p - a["cur"])),
+            )
+            .otherwise(a["acc"])
+            .alias("acc"),
+        ),
+        lambda a: F.concat(
+            a["acc"], text.substr(a["cur"] + 1, F.length(text) - a["cur"])
+        ),
+    )
+    return df.join(ivals, id_col, "left").select(
+        F.col(id_col),
+        F.length(text).alias("orig_len"),
+        F.when(F.col("__cuts").isNull(), text).otherwise(fold).alias(
+            "clean_text"
+        ),
+    ).select(
+        id_col,
+        "orig_len",
+        F.length("clean_text").alias("clean_len"),
+        "clean_text",
+    )
+
+
 def exact_substring_spans(
     df: DataFrame,
     span_len: int = 32,
@@ -787,22 +914,7 @@ def exact_substring_spans(
     the text to shrink the shuffle — kept as text here so the DuckDB
     oracle compares the identical values.
     """
-    spans = (
-        df.filter(F.length(content_col) >= span_len)
-        .select(
-            F.col(id_col),
-            F.explode(
-                F.transform(
-                    F.sequence(
-                        F.lit(0), F.length(content_col) - F.lit(span_len)
-                    ),
-                    lambda i: F.col(content_col).substr(
-                        i + F.lit(1), F.lit(span_len)
-                    ),
-                )
-            ).alias("span"),
-        )
-    )
+    spans = _char_windows(df, span_len, id_col, content_col).drop("pos")
     dup = (
         spans.groupBy("span")
         .agg(F.count_distinct(F.col(id_col)).alias("span_docs"))

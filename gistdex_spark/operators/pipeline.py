@@ -695,8 +695,12 @@ def dup_ngram_stats(
         F.sum("c").cast("bigint").alias("n_grams"),
     )
     frac = F.floor(F.col("__dup") / F.col("__all") * F.lit(1e6)) / F.lit(1e6)
+    # Left side comes from df directly, NOT from `base`: Spark has no
+    # cross-branch CSE, so referencing `base` here would re-run the
+    # tokenization split on the second scan. df.select(id_col) prunes to
+    # the id column at the parquet reader — the re-scan is id-only.
     return (
-        base.select(id_col)
+        df.select(id_col)
         .join(mass, id_col, "left")
         .select(
             id_col,

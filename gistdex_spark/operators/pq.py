@@ -178,13 +178,26 @@ def _pq_codes_np(codebooks):
     m, dsub = len(mats), len(codebooks[0][0])
 
     def encode(X):
-        nrm = np.linalg.norm(X, axis=1, keepdims=True)
+        # Sum of squares accumulated SEQUENTIALLY over columns (a Python
+        # loop, vectorized across rows): np.linalg.norm switches to
+        # pairwise summation for dim >= 16, and a last-ulp difference vs
+        # the sequential folds in pq_codes_col / the DuckDB oracle could
+        # flip a near-tie argmin and silently diverge codes.
+        ss = np.zeros(len(X), dtype=np.float64)
+        for j in range(X.shape[1]):
+            ss = ss + X[:, j] * X[:, j]
+        nrm = np.sqrt(ss)[:, None]
         nrm[nrm == 0.0] = 1.0
         Xn = X / nrm
         codes = np.empty((len(X), m), dtype=np.int32)
         for s in range(m):
             sub = Xn[:, s * dsub:(s + 1) * dsub]
-            d = ((sub[:, None, :] - mats[s][None, :, :]) ** 2).sum(-1)
+            # same sequential left fold as pq_codes_col's aggregate —
+            # np.sum over the dsub axis would go pairwise for dsub >= 16
+            d = np.zeros((len(X), mats[s].shape[0]), dtype=np.float64)
+            for j in range(dsub):
+                diff = sub[:, j, None] - mats[s][None, :, j]
+                d = d + diff * diff
             codes[:, s] = d.argmin(axis=1)
         return codes
 

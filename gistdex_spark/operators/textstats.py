@@ -51,13 +51,12 @@ def lang_id(df: DataFrame, content_col: str = "text") -> DataFrame:
     )
 
 
-def quality_score(df: DataFrame, content_col: str = "text") -> DataFrame:
-    """Length/stopword/alpha-ratio quality heuristic (Gopher-rules flavor).
-
-    quality = 0.3*min(n_tokens/100, 1) + 0.4*stop_ratio + 0.3*alpha_ratio;
-    all plain arithmetic so the oracle reproduces it bit-for-bit.
-    """
-    c = F.col(content_col)
+def _quality_parts(c) -> tuple[F.Column, F.Column, F.Column, F.Column]:
+    """(n_tokens, stop_ratio, alpha_ratio, raw quality) column expressions
+    — the shared formula behind quality_score and the per-source drift
+    audit. quality = 0.3*min(n_tokens/100, 1) + 0.4*stop_ratio +
+    0.3*alpha_ratio; all plain arithmetic so the oracle reproduces it
+    bit-for-bit."""
     toks = tokens(c)
     n_tokens = F.size(toks)
     stop_ratio = F.when(
@@ -72,6 +71,22 @@ def quality_score(df: DataFrame, content_col: str = "text") -> DataFrame:
         F.least(n_tokens.cast("double") / 100.0, F.lit(1.0)) * 0.3
         + stop_ratio * 0.4
         + alpha_ratio * 0.3
+    )
+    return n_tokens, stop_ratio, alpha_ratio, quality
+
+
+def quality_micro(c) -> F.Column:
+    """floor(raw quality * 1e6) as BIGINT: the integer form that sums
+    order-independently across partitions (float means are partition-
+    order-exposed; integer micro-unit sums are exact)."""
+    return F.floor(_quality_parts(c)[3] * F.lit(1_000_000.0)).cast("bigint")
+
+
+def quality_score(df: DataFrame, content_col: str = "text") -> DataFrame:
+    """Length/stopword/alpha-ratio quality heuristic (Gopher-rules flavor);
+    see :func:`_quality_parts` for the formula."""
+    n_tokens, stop_ratio, alpha_ratio, quality = _quality_parts(
+        F.col(content_col)
     )
     return df.select(
         "doc_id",
@@ -102,3 +117,66 @@ def fingerprint(df: DataFrame, content_col: str = "text") -> DataFrame:
     c = F.col(content_col)
     norm = F.trim(F.regexp_replace(F.lower(c), "\\s+", " "))
     return df.select("doc_id", F.md5(norm).alias("fp"))
+
+
+def tokenizer_fertility(
+    df: DataFrame, lang_col: str = "lang", content_col: str = "text"
+) -> DataFrame:
+    """Per-language tokenizer-fertility audit: how many characters one
+    token "buys" in each language, and how many tokens the tokenizer
+    spends per word — the curation signal that tells a multilingual
+    mixture (unimax_allocation, token_budget_fill) when a byte budget
+    and a token budget diverge by language (e.g. CJK text at ~1 char
+    per whitespace token inflates fertility; agglutinative scripts
+    deflate chars/token).
+
+    Columns per language: doc/char/token totals plus three 6-dp ratios —
+    ``chars_per_bpe_token`` (compression), ``bpe_per_ws_fertility``
+    (subword fertility: BPE-ish tokens per whitespace word, the standard
+    tokenizer-fertility metric), ``bpe_tokens_per_doc`` (context-window
+    sizing). All ratio math is INTEGER (DECIMAL(38,0) scaled multiply,
+    integer DIV, floor semantics): engine-identical with no float-fold
+    or round-tie exposure, and the scaled multiply cannot wrap at
+    100 TB per-language char counts (the unimax_allocation convention).
+
+    Shape: ONE corpus scan projecting (lang, three per-doc counters),
+    ONE map-side-combined groupBy(lang) exchange, then pure projection
+    — the per-language frame is bounded by |languages|.
+    """
+    c = F.col(content_col)
+    per_lang = (
+        df.select(
+            F.col(lang_col),
+            F.length(c).alias("__ch"),
+            F.size(tokens(c)).alias("__ws"),
+            F.regexp_count(c, F.lit(BPE_ISH_RE)).alias("__bpe"),
+        )
+        .groupBy(lang_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("__ch").cast("bigint").alias("chars_total"),
+            F.sum("__ws").cast("bigint").alias("ws_tokens_total"),
+            F.sum("__bpe").cast("bigint").alias("bpe_tokens_total"),
+        )
+    )
+
+    def ratio6(num: str, den: str) -> F.Column:
+        return F.when(F.col(den) <= 0, F.lit(0.0)).otherwise(
+            F.expr(
+                f"CAST(CAST({num} AS DECIMAL(38,0)) * 1000000 DIV {den}"
+                " AS DOUBLE) / 1000000.0"
+            )
+        )
+
+    return per_lang.select(
+        lang_col,
+        "n_docs",
+        "chars_total",
+        "ws_tokens_total",
+        "bpe_tokens_total",
+        ratio6("chars_total", "bpe_tokens_total").alias("chars_per_bpe_token"),
+        ratio6("bpe_tokens_total", "ws_tokens_total").alias(
+            "bpe_per_ws_fertility"
+        ),
+        ratio6("bpe_tokens_total", "n_docs").alias("bpe_tokens_per_doc"),
+    )

@@ -169,6 +169,39 @@ def test_filter_skewed_input_partition_still_exact(spark):
     assert got == want
 
 
+def test_null_endpoints_dropped_not_raised(spark):
+    # Null ids carry no connectivity; the union-find path must skip them
+    # (the labelprop joins always did) instead of raising TypeError on
+    # Python `<` against None.
+    edges = [("a", "b"), (None, "c"), ("d", None), (None, None), ("b", "e")]
+    cc = connected_components(_pairs(spark, edges))
+    got = {r["node"]: r["component"] for r in cc.collect()}
+    assert got == {"a": "a", "b": "a", "e": "a"}
+
+
+def test_filter_later_level_coalesce_respects_budget(spark):
+    # Multi-level shrink path (needs several partitions + a budget that
+    # forces >1 level): the post-coalesce max-partition re-check must
+    # keep the labeling exact even when merged partitions would exceed
+    # the row budget. Equivalence to labelprop is the contract.
+    edges = [(a, b) for a, b in _random_graph(seed=47) if a != b]
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            _pairs(spark, edges).repartition(16),
+            fit_partition_rows=len(edges) // 3 + 1,
+            level_shrink=2,
+        ).collect()
+    }
+    want = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            _pairs(spark, edges), algorithm="labelprop"
+        ).collect()
+    }
+    assert got == want
+
+
 def test_incremental_pairs_never_old_vs_old(spark):
     from gistdex_spark.operators.dedup import simhash_pairs_between
 

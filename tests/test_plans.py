@@ -585,6 +585,16 @@ def test_exact_substring_join_is_equality_keyed(q):
     assert "Window [" not in plan
 
 
+def test_exact_substring_removal_stays_equality_keyed(q):
+    """The removal form inherits the census's contract: equality joins
+    only (span key, then doc id), no cartesian/broadcast-nested-loop, and
+    the excision fold is a pure expression — no unpartitioned window."""
+    plan = executed_plan(q("dedup_exact_substring_removal"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window [" not in plan
+
+
 def test_heavy_hitters_candidates_stay_tiny(q):
     """The MG candidate merge and the audit joins must be broadcast-side;
     only the exact census is allowed a corpus-keyed shuffle."""
@@ -676,6 +686,16 @@ def test_hard_negatives_broadcasts_anchors(q):
 
 def test_context_window_histogram_single_shuffle(q):
     assert num_shuffles(q("context_window_histogram")) == 1
+
+
+def test_fertility_audit_one_scan_one_agg_exchange(q):
+    """The fertility audit is a census: one documents scan, one
+    groupBy(lang) exchange with a map-side partial agg, nothing else."""
+    df = q("tokenizer_fertility_audit")
+    assert len(scans(df)) == 1
+    assert num_shuffles(df) == 1
+    plan = executed_plan(df)
+    assert plan.count("HashAggregate") >= 2, "partial agg must be map-side"
 
 
 def test_unimax_single_corpus_shuffle(q):

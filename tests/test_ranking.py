@@ -165,6 +165,56 @@ def test_exact_substring_min_docs_threshold(spark):
     assert exact_substring_spans(df, 32, min_docs=3).count() == 3
 
 
+def test_exact_substring_removal_keeper_and_excision(spark):
+    from gistdex_spark.operators.dedup import exact_substring_removal
+
+    shared = "HELLO-THIS-IS-A-DUPLICATED-SPAN-OF-TEXT"  # 39 chars > 16
+    rows = [
+        ("a", "XXXXXXXX" + shared + "YYYY"),  # min id: keeper, untouched
+        ("b", "prefix__" + shared + "__suffix"),  # loses the covered run
+        ("c", "totally unique little document"),
+        ("d", "tiny"),  # below span_len
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id STRING, text STRING")
+    got = {
+        r["doc_id"]: r
+        for r in exact_substring_removal(df, span_len=16, min_docs=2).collect()
+    }
+    assert set(got) == {"a", "b", "c", "d"}, "full corpus out"
+    assert got["a"]["clean_text"] == rows[0][1], "keeper keeps its copy"
+    # every char of `shared` in b is covered by some dup 16-window;
+    # overlapping windows merge into one excised run
+    assert got["b"]["clean_text"] == "prefix____suffix"
+    assert got["c"]["clean_text"] == rows[2][1]
+    assert got["d"]["clean_text"] == "tiny"
+    for k, r in got.items():
+        assert r["clean_len"] == len(r["clean_text"])
+        assert r["orig_len"] == len(dict(rows)[k])
+
+
+def test_exact_substring_removal_merges_overlaps_mid_doc(spark):
+    from gistdex_spark.operators.dedup import exact_substring_removal
+
+    # two separate duplicated fragments in one victim doc -> two excised
+    # runs, the unique middle survives
+    f1, f2 = "AAAA-FIRST-DUP-FRAGMENT-AAAA", "BBBB-SECOND-DUP-FRAG-BBBB"
+    df = spark.createDataFrame(
+        [
+            ("k1", "pad0pad0" + f1 + "pad1pad1"),
+            ("k2", "pad2pad2" + f2 + "pad3pad3"),
+            ("v", "s:" + f1 + "=keep-me=" + f2 + ":e"),
+        ],
+        schema="doc_id STRING, text STRING",
+    )
+    got = {
+        r["doc_id"]: r["clean_text"]
+        for r in exact_substring_removal(df, span_len=16, min_docs=2).collect()
+    }
+    assert got["v"] == "s:=keep-me=:e"
+    assert got["k1"].startswith("pad0") and f1 in got["k1"]
+    assert got["k2"].startswith("pad2") and f2 in got["k2"]
+
+
 def test_bm25_stats_reduce_to_broadcast_row(spark):
     df = spark.createDataFrame(
         [(1, "table join"), (2, "merge")], schema="doc_id BIGINT, text STRING"

@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "detailed_score_metrics",
     "query_cache_eviction",
     "media_frame_census",
+    "media_real_frame_census",
     # Training-pipeline family: end-to-end near-dup (pairs -> components
     # -> survivors), benchmark decontamination, quality gates, PII scrub.
     "dedup_survivors",

@@ -265,3 +265,74 @@ def test_portable_decoder_never_raises_on_lookalike_magic():
     assert (portable_decode(webp) == fake_decode(webp)).all()
     bm_text = b"BMnot really a bitmap"
     assert (portable_decode(bm_text) == fake_decode(bm_text)).all()
+
+
+def test_avi_roundtrip_info_grab_decode():
+    """Encoder -> real RIFF parse: header fields, frame inventory,
+    timestamp seek (incl. clamp past the end), first-frame features."""
+    import numpy as np
+
+    from gistdex_spark.operators.multimodal import (
+        avi_decode,
+        avi_encode_gray,
+        avi_frame_at,
+        avi_info,
+        portable_decode,
+    )
+
+    g = [60, 120, 180]
+    frames = [np.full((4, 4), v, np.uint8) for v in g]
+    p = avi_encode_gray(frames, fps=1)
+    info = avi_info(p)
+    assert info["width"] == 4 and info["height"] == 4
+    assert info["declared_frames"] == 3 and len(info["frames"]) == 3
+    assert info["usec_per_frame"] == 1_000_000
+    for k, v in enumerate(g):
+        assert avi_frame_at(p, k * 1000) == bytes([v]) * 48
+    assert avi_frame_at(p, 99_000) == bytes([g[-1]]) * 48  # clamp
+    # first-frame luma strip: uniform gray 60 -> 60/255 in filled buckets
+    f = avi_decode(p, dim=4)
+    assert np.allclose(f, g[0] * (0.299 + 0.587 + 0.114) / 255.0)
+    assert (portable_decode(p, 4) == f).all()  # RIFF 'AVI ' dispatch
+
+
+def test_avi_rejects_non_avi_and_robust_frame_falls_back():
+    import pytest as _pytest
+
+    from gistdex_spark.operators.multimodal import (
+        avi_frame_at,
+        avi_info,
+        fake_frame,
+        robust_frame,
+    )
+
+    with _pytest.raises(ValueError):
+        avi_info(b"RIFF\x10\x00\x00\x00WAVEfmt ")
+    with _pytest.raises(ValueError):
+        avi_info(b"plain text")
+    assert robust_frame(b"plain text", 500) == fake_frame(b"plain text", 500)
+
+
+def test_sample_frames_uses_real_parser_for_avi(spark):
+    """Default grabber (robust_frame) must return the ACTUAL frame bytes
+    for AVI payloads — not the sha256 fake."""
+    import numpy as np
+
+    from gistdex_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        avi_encode_gray,
+        sample_frames,
+    )
+
+    p = avi_encode_gray(
+        [np.full((4, 4), v, np.uint8) for v in (10, 20)], fps=1
+    )
+    media = spark.createDataFrame(
+        [("m1", "video", bytearray(p), "video/x-msvideo", 4, 4, 2000)],
+        MEDIA_SCHEMA,
+    )
+    got = {
+        r["ts_ms"]: bytes(r["frame_payload"])
+        for r in sample_frames(media, interval_ms=1000).collect()
+    }
+    assert got == {0: bytes([10]) * 48, 1000: bytes([20]) * 48}

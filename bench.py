@@ -185,11 +185,18 @@ def main() -> None:
     ).select(embed_udf(dim=4)("t")).collect()
 
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # Optional subset (comma-separated query names): the per-family
+    # regression harness and the sf1 heavy-query artifact reuse this
+    # exact timing loop instead of forking their own.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    names = (
+        [n for n in only.split(",") if n] if only else BENCH_QUERIES
+    )
     timings: dict[str, float] = {}
     timings_min: dict[str, float] = {}
     errors: dict[str, str] = {}
     total = 0.0
-    for name in BENCH_QUERIES:
+    for name in names:
         fn = REGISTRY[name]
         try:
             # One untimed warm-up run per query (hyperfine's --warmup

@@ -48,15 +48,21 @@ def pagerank(
     The per-round contribution sum is made ORDER-INDEPENDENT by summing
     in fixed point: each contribution is floored to 1e-15 resolution
     (``floor(c * 1e15)`` — exact in a double and identical on both
-    engines) and accumulated as exact integers (DECIMAL(38,0) here,
-    HUGEINT in the oracle), so the result is the same under ANY
-    partition order or grouping — a plain double SUM is a
-    partition-order-dependent fold whose last-bit noise compounds over
-    five iterations. Unlike an ordered array fold (collect_list +
+    engines) and accumulated as exact integers, so the result is the
+    same under ANY partition order or grouping — a plain double SUM is
+    a partition-order-dependent fold whose last-bit noise compounds
+    over five iterations. Unlike an ordered array fold (collect_list +
     sort), this streams in constant memory per group: a hub node with
     10^7 in-neighbors costs a counter, not a buffered array, so there
-    is no degree cliff. The 1e-15 quantization sits ~9 digits below
-    the final 6-dp rounding.
+    is no degree cliff. The accumulator is a plain BIGINT, not
+    DECIMAL(38,0): rank is a probability distribution (every round
+    preserves total mass 1), so a node's incoming fixed-point sum is
+    bounded by 1e15 — 9000x inside the long range and inside 2^53, so
+    the final double conversion is exact too (the round-6 decimal
+    accumulator paid ~10% agg cost for headroom the invariant proves
+    unreachable; DuckDB's sum(BIGINT) widens to HUGEINT, same exact
+    integers). The 1e-15 quantization sits ~9 digits below the final
+    6-dp rounding.
 
     Per-round lineage cuts default to ``localCheckpoint`` (executor
     memory — local mode / short jobs); a reliable ``checkpoint_dir``
@@ -109,7 +115,6 @@ def pagerank(
             .select(
                 F.col("dst").alias("node"),
                 F.floor((F.col("rank") / F.col("deg")) * F.lit(1e15))
-                .cast("decimal(38,0)")
                 .alias("c_fx"),
             )
         )

@@ -157,6 +157,21 @@ def paginate(
     return df.withColumn("rn", rn).filter((F.col("rn") > lo) & (F.col("rn") <= hi)).drop("rn")
 
 
+def tokenized(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, __toks): the tokenized-corpus frame every BM25-family
+    operator consumes. Build it ONCE per multi-pass retrieval pipeline
+    and pass it to bm25 / bm25_sparse / prf_expand_terms via their
+    ``tokd=`` parameter — tokenization is the dominant map cost of
+    sparse retrieval, and Spark has no cross-branch CSE, so each
+    operator referencing its own copy re-tokenizes the corpus per pass.
+    The caller owns the materialization policy: localCheckpoint for
+    bounded corpora (the query-layer choice at bench scale),
+    persist(DISK_ONLY) or plain recompute-per-pass at 100 TB."""
+    return df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+
+
 def bm25(
     df: DataFrame,
     terms: list[str],
@@ -165,6 +180,7 @@ def bm25(
     id_col: str = "doc_id",
     text_col: str = "text",
     score_col: str = "score",
+    tokd: DataFrame | None = None,
 ) -> DataFrame:
     """Okapi BM25 over the multilingual tokenizer, query-terms-only.
 
@@ -190,8 +206,11 @@ def bm25(
     # the regex split is referenced 1 + len(terms) times downstream, and
     # CollapseProject keeps non-cheap multiply-referenced projections
     # separate — inlining it would re-tokenize per referencing expression
-    # (the ivfpq normalize-fold blowup, ~len(terms)x the scan cost).
-    tokd = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    # (the ivfpq normalize-fold blowup, ~len(terms)x the scan cost). A
+    # caller-supplied (cached) token frame removes even the per-PASS
+    # re-tokenization (stats pass + scoring pass both read it).
+    if tokd is None:
+        tokd = tokenized(df, id_col, text_col)
     tf_cols = [
         F.size(F.filter(F.col("__toks"), _eq(t))).alias(f"__tf_{i}")
         for i, t in enumerate(terms)
@@ -436,6 +455,7 @@ def bm25_sparse(
     id_col: str = "doc_id",
     text_col: str = "text",
     score_col: str = "score",
+    tokd: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 in long/sparse form: the term set is DATA (a one-column
     DataFrame), not pivoted columns — the shape for data-dependent or
@@ -449,8 +469,11 @@ def bm25_sparse(
     broadcast row. The per-doc sum folds contributions in TERM ORDER
     (array_sort + sequential aggregate) so the float sum is
     engine-identical — a plain SUM() would accumulate in partition order.
+    A caller-supplied ``tokd`` (see :func:`tokenized`) is read by both
+    the stats pass and the tf/df pass without re-tokenizing.
     """
-    tokd = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    if tokd is None:
+        tokd = tokenized(df, id_col, text_col)
     perdoc = tokd.select(
         F.col(id_col), F.size("__toks").cast("double").alias("__dl")
     )
@@ -515,18 +538,22 @@ def prf_expand_terms(
     min_len: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokd: DataFrame | None = None,
 ) -> DataFrame:
     """Pseudo-relevance feedback term selection (the RM-style expansion
     step): the most frequent non-stopword, non-seed terms of the seed
     result docs, deterministically cut by (count desc, term asc). The
     seed-hit id set is bounded (post-top-k), so it broadcasts into a
-    semi-join and the expansion agg touches only those docs' tokens."""
+    semi-join and the expansion agg touches only those docs' tokens
+    (from the shared ``tokd`` frame when supplied)."""
     from gistdex_spark.functions.text import stopword_array
 
-    hits_docs = df.join(
+    if tokd is None:
+        tokd = tokenized(df, id_col, text_col)
+    hits_docs = tokd.join(
         F.broadcast(seed_hits.select(id_col)), id_col, "left_semi"
     )
-    toks = hits_docs.select(F.explode(tokens(text_col)).alias("term"))
+    toks = hits_docs.select(F.explode("__toks").alias("term"))
     return (
         toks.filter(F.length("term") >= min_len)
         .filter(~F.array_contains(stopword_array(), F.col("term")))

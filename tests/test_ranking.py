@@ -215,6 +215,98 @@ def test_exact_substring_removal_merges_overlaps_mid_doc(spark):
     assert got["k2"].startswith("pad2") and f2 in got["k2"]
 
 
+def _removal_dup_keepers(docs: dict, span_len: int, min_docs: int) -> dict:
+    from collections import defaultdict
+
+    occ = defaultdict(set)
+    for d, t in docs.items():
+        for i in range(len(t) - span_len + 1):
+            occ[t[i:i + span_len]].add(d)
+    return {s: min(ds) for s, ds in occ.items() if len(ds) >= min_docs}
+
+
+def _removal_mask_reference(docs: dict, span_len: int, min_docs: int) -> dict:
+    """Ground truth by definition: mark every character covered by a
+    duplicated-span occurrence in a non-keeper doc, keep the rest."""
+    dup = _removal_dup_keepers(docs, span_len, min_docs)
+    out = {}
+    for d, t in docs.items():
+        mask = [False] * len(t)
+        for i in range(len(t) - span_len + 1):
+            s = t[i:i + span_len]
+            if s in dup and dup[s] != d:
+                for j in range(i, i + span_len):
+                    mask[j] = True
+        out[d] = "".join(ch for ch, m in zip(t, mask) if not m)
+    return out
+
+
+def _removal_fold(docs: dict, span_len: int, min_docs: int) -> dict:
+    """Pure-python transcription of the EXACT cursor fold
+    exact_substring_removal encodes in Catalyst (sorted cut offsets,
+    cursor = running max of interval ends)."""
+    dup = _removal_dup_keepers(docs, span_len, min_docs)
+    out = {}
+    for d, t in docs.items():
+        cuts = sorted(
+            i
+            for i in range(len(t) - span_len + 1)
+            if t[i:i + span_len] in dup and dup[t[i:i + span_len]] != d
+        )
+        cur, acc = 0, ""
+        for p in cuts:
+            if p > cur:
+                acc += t[cur:p]
+            cur = max(cur, p + span_len)
+        out[d] = acc + t[cur:]
+    return out
+
+
+def test_removal_fold_matches_mask_reference_property():
+    """The cursor fold (what the engines run) equals the by-definition
+    character mask over a large random space — tiny alphabets force
+    heavy span collisions, overlaps, and multi-keeper interactions."""
+    import random
+
+    rng = random.Random(7)
+    for trial in range(5000):
+        n = rng.randint(1, 6)
+        span_len = rng.randint(2, 6)
+        min_docs = rng.randint(2, 3)
+        alpha = "ab" if rng.random() < 0.5 else "abc"
+        docs = {
+            f"d{i}": "".join(
+                rng.choice(alpha) for _ in range(rng.randint(0, 30))
+            )
+            for i in range(n)
+        }
+        got = _removal_fold(docs, span_len, min_docs)
+        want = _removal_mask_reference(docs, span_len, min_docs)
+        assert got == want, (docs, span_len, min_docs, got, want)
+
+
+def test_exact_substring_removal_matches_reference_on_random_corpus(spark):
+    """The Spark encoding of the fold on one adversarial random corpus
+    (binary alphabet -> dense span collisions) vs the mask reference."""
+    import random
+
+    from gistdex_spark.operators.dedup import exact_substring_removal
+
+    rng = random.Random(11)
+    docs = {
+        f"d{i}": "".join(rng.choice("ab") for _ in range(rng.randint(0, 40)))
+        for i in range(8)
+    }
+    df = spark.createDataFrame(
+        list(docs.items()), schema="doc_id STRING, text STRING"
+    )
+    got = {
+        r["doc_id"]: r["clean_text"]
+        for r in exact_substring_removal(df, span_len=4, min_docs=2).collect()
+    }
+    assert got == _removal_mask_reference(docs, 4, 2)
+
+
 def test_bm25_stats_reduce_to_broadcast_row(spark):
     df = spark.createDataFrame(
         [(1, "table join"), (2, "merge")], schema="doc_id BIGINT, text STRING"

@@ -156,6 +156,7 @@ BENCH_QUERIES = [
     "lsh_s_curve_audit",
     "unimax_mixture",
     "tokenizer_fertility_audit",
+    "fertility_char_budget",
     "corpus_version_diff",
     "source_quality_drift",
 ]

@@ -717,6 +717,7 @@ def unimax_allocation(
     epochs_cap: int = 1,
     lang_col: str = "lang",
     text_col: str = "text",
+    char_budget: bool = False,
 ) -> DataFrame:
     """UniMax language-sampling allocation (Chung et al. 2023, "UniMax:
     Fairer and More Effective Language Sampling for Large-Scale
@@ -756,12 +757,24 @@ def unimax_allocation(
     from gistdex_spark.functions.text import tokens
 
     num, den = budget_frac
+    # char_budget=True threads per-language char mass through the same
+    # single-scan agg (no extra pass) so the allocation can be converted
+    # token->char at the end — see the final select.
+    extra_proj = [F.length(text_col).alias("__chl")] if char_budget else []
+    extra_agg = (
+        [F.sum("__chl").cast("bigint").alias("chars_total")]
+        if char_budget
+        else []
+    )
     per_lang = (
-        docs.select(lang_col, F.size(tokens(text_col)).alias("__nt"))
+        docs.select(
+            lang_col, F.size(tokens(text_col)).alias("__nt"), *extra_proj
+        )
         .groupBy(lang_col)
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
             F.sum("__nt").cast("bigint").alias("tokens"),
+            *extra_agg,
         )
         .withColumn(
             "cap_tokens", (F.col("tokens") * epochs_cap).cast("bigint")
@@ -808,15 +821,27 @@ def unimax_allocation(
             " AS DOUBLE) / 1000000.0"
         )
     )
-    return (
+    out = (
         with_b.withColumn("alloc_tokens", alloc.cast("bigint"))
         .withColumn("epochs", epochs)
-        .select(
-            lang_col,
-            "n_docs",
-            "tokens",
-            "cap_tokens",
-            "alloc_tokens",
-            "epochs",
-        )
     )
+    cols = [lang_col, "n_docs", "tokens", "cap_tokens", "alloc_tokens",
+            "epochs"]
+    if char_budget:
+        # Token budget -> char budget via the language's own fertility
+        # (chars_total / tokens), in exact integer math: the scaled
+        # multiply rides DECIMAL(38,0) (alloc <= ~1e15 x chars <= ~1e17
+        # stays under 38 digits; HUGEINT in the oracle), floor DIV. The
+        # char number is what shard planning and storage sizing consume —
+        # token budgets don't translate across languages with different
+        # fertility (the tokenizer_fertility_audit signal, applied).
+        out = out.withColumn(
+            "char_budget",
+            F.expr(
+                "CAST(CASE WHEN tokens <= 0 THEN 0 ELSE "
+                "CAST(alloc_tokens AS DECIMAL(38,0)) * chars_total"
+                " DIV tokens END AS BIGINT)"
+            ),
+        )
+        cols = cols[:2] + ["chars_total"] + cols[2:] + ["char_budget"]
+    return out.select(*cols)

@@ -317,6 +317,33 @@ def test_unimax_matches_sequential_reference(spark):
     assert len({got[lg][1] for lg in ("cc", "dd", "ee")}) == 1  # equal share
 
 
+def test_unimax_char_budget_converts_by_own_fertility(spark):
+    from gistdex_spark.operators.pipeline import unimax_allocation
+
+    # xx: 3 tokens / 5 chars per doc; yy: 2 tokens / 9 chars per doc —
+    # different fertility, so equal token allocations would give
+    # different char budgets (exact floor: alloc * chars DIV tokens)
+    docs = spark.createDataFrame(
+        [(1, "a b c", "xx"), (2, "dddd eeee", "yy")],
+        ["doc_id", "text", "lang"],
+    )
+    got = {
+        r["lang"]: r
+        for r in unimax_allocation(
+            docs, budget_frac=(1, 2), epochs_cap=1, char_budget=True
+        ).collect()
+    }
+    for lang in ("xx", "yy"):
+        r = got[lang]
+        assert r["char_budget"] == (
+            r["alloc_tokens"] * r["chars_total"] // r["tokens"]
+        )
+    # without the flag, the column set is unchanged (back-compat)
+    plain = unimax_allocation(docs, budget_frac=(1, 2), epochs_cap=1)
+    assert "char_budget" not in plain.columns
+    assert "chars_total" not in plain.columns
+
+
 def test_unimax_budget_exceeds_caps_gives_full_epochs(spark):
     from gistdex_spark.operators.pipeline import unimax_allocation
 

@@ -698,6 +698,14 @@ def test_fertility_audit_one_scan_one_agg_exchange(q):
     assert plan.count("HashAggregate") >= 2, "partial agg must be map-side"
 
 
+def test_fertility_char_budget_single_scan(q):
+    """The char-budget variant must thread char mass through UniMax's
+    ONE per-language agg — not add a second corpus scan."""
+    df = q("fertility_char_budget")
+    assert len(scans(df)) == 1
+    assert num_shuffles(df) == 1  # the groupBy(lang) exchange
+
+
 def test_unimax_single_corpus_shuffle(q):
     # one map-side-combined lang agg over the corpus; everything after
     # runs on the |languages|-bounded frame (its window/scalar exchanges

@@ -117,15 +117,7 @@ def bmp_encode_gray(arr: np.ndarray) -> bytes:
     (h, w) array — test fixture generator so the real decode path has
     real image bytes to chew on without any imaging library."""
     h, w = arr.shape
-    stride = ((w * 3 + 3) // 4) * 4
-    data = bytearray()
-    for y in range(h - 1, -1, -1):  # BMP rows are bottom-up
-        row = bytearray()
-        for x in range(w):
-            v = int(arr[y, x])
-            row += bytes((v, v, v))  # B, G, R
-        row += b"\x00" * (stride - len(row))
-        data += row
+    data = _bgr_rows_bottom_up(arr)  # shared BMP/DIB-AVI pixel layout
     off = 14 + 40
     size = off + len(data)
     header = (

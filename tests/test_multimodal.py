@@ -336,3 +336,46 @@ def test_sample_frames_uses_real_parser_for_avi(spark):
         for r in sample_frames(media, interval_ms=1000).collect()
     }
     assert got == {0: bytes([10]) * 48, 1000: bytes([20]) * 48}
+
+
+def test_avi_first_frame_decode_equals_bmp_decode_property():
+    """avi_decode(first frame) == bmp_decode(same frame as BMP) over
+    random dims (incl. widths with stride padding) and frame counts —
+    the two containers share the BGR24 bottom-up pixel layout and the
+    luma pooling, so the decoders must agree exactly."""
+    import random
+
+    import numpy as np
+
+    from gistdex_spark.operators.multimodal import (
+        avi_decode,
+        avi_encode_gray,
+        avi_frame_at,
+        avi_info,
+        bmp_decode,
+        bmp_encode_gray,
+    )
+
+    rng = random.Random(13)
+    for trial in range(25):
+        h = rng.randint(1, 9)
+        w = rng.randint(1, 9)  # odd widths exercise stride padding
+        nf = rng.randint(1, 5)
+        frames = [
+            np.array(
+                [[rng.randint(0, 255) for _ in range(w)] for _ in range(h)],
+                dtype=np.uint8,
+            )
+            for _ in range(nf)
+        ]
+        p = avi_encode_gray(frames, fps=rng.choice([1, 2, 5]))
+        info = avi_info(p)
+        assert (info["width"], info["height"]) == (w, h)
+        assert len(info["frames"]) == nf
+        got = avi_decode(p, dim=4)
+        want = bmp_decode(bmp_encode_gray(frames[0]), dim=4)
+        assert (got == want).all(), (trial, w, h, got, want)
+        # frame bytes at t=0 equal the BMP's pixel section
+        bmp = bmp_encode_gray(frames[0])
+        off = int.from_bytes(bmp[10:14], "little")
+        assert avi_frame_at(p, 0) == bmp[off:]

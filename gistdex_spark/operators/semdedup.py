@@ -35,6 +35,26 @@ from pyspark.sql import functions as F
 ROUND = 6
 
 
+def suggest_n_clusters(
+    n_vectors: int, target_cluster_size: int = 300, min_clusters: int = 8
+) -> int:
+    """k ∝ n made operational: the cluster count that keeps per-cluster
+    pair work bounded as the corpus grows. SemDeDup's cost is dominated
+    by the within-cluster pair expansion (~n * cluster_size comparisons
+    total), so FIXING k while n grows makes the operator super-linear —
+    measured on the 10x sf1 corpus (~55k vectors, ROUND7_NOTES): k=16
+    took 13.6s, k=64 5.5s, k=160 5.4s — k ∝ n restores the scaling and
+    flattens at the irreducible scan+assignment cost. The paper's own
+    ratio (50k clusters over ~5B LAION rows) implies ~100k rows per
+    cluster with much cheaper pair math; ~300 works for the expression-
+    fold cosine used here. Training cost rises with k, but assignment
+    stays the same zero-shuffle broadcast argmax.
+    """
+    if n_vectors <= 0:
+        return min_clusters
+    return max(min_clusters, n_vectors // target_cluster_size)
+
+
 def semdedup(
     emb: DataFrame,
     centroids: DataFrame,

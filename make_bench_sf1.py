@@ -46,6 +46,9 @@ HEAVY = [
     "rag_retrieval_pipeline",
     "prf_expanded_search",
     "neardup_pagerank",
+    # round-7 additions with corpus-proportional work
+    "dedup_exact_substring_removal",
+    "source_quality_drift",
 ]
 
 

@@ -93,3 +93,14 @@ def test_no_cross_cluster_pruning(spark):
     # and the survivor is the lower id (equal cos_centroid, id tiebreak).
     assert out[11]["cluster"] == 1 and out[12]["cluster"] == 1
     assert not out[11]["pruned"] and out[12]["pruned"]
+
+
+def test_suggest_n_clusters_scales_with_corpus():
+    from gistdex_spark.operators.semdedup import suggest_n_clusters
+
+    assert suggest_n_clusters(0) == 8
+    assert suggest_n_clusters(1000) == 8          # floor for tiny corpora
+    assert suggest_n_clusters(55_000) == 183      # the sf1 regime
+    assert suggest_n_clusters(5_500_000) == 18_333
+    # ratio is stable: 10x the vectors -> ~10x the clusters
+    assert 9 <= suggest_n_clusters(5_500_000) / suggest_n_clusters(550_000) <= 11

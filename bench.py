@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     # Round-4 widening: cluster-scoped semantic dedup, Z-order cell
     # census, funnel + transition analytics, adapted TPC-H q16.
     "semdedup_prune",
+    "semdedup_adaptive_prune",
     "event_transitions",
     "funnel_conversion",
     "q16_supplier_part_census",

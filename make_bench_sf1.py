@@ -42,6 +42,7 @@ HEAVY = [
     "dedup_survivors_best_quality",
     "corpus_curation_pipeline",
     "semdedup_prune",
+    "semdedup_adaptive_prune",
     "ann_ivfpq_search",
     "rag_retrieval_pipeline",
     "prf_expanded_search",

@@ -30,6 +30,11 @@ SAMPLE = [
     "cumulative_active_users",   # running sum
     "user_value_range_frame",    # RANGE frame over doubles
     "fuzzy_name_pairs",          # symspell candidates vs naive oracle
+    # round-7 additions whose shapes could drift with data size
+    "dedup_exact_substring_removal",  # cursor fold over bigger cut lists
+    "semdedup_adaptive_prune",        # count-derived C diverges at sf0.1
+    "source_quality_drift",           # integer micro-unit means per source
+    "fertility_char_budget",          # DECIMAL/HUGEINT scaled DIV
 ]
 
 

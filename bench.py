@@ -194,6 +194,13 @@ def main() -> None:
     names = (
         [n for n in only.split(",") if n] if only else BENCH_QUERIES
     )
+    unknown = [n for n in names if n not in REGISTRY]
+    if unknown:
+        raise SystemExit(
+            f"SPARK_GRAFT_BENCH_ONLY names not in registry: {unknown}; "
+            f"closest matches: "
+            f"{sorted(k for k in REGISTRY if any(u[:6] in k for u in unknown))[:8]}"
+        )
     timings: dict[str, float] = {}
     timings_min: dict[str, float] = {}
     errors: dict[str, str] = {}

@@ -358,6 +358,14 @@ def avi_frame_at(payload: bytes, ts_ms: int) -> bytes:
     usec = info["usec_per_frame"] or 1_000_000
     idx = min(int(ts_ms) * 1000 // usec, len(info["frames"]) - 1)
     off, size = info["frames"][max(idx, 0)]
+    if off + size > len(payload):
+        # A corrupt movi chunk whose declared size overruns the buffer
+        # must raise (not silently truncate) so robust_frame's except
+        # path falls back to fake_frame per its best-effort contract.
+        raise ValueError(
+            f"AVI frame chunk overruns payload: off={off} size={size} "
+            f"len={len(payload)}"
+        )
     return payload[off:off + size]
 
 

@@ -313,6 +313,27 @@ def test_avi_rejects_non_avi_and_robust_frame_falls_back():
     assert robust_frame(b"plain text", 500) == fake_frame(b"plain text", 500)
 
 
+def test_avi_truncated_frame_chunk_raises_and_robust_falls_back():
+    """A movi chunk whose declared size overruns the payload must raise
+    from avi_frame_at (not silently truncate), so robust_frame's except
+    path delivers the fake-frame fallback (r7 ADVICE)."""
+    import numpy as np
+
+    from gistdex_spark.operators.multimodal import (
+        avi_encode_gray,
+        avi_frame_at,
+        fake_frame,
+        robust_frame,
+    )
+
+    p = avi_encode_gray([np.full((4, 4), 60, np.uint8)], fps=1)
+    # Cut the payload mid-frame-chunk: the index still points past the end.
+    cut = p[:-20]
+    with pytest.raises(ValueError, match="overruns"):
+        avi_frame_at(cut, 0)
+    assert robust_frame(cut, 0) == fake_frame(cut, 0)
+
+
 def test_sample_frames_uses_real_parser_for_avi(spark):
     """Default grabber (robust_frame) must return the ACTUAL frame bytes
     for AVI payloads — not the sha256 fake."""

@@ -830,28 +830,35 @@ def exact_substring_removal(
     Output: (id, orig_len, clean_len, clean_text) for EVERY input doc —
     untouched docs pass through with clean_text = text.
 
-    Scale shape: the window explode is narrow; duplicated-span discovery
-    is ONE map-side-combined hash agg keyed by the span text; the flag-back
-    is an equality join on the span key carrying only (id, pos) — the
-    corpus TEXT never enters that shuffle. Per-doc cut lists are bounded
-    by doc length (the chunking bound) and the excision itself is a pure
-    Catalyst fold over the sorted cut offsets (cursor = running max of
-    covered-interval ends). At 100 TB, key the span agg by xxhash64(span)
-    to shrink the shuffle; kept as text here so the DuckDB oracle compares
-    identical values.
+    Scale shape: the window explode is narrow; the span text is hashed to
+    a 64-bit key IN THE MAP (``xxhash64``), so duplicated-span discovery
+    is ONE map-side-combined hash agg keyed by 8 bytes and the flag-back
+    is an equality join carrying only (id, pos, key) — the 32-char span
+    TEXT never enters either shuffle (at span_len=32 that is ~5x less
+    shuffle bytes per window). Per-doc cut lists are bounded by doc length
+    (the chunking bound) and the excision itself is a pure Catalyst fold
+    over the sorted cut offsets (cursor = running max of covered-interval
+    ends). Hash-collision exposure: a collision would mark a unique span
+    duplicated (or merge two spans' keeper election); with 64-bit keys the
+    expected count is n^2/2^65 — ~0.03 at a trillion windows — and the
+    failure mode is an extra excision, the conservative direction for
+    training-data dedup. The DuckDB oracle keeps grouping by span text;
+    parity at test SFs holds because collisions there are ~1e-9.
     """
-    spans = _char_windows(df, span_len, id_col, content_col)
+    spans = _char_windows(df, span_len, id_col, content_col).select(
+        id_col, "pos", F.xxhash64("span").alias("__sk")
+    )
     dup = (
-        spans.groupBy("span")
+        spans.groupBy("__sk")
         .agg(
             F.count_distinct(F.col(id_col)).alias("__nd"),
             F.min(F.col(id_col)).alias("__keeper"),
         )
         .filter(F.col("__nd") >= min_docs)
-        .select("span", "__keeper")
+        .select("__sk", "__keeper")
     )
     cuts = (
-        spans.join(dup, "span")
+        spans.join(dup, "__sk")
         .filter(F.col(id_col) != F.col("__keeper"))
         .select(id_col, "pos")
     )
@@ -906,24 +913,27 @@ def exact_substring_spans(
     documents, which suffix-array dedup targets at training scale.
 
     Scale shape: the window explode is narrow (fan-out = doc length, no
-    shuffle); duplicated-span discovery is ONE map-side-combined hash
-    aggregate keyed by the span text, and the flag-back is an equality
-    shuffle join on the span key (never broadcast: the duplicated-span
-    set grows with corpus size) followed by a per-doc hash agg. At 100 TB
-    you would key the aggregate by a 64-bit hash of the span rather than
-    the text to shrink the shuffle — kept as text here so the DuckDB
-    oracle compares the identical values.
+    shuffle); the span text is hashed to a 64-bit ``xxhash64`` key in the
+    map, so duplicated-span discovery is ONE map-side-combined hash
+    aggregate keyed by 8 bytes, and the flag-back is an equality shuffle
+    join on that key (never broadcast: the duplicated-span set grows with
+    corpus size) followed by a per-doc hash agg — the span TEXT never
+    enters a shuffle. Collision exposure is n^2/2^65 (see
+    :func:`exact_substring_removal`); the DuckDB oracle groups by span
+    text and stays value-identical at test SFs.
     """
-    spans = _char_windows(df, span_len, id_col, content_col).drop("pos")
+    spans = _char_windows(df, span_len, id_col, content_col).select(
+        id_col, F.xxhash64("span").alias("__sk")
+    )
     dup = (
-        spans.groupBy("span")
+        spans.groupBy("__sk")
         .agg(F.count_distinct(F.col(id_col)).alias("span_docs"))
         .filter(F.col("span_docs") >= min_docs)
-        .select("span")
+        .select("__sk")
         .withColumn("__dup", F.lit(1))
     )
     return (
-        spans.join(dup, "span", "left")
+        spans.join(dup, "__sk", "left")
         .groupBy(id_col)
         .agg(
             F.count("*").alias("n_spans"),

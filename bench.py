@@ -160,6 +160,9 @@ BENCH_QUERIES = [
     "fertility_char_budget",
     "corpus_version_diff",
     "source_quality_drift",
+    # Round-9 widening: variable-length (maximal-span) substring dedup.
+    "dedup_variable_substring_spans",
+    "dedup_variable_substring_removal",
 ]
 
 

@@ -948,3 +948,196 @@ def exact_substring_spans(
         )
         .filter(F.col("n_dup_spans") > 0)
     )
+
+
+def variable_substring_spans(
+    df: DataFrame,
+    gram_len: int = 16,
+    min_len: int = 64,
+    max_occ: int = 50,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+) -> DataFrame:
+    """MAXIMAL repeated spans of variable length — the true Lee et al.
+    2022 §4.2 (ExactSubstr) span semantics that the fixed-width census
+    only approximates: for every pair of documents, every maximal common
+    substring of length >= ``min_len``, reported as ONE row with its true
+    extent instead of a stack of overlapping fixed windows.
+
+    Mechanism — seed-and-extend by diagonal chaining (the classic k-mer
+    seed composition from sequence alignment, e.g. BLAST's ungapped
+    extension, re-expressed relationally):
+
+    1. every ``gram_len``-char window becomes a seed keyed by
+       ``xxhash64(gram)`` (text never enters a shuffle, same contract as
+       :func:`exact_substring_removal`);
+    2. seeds whose key occurs in >= 2 distinct docs and <= ``max_occ``
+       times total survive (the occurrence cap bounds the pair join at
+       max_occ^2 rows per key; ultra-common boilerplate grams it drops
+       are exactly the fixed-width census's territory, and the cap is
+       applied IDENTICALLY in the DuckDB oracle so parity holds);
+    3. same-key seed pairs across doc pairs (d1 < d2) land on a DIAGONAL
+       (p1 - p2); consecutive seed positions on one diagonal chain into
+       runs (gaps-and-islands: p1 - row_number() is constant within a
+       run);
+    4. a run spanning positions [p_min, p_max] IS a maximal common
+       substring of length p_max - p_min + gram_len: extendable left or
+       right would mean one more matching seed on the same diagonal,
+       contradiction — so maximality is structural, not searched for.
+
+    Why not the per-partition suffix-automaton alternative: an automaton
+    over concatenated docs inside one partition only sees repeats that
+    co-reside in that partition, so it silently under-reports on any
+    corpus that does not fit one partition — this composition is global,
+    every step an equality-keyed shuffle. The window in step 3 partitions
+    by (d1, d2, diagonal): millions of tiny groups, each bounded by doc
+    length, never a single-partition funnel.
+
+    Limits (documented, both engines identical): within-doc repeats are
+    out of scope (pairs require d1 < d2); a maximal span whose interior
+    crosses a cap-dropped gram fragments at that gram. xxhash64 seed
+    collisions create 1-seed runs of length gram_len, filtered by
+    min_len unless ~(min_len - gram_len) consecutive collisions line up
+    (astronomically unlikely).
+
+    Output: (d1, d2, pos1, pos2, span_len) — 0-based offsets of the span
+    in each doc, all BIGINT.
+    """
+    from pyspark.sql import Window
+
+    grams = _char_windows(df, gram_len, id_col, content_col).select(
+        F.col(id_col).alias("__d"),
+        F.col("pos").cast("long").alias("__p"),
+        F.xxhash64("span").alias("__gk"),
+    )
+    keep = (
+        grams.groupBy("__gk")
+        .agg(
+            F.count("*").alias("__n"),
+            F.count_distinct("__d").alias("__nd"),
+        )
+        .filter((F.col("__n") <= max_occ) & (F.col("__nd") >= 2))
+        .select("__gk")
+    )
+    g = grams.join(keep, "__gk")
+    a = g.select(
+        F.col("__gk"),
+        F.col("__d").alias("d1"),
+        F.col("__p").alias("p1"),
+    )
+    b = g.select(
+        F.col("__gk"),
+        F.col("__d").alias("d2"),
+        F.col("__p").alias("p2"),
+    )
+    pairs = (
+        a.join(b, "__gk")
+        .filter(F.col("d1") < F.col("d2"))
+        .select(
+            "d1",
+            "d2",
+            "p1",
+            (F.col("p1") - F.col("p2")).alias("diag"),
+        )
+    )
+    w = Window.partitionBy("d1", "d2", "diag").orderBy("p1")
+    runs = (
+        pairs.withColumn("__grp", F.col("p1") - F.row_number().over(w))
+        .groupBy("d1", "d2", "diag", "__grp")
+        .agg(
+            F.min("p1").alias("pos1"),
+            (F.max("p1") - F.min("p1") + gram_len).alias("span_len"),
+        )
+        .filter(F.col("span_len") >= min_len)
+    )
+    return runs.select(
+        "d1",
+        "d2",
+        F.col("pos1").cast("long").alias("pos1"),
+        (F.col("pos1") - F.col("diag")).cast("long").alias("pos2"),
+        F.col("span_len").cast("long").alias("span_len"),
+    )
+
+
+def variable_substring_removal(
+    df: DataFrame,
+    gram_len: int = 16,
+    min_len: int = 64,
+    max_occ: int = 50,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+) -> DataFrame:
+    """Variable-length exact-substring REMOVAL: excise every maximal
+    repeated span (>= ``min_len``, from :func:`variable_substring_spans`)
+    from the HIGHER-id document of each pair — the lower-id occurrence
+    survives, so the corpus retains at least one verbatim copy of every
+    maximal span as a UNIT. This is the property the fixed-width form
+    cannot guarantee: there the keeper is elected per 32-char window, so
+    a long duplicate whose fragment also occurs in some third low-id doc
+    gets its kept copy punched full of holes (see
+    tests/test_ranking.py::test_variable_removal_keeps_long_dup_intact).
+
+    The excision is the same pure-Catalyst cursor fold as
+    :func:`exact_substring_removal`, generalized from fixed-width cut
+    positions to (start, end) intervals: cut lists are per-doc bounded,
+    sorted structs fold left-to-right with cursor = running max of
+    covered ends. No Python, no window over the corpus, nothing
+    quadratic. Output: (id, orig_len, clean_len, clean_text) for every
+    input doc.
+    """
+    spans = variable_substring_spans(
+        df, gram_len, min_len, max_occ, id_col, content_col
+    )
+    cuts = spans.select(
+        F.col("d2").alias(id_col),
+        F.struct(
+            F.col("pos2").alias("s"),
+            (F.col("pos2") + F.col("span_len")).alias("e"),
+        ).alias("__iv"),
+    ).distinct()
+    ivals = cuts.groupBy(id_col).agg(
+        F.array_sort(F.collect_list("__iv")).alias("__ivs")
+    )
+    text = F.col(content_col)
+    fold = F.aggregate(
+        F.col("__ivs"),
+        F.struct(F.lit(0).cast("long").alias("cur"), F.lit("").alias("acc")),
+        lambda acc, iv: F.struct(
+            F.greatest(acc["cur"], iv["e"]).alias("cur"),
+            F.when(
+                iv["s"] > acc["cur"],
+                F.concat(
+                    acc["acc"],
+                    text.substr(
+                        (acc["cur"] + 1).cast("int"),
+                        (iv["s"] - acc["cur"]).cast("int"),
+                    ),
+                ),
+            )
+            .otherwise(acc["acc"])
+            .alias("acc"),
+        ),
+        lambda acc: F.concat(
+            acc["acc"],
+            text.substr(
+                (acc["cur"] + 1).cast("int"),
+                (F.length(text).cast("long") - acc["cur"]).cast("int"),
+            ),
+        ),
+    )
+    return (
+        df.join(ivals, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.length(text).alias("orig_len"),
+            F.when(F.col("__ivs").isNull(), text).otherwise(fold).alias(
+                "clean_text"
+            ),
+        )
+        .select(
+            id_col,
+            "orig_len",
+            F.length("clean_text").alias("clean_len"),
+            "clean_text",
+        )
+    )

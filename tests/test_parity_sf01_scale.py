@@ -35,6 +35,9 @@ SAMPLE = [
     "semdedup_adaptive_prune",        # count-derived C diverges at sf0.1
     "source_quality_drift",           # integer micro-unit means per source
     "fertility_char_budget",          # DECIMAL/HUGEINT scaled DIV
+    # round-9 additions
+    "dedup_variable_substring_spans",    # diagonal runs: 100x the pairs
+    "dedup_variable_substring_removal",  # interval fold over real cut lists
 ]
 
 

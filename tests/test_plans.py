@@ -608,6 +608,36 @@ def test_exact_substring_removal_stays_equality_keyed(q):
     )
 
 
+def test_variable_substring_spans_stays_equality_keyed(q):
+    """The diagonal-run (seed-and-extend) maximal-span search must stay
+    relational: seeds keyed by xxhash64 (gram text never a shuffle key),
+    the pair join an equality join on the seed key, the islands window
+    partitioned by (d1, d2, diag) — never unpartitioned — and nothing
+    cartesian/broadcast-nested-loop."""
+    plan = executed_plan(q("dedup_variable_substring_spans"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "xxhash64" in plan, "seed keys must be hashed in the map"
+    assert "hashpartitioning(span" not in plan
+    assert "Window [" in plan
+    # the one window is partitioned by the (pair, diagonal) key
+    import re as _re
+
+    wins = _re.findall(r"Window \[[^\n]*", plan)
+    assert wins and all("windowspecdefinition(d1" in w for w in wins)
+
+
+def test_variable_substring_removal_fold_is_catalyst(q):
+    """The interval excision must stay a pure Catalyst fold: no Python
+    eval anywhere in the plan, no cartesian join, no unpartitioned sort
+    of the corpus."""
+    plan = executed_plan(q("dedup_variable_substring_removal"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "aggregate(" in plan, "the cursor fold disappeared"
+
+
 def test_source_quality_drift_single_scan_narrow_join(q):
     """The r8 rework's contract (judge-verified -22% at sf1): quality +
     fingerprint are computed in ONE corpus scan materialized by

@@ -355,3 +355,97 @@ def test_prf_expansion_is_deterministic_top_terms(spark):
     ]
     # beta (3 hits) then delta/gamma tie broken alphabetically
     assert got == ["beta", "delta"]
+
+
+def test_variable_substring_spans_maximal_extent(spark):
+    """One shared 80-char region -> ONE row with its true extent, not a
+    stack of fixed windows (maximality is structural in the diagonal
+    runs: an extendable run would contain one more seed)."""
+    import random
+
+    from gistdex_spark.operators.dedup import variable_substring_spans
+
+    rng = random.Random(7)
+    shared = "".join(rng.choice("0123456789") for _ in range(80))
+    pre_a = "".join(rng.choice("abcdefghij") for _ in range(30))
+    suf_a = "".join(rng.choice("abcdefghij") for _ in range(25))
+    pre_b = "".join(rng.choice("KLMNOPQRST") for _ in range(45))
+    suf_b = "".join(rng.choice("KLMNOPQRST") for _ in range(10))
+    df = spark.createDataFrame(
+        [("a", pre_a + shared + suf_a), ("b", pre_b + shared + suf_b)],
+        schema="doc_id STRING, text STRING",
+    )
+    rows = variable_substring_spans(
+        df, gram_len=16, min_len=64, max_occ=50
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.d1, r.d2) == ("a", "b")
+    assert (r.pos1, r.pos2, r.span_len) == (30, 45, 80)
+
+
+def test_variable_substring_spans_below_min_len_ignored(spark):
+    from gistdex_spark.operators.dedup import variable_substring_spans
+
+    # shared region is 40 chars: seeds match, but the run folds to a
+    # 40-char span < min_len=64 -> zero rows
+    shared = "0123456789" * 4
+    df = spark.createDataFrame(
+        [("a", "x" * 20 + shared), ("b", shared + "Y" * 20)],
+        schema="doc_id STRING, text STRING",
+    )
+    assert (
+        variable_substring_spans(df, 16, 64, 50).count() == 0
+    )
+
+
+def test_variable_removal_keeps_long_dup_intact(spark):
+    """THE contrast with the fixed-width form (r8 verdict item 4): a long
+    duplicate S shared by docs b and c, plus a 40-char fragment of S that
+    also lives in low-id doc a. Fixed-width removal elects keepers per
+    32-char window, so the windows inside the fragment belong to doc a
+    and BOTH copies of S get holes punched — the corpus no longer holds S
+    verbatim anywhere. Variable-length removal treats the maximal span as
+    a unit: S is cut from c, kept whole in b, and the 40-char fragment
+    pair (< min_len=64) is ignored."""
+    import random
+
+    from gistdex_spark.operators.dedup import (
+        exact_substring_removal,
+        variable_substring_removal,
+    )
+
+    rng = random.Random(13)
+    S = "".join(rng.choice("0123456789") for _ in range(200))
+    frag = S[60:100]  # 40 chars: >= fixed span_len 32, < variable min 64
+    doc_a = "".join(rng.choice("abcdefghij") for _ in range(40)) + frag
+    doc_b = (
+        "".join(rng.choice("klmnopqrst") for _ in range(35))
+        + S
+        + "".join(rng.choice("klmnopqrst") for _ in range(20))
+    )
+    doc_c = (
+        "".join(rng.choice("KLMNOPQRST") for _ in range(25))
+        + S
+        + "".join(rng.choice("KLMNOPQRST") for _ in range(30))
+    )
+    df = spark.createDataFrame(
+        [("a", doc_a), ("b", doc_b), ("c", doc_c)],
+        schema="doc_id STRING, text STRING",
+    )
+    fixed = {
+        r.doc_id: r.clean_text
+        for r in exact_substring_removal(df, span_len=32, min_docs=2).collect()
+    }
+    # fixed form: no document retains S verbatim (the keep-one guarantee
+    # broke: per-window keeper election gave the fragment windows to a)
+    assert all(S not in t for t in fixed.values())
+    varr = {
+        r.doc_id: r.clean_text
+        for r in variable_substring_removal(
+            df, gram_len=16, min_len=64, max_occ=50
+        ).collect()
+    }
+    assert S in varr["b"], "min-id copy of the maximal span must survive"
+    assert S not in varr["c"], "higher-id copy must be excised"
+    assert varr["a"] == doc_a, "fragment pair below min_len is untouched"

@@ -160,9 +160,12 @@ BENCH_QUERIES = [
     "fertility_char_budget",
     "corpus_version_diff",
     "source_quality_drift",
-    # Round-9 widening: variable-length (maximal-span) substring dedup.
+    # Round-9 widening: variable-length (maximal-span) substring dedup +
+    # the semantic curation flagship (gate -> adaptive SemDeDup -> census).
     "dedup_variable_substring_spans",
     "dedup_variable_substring_removal",
+    "corpus_curation_semantic",
+    "band_skew_audit",
 ]
 
 

@@ -1141,3 +1141,109 @@ def variable_substring_removal(
             "clean_text",
         )
     )
+
+
+def band_population_stats(
+    banded: DataFrame,
+    key_cols: list[str],
+    family: str,
+    salt_trip: int = 256,
+) -> DataFrame:
+    """One-row health audit of an LSH band-key distribution — the skew
+    tripwire for every banded equality join in this module (the
+    IVF-cell twin is queries.ivf_balance_audit). The banded joins' cost
+    is sum over buckets of n*(n-1)/2 (the in-bucket pair expansion), so
+    ONE hot band key dominates wall-clock long before totals move:
+
+    - n_keys:    banded rows (docs x bands)
+    - n_buckets: distinct band keys
+    - max_bucket: hottest key's population
+    - pair_work: total candidate pairs the banded join would expand
+      (exact integer: n*(n-1) is always even)
+    - imbalance_factor: max_bucket / perfect share, floor-scaled 1e-6
+      (engine-identical)
+    - salt_recommended: max_bucket > ``salt_trip`` — the wire to the
+      skew treatments: round-robin `bucket_partitions` on
+      simhash_pairs/minhash_lsh_pairs (splits hot-bucket EXPANSION
+      across tasks) or temporal.salted_join for pairwise-join shapes
+      (tests/test_skew.py::test_band_skew_audit_trips_and_salting_fixes
+      wires both ends).
+
+    Shape: one map-side-combined hash agg on the band key, then a
+    scalar agg — the audit itself can never be the bottleneck.
+    """
+    sizes = banded.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n"))
+    return sizes.agg(
+        F.sum("n").cast("bigint").alias("n_keys"),
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.max("n").cast("bigint").alias("max_bucket"),
+        F.sum(F.expr("n * (n - 1) DIV 2")).cast("bigint").alias("pair_work"),
+    ).select(
+        F.lit(family).alias("family"),
+        "n_keys",
+        "n_buckets",
+        "max_bucket",
+        "pair_work",
+        (
+            F.floor(
+                F.col("max_bucket").cast("double")
+                * F.col("n_buckets")
+                / F.col("n_keys")
+                * F.lit(1e6)
+            )
+            / F.lit(1e6)
+        ).alias("imbalance_factor"),
+        (F.col("max_bucket") > F.lit(salt_trip)).alias("salt_recommended"),
+    )
+
+
+def minhash_banded_keys(
+    df: DataFrame,
+    content_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 5,
+) -> DataFrame:
+    """(doc_id, band_idx, band_key): the exact band keys
+    minhash_lsh_pairs buckets by, exposed for auditing."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, content_col, num_hashes, n)
+    keys = [
+        F.md5(
+            F.concat_ws(
+                "-",
+                *[
+                    F.col("sig")[b * rows_per_band + r].cast("string")
+                    for r in range(rows_per_band)
+                ],
+            )
+        )
+        for b in range(bands)
+    ]
+    return sig.select(
+        "doc_id", F.posexplode(F.array(*keys)).alias("band_idx", "band_key")
+    )
+
+
+def simhash_banded_keys(
+    df: DataFrame,
+    content_col: str = "text",
+    bits: int = 32,
+    bands: int = 4,
+) -> DataFrame:
+    """(doc_id, band_idx, band_val): the exact band segments
+    simhash_pairs buckets by, exposed for auditing."""
+    width = bits // bands
+    mask = (1 << width) - 1
+    sig = simhash(df, content_col, bits)
+    return sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", b * width).bitwiseAND(F.lit(mask))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )

@@ -38,6 +38,7 @@ SAMPLE = [
     # round-9 additions
     "dedup_variable_substring_spans",    # diagonal runs: 100x the pairs
     "dedup_variable_substring_removal",  # interval fold over real cut lists
+    "corpus_curation_semantic",          # gate-derived adaptive C diverges
 ]
 
 

@@ -12,6 +12,8 @@ parity test runs UN-GATED.
 
 from __future__ import annotations
 
+import importlib.util
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -142,3 +144,113 @@ def test_protoshim_does_not_shadow_other_google_packages(tmp_path):
     assert r.returncode == 0, r.stderr[-800:]
     out = r.stdout.split()
     assert out[-1] == "auth-ok"
+
+
+# --- shim <-> real-protobuf wire equivalence (r8 verdict item 8) ----------
+
+# Runs in a clean subprocess so the runtime under test is chosen by
+# sys.path alone: "shim" prepends the vendored portion (shadowing any
+# installed wheel), "real" uses site-packages as-is.
+_WIRE_CORPUS_SCRIPT = r'''
+import sys
+mode = sys.argv[1]
+if mode == "shim":
+    sys.path.insert(0, sys.argv[2])
+import google.protobuf as gp
+is_shim = "protoshim" in (getattr(gp, "__file__", "") or "")
+assert (mode == "shim") == is_shim, (mode, getattr(gp, "__file__", ""))
+import pyspark.sql.streaming.proto.StateMessage_pb2 as sm
+msgs = [
+    sm.StateRequest(version=2, statefulProcessorCall=sm.StatefulProcessorCall(
+        setHandleState=sm.SetHandleState(state=sm.CREATED))),
+    sm.StateRequest(version=1),
+    sm.StateResponse(statusCode=0),            # all defaults -> empty wire
+    sm.StateResponse(statusCode=3, errorMessage="bad", value=b"hi"),
+    sm.StateResponseWithLongTypeVal(statusCode=0, value=77),  # explicit 0
+    sm.StateResponseWithStringTypeVal(value="abc"),
+    sm.ListStatePut(value=[b"a", b"", b"bb"], fetchWithArrow=True),
+    sm.ListStatePut(),
+    sm.StateCallCommand(stateName="s1", schema="a INT"),
+    sm.RegisterTimer(expiryTimestampMs=123456789),
+    sm.ImplicitGroupingKeyRequest(setImplicitKey=sm.SetImplicitKey(key=b"gk")),
+    sm.SetHandleState(state=0),                # enum default -> empty wire
+]
+out = [m.SerializeToString().hex() for m in msgs]
+r = sm.StateResponse(); r.ParseFromString(bytes.fromhex("080112036261641a026869"))
+out.append(f"{r.statusCode}|{r.errorMessage}|{r.value.hex()}")
+p = sm.ListStatePut(); p.ParseFromString(msgs[6].SerializeToString())
+out.append(f"{[v.hex() for v in p.value]}|{p.fetchWithArrow}")
+print("\n".join(out))
+'''
+
+# Canonical proto3 encodings of the corpus (implicit presence: plain
+# scalars at their default are ABSENT from the wire; oneof members and
+# message fields keep explicit presence).
+_WIRE_GOLDEN = [
+    "080212040a020801",
+    "0801",
+    "",
+    "080312036261641a026869",
+    "184d",
+    "1a03616263",
+    "0a01610a000a0262621001",
+    "",
+    "0a02733112056120494e54",
+    "08959aef3a",
+    "0a040a02676b",
+    "",
+    "1|bad|6869",
+    "['61', '', '6262']|True",
+]
+
+
+def _run_wire_corpus(mode: str) -> list[str]:
+    import os
+    import subprocess
+    import sys
+
+    from gistdex_spark.vendor import _SHIM_DIR
+
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)  # parent session may have shimmed it
+    args = [sys.executable, "-c", _WIRE_CORPUS_SCRIPT, mode]
+    if mode == "shim":
+        args.append(_SHIM_DIR)
+    r = subprocess.run(args, capture_output=True, text=True, env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    # keep trailing empty lines (empty hex IS a result): split manually
+    return r.stdout.rstrip("\n").split("\n")
+
+
+def test_shim_wire_corpus_matches_golden():
+    """UN-gated: the shim must produce the canonical proto3 encodings
+    (incl. implicit presence — explicitly-set default scalars stay off
+    the wire, matching what the real runtime would emit)."""
+    assert _run_wire_corpus("shim") == _WIRE_GOLDEN
+
+
+def _real_protobuf_available() -> bool:
+    """True only for a GENUINE wheel: if ensure_protobuf already ran in
+    this process, find_spec would resolve the vendored portion — which
+    must not arm the gate (the 'real' subprocess would then fail to
+    import anything)."""
+    try:
+        spec = importlib.util.find_spec("google.protobuf")
+    except ModuleNotFoundError:
+        return False
+    return spec is not None and "protoshim" not in (spec.origin or "")
+
+
+@pytest.mark.skipif(
+    not _real_protobuf_available(),
+    reason="real protobuf wheel not installed",
+)
+def test_shim_wire_equivalence_with_real_protobuf():
+    """GATED on the real wheel: byte-identical StateMessage round-trips
+    under both runtimes, same corpus, same subprocess harness — the
+    equivalence the TWS control channel relies on when a cluster DOES
+    ship protobuf (r8 verdict item 8)."""
+    real = _run_wire_corpus("real")
+    shim = _run_wire_corpus("shim")
+    assert real == shim
+    assert real == _WIRE_GOLDEN

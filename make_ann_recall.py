@@ -1,13 +1,15 @@
-"""ANN recall curves: recall@10 + latency for IVF / PQ / IVF-PQ across
-their tuning knobs, against the exact kNN ground truth on the same
-embeddings table.
+"""ANN recall curves: recall@10 + latency for every ANN family — IVF /
+PQ / IVF-PQ across their tuning knobs, LSH sign-bucket multiprobe across
+the probe radius, binary-sign across the Hamming shortlist — against the
+exact kNN ground truth on the same embeddings table.
 
 The floor gates in make_parity.py prove "above floor"; this artifact is
-the CURVE a user choosing nprobe / codebook size actually needs. Run:
+the CURVE a user choosing nprobe / radius / shortlist actually needs.
+Run:
 
     python make_ann_recall.py [sf_dir] [out_json]
 
-Defaults: /root/testdata/sf0.1 -> ANN_RECALL_r06.json. Latencies are
+Defaults: /root/testdata/sf0.1 -> ANN_RECALL_r09.json. Latencies are
 median-of-queries single-run wall clock on local[32] (the same caveats
 as bench.py: believe relative shape, not absolute microseconds).
 """
@@ -59,7 +61,7 @@ def timed_ids(df, id_col="vec_id"):
 
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    out_path = sys.argv[2] if len(sys.argv) > 2 else "ANN_RECALL_r06.json"
+    out_path = sys.argv[2] if len(sys.argv) > 2 else "ANN_RECALL_r09.json"
     spark = get_spark("ann-recall", cpus="32")
     emb = spread(load_table(spark, sf_dir, "embeddings")).persist()
     n = emb.count()
@@ -127,6 +129,32 @@ def main():
                 runs,
             )
         index.unpersist()
+
+    # ---- LSH sign-bucket multiprobe: radius sweep ------------------------
+    # radius=0 is the single-bucket ann_lsh; each +1 probes every bucket
+    # within that Hamming distance of the query's bucket (C(nbits, <=r)
+    # buckets). The recall lever the registry's ann_lsh_multiprobe uses.
+    from gistdex_spark.operators import similarity as SIM
+
+    for radius in (0, 1, 2):
+        runs = [
+            timed_ids(
+                SIM.ann_lsh_multiprobe(emb, qv, k=K, nbits=8, radius=radius)
+            )
+            for qv in queries
+        ]
+        record("lsh_multiprobe", {"nbits": 8, "radius": radius}, runs)
+
+    # ---- binary-sign: Hamming shortlist sweep ----------------------------
+    # 1 bit/dim signatures; shortlist by bit_count(xor), exact rerank of
+    # the shortlist only. Fully deterministic, so its registry query has
+    # a value oracle; the curve shows what the shortlist size buys.
+    for shortlist in (25, 50, 100, 200):
+        runs = [
+            timed_ids(SIM.ann_binary_sign(emb, qv, k=K, shortlist=shortlist))
+            for qv in queries
+        ]
+        record("binary_sign", {"bits_per_dim": 1, "shortlist": shortlist}, runs)
 
     payload = {
         "sf_dir": sf_dir,

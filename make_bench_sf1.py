@@ -50,6 +50,12 @@ HEAVY = [
     # round-7 additions with corpus-proportional work
     "dedup_exact_substring_removal",
     "source_quality_drift",
+    # round-9 additions: the maximal-span family's pair join grows with
+    # duplicated mass, and the semantic flagship's adaptive C grows ∝ n
+    "dedup_variable_substring_spans",
+    "dedup_variable_substring_removal",
+    "corpus_curation_semantic",
+    "band_skew_audit",
 ]
 
 

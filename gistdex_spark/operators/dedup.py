@@ -1010,35 +1010,38 @@ def variable_substring_spans(
         F.col("pos").cast("long").alias("__p"),
         F.xxhash64("span").alias("__gk"),
     )
-    keep = (
+    # Pairs expand INSIDE the seed bucket (the minhash_lsh_pairs scheme):
+    # a keyed SELF-JOIN would reference the gram-explode subtree on both
+    # sides — Spark has no cross-join-side CSE, so every window would be
+    # exploded and hashed 4x (2 join sides x the cap-filter branch).
+    # One agg computes the explode ONCE; the occurrence cap bounds every
+    # bucket list at max_occ rows, so collect_list is safe by
+    # construction and the in-bucket expansion is <= max_occ^2 per key.
+    # m is sorted by (doc, pos), so i < j implies m[i].__d <= m[j].__d
+    # and the d1 != d2 filter yields exactly the d1 < d2 pairs.
+    buckets = (
         grams.groupBy("__gk")
-        .agg(
-            F.count("*").alias("__n"),
-            F.count_distinct("__d").alias("__nd"),
+        .agg(F.array_sort(F.collect_list(F.struct("__d", "__p"))).alias("m"))
+        .filter(
+            (F.size("m") >= 2)
+            & (F.size("m") <= max_occ)
+            & (
+                F.size(
+                    F.array_distinct(F.expr("transform(m, x -> x.__d)"))
+                )
+                >= 2
+            )
         )
-        .filter((F.col("__n") <= max_occ) & (F.col("__nd") >= 2))
-        .select("__gk")
     )
-    g = grams.join(keep, "__gk")
-    a = g.select(
-        F.col("__gk"),
-        F.col("__d").alias("d1"),
-        F.col("__p").alias("p1"),
+    pair_expr = (
+        "flatten(transform(sequence(0, size(m) - 2), i -> "
+        "filter(transform(sequence(i + 1, size(m) - 1), j -> "
+        "struct(m[i].__d AS d1, m[j].__d AS d2, "
+        "m[i].__p AS p1, m[i].__p - m[j].__p AS diag)), "
+        "p -> p.d1 != p.d2)))"
     )
-    b = g.select(
-        F.col("__gk"),
-        F.col("__d").alias("d2"),
-        F.col("__p").alias("p2"),
-    )
-    pairs = (
-        a.join(b, "__gk")
-        .filter(F.col("d1") < F.col("d2"))
-        .select(
-            "d1",
-            "d2",
-            "p1",
-            (F.col("p1") - F.col("p2")).alias("diag"),
-        )
+    pairs = buckets.select(F.explode(F.expr(pair_expr)).alias("p")).select(
+        "p.d1", "p.d2", "p.p1", "p.diag"
     )
     w = Window.partitionBy("d1", "d2", "diag").orderBy("p1")
     runs = (

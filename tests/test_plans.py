@@ -614,7 +614,8 @@ def test_variable_substring_spans_stays_equality_keyed(q):
     the pair join an equality join on the seed key, the islands window
     partitioned by (d1, d2, diag) — never unpartitioned — and nothing
     cartesian/broadcast-nested-loop."""
-    plan = executed_plan(q("dedup_variable_substring_spans"))
+    df = q("dedup_variable_substring_spans")
+    plan = executed_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "xxhash64" in plan, "seed keys must be hashed in the map"
@@ -625,6 +626,11 @@ def test_variable_substring_spans_stays_equality_keyed(q):
 
     wins = _re.findall(r"Window \[[^\n]*", plan)
     assert wins and all("windowspecdefinition(d1" in w for w in wins)
+    # pairs expand INSIDE the seed bucket (no self-join): the gram
+    # explode must run exactly once -> one documents scan, two shuffles
+    # (bucket agg + islands window)
+    assert len(scans(df)) == 1, "gram explode re-computed: self-join crept back"
+    assert num_shuffles(df) <= 2
 
 
 def test_variable_substring_removal_fold_is_catalyst(q):

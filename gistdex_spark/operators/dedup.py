@@ -952,7 +952,7 @@ def exact_substring_spans(
 
 def variable_substring_spans(
     df: DataFrame,
-    gram_len: int = 16,
+    gram_len: int = 32,
     min_len: int = 64,
     max_occ: int = 50,
     id_col: str = "doc_id",
@@ -999,6 +999,18 @@ def variable_substring_spans(
     collisions create 1-seed runs of length gram_len, filtered by
     min_len unless ~(min_len - gram_len) consecutive collisions line up
     (astronomically unlikely).
+
+    Seed length is the recall knob AND the cost knob, measured in round
+    9 on the synthetic corpora: 16-char seeds cover ~2 tokens of the
+    small vocabulary, so at 10x data nearly every seed blows the
+    occurrence cap — recall collapsed to ZERO spans on a corpus with
+    hundreds of real 64+ char duplicates — and at sf0.1 cap-dropped
+    interior seeds FRAGMENTED the true 245 maximal spans into 438
+    pieces. 32-char seeds reproduce the exact no-cap result at every SF
+    and run ~4x faster (rarer seeds -> smaller pair expansion). Pick
+    gram_len as large as min_len allows (gram_len <= min_len keeps
+    detection exact); shrink it only when hunting spans shorter than 2x
+    the token length.
 
     Output: (d1, d2, pos1, pos2, span_len) — 0-based offsets of the span
     in each doc, all BIGINT.
@@ -1064,7 +1076,7 @@ def variable_substring_spans(
 
 def variable_substring_removal(
     df: DataFrame,
-    gram_len: int = 16,
+    gram_len: int = 32,
     min_len: int = 64,
     max_occ: int = 50,
     id_col: str = "doc_id",

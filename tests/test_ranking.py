@@ -449,3 +449,85 @@ def test_variable_removal_keeps_long_dup_intact(spark):
     assert S in varr["b"], "min-id copy of the maximal span must survive"
     assert S not in varr["c"], "higher-id copy must be excised"
     assert varr["a"] == doc_a, "fragment pair below min_len is untouched"
+
+
+def _varspan_reference(
+    docs: dict, gram_len: int, min_len: int, max_occ: int
+) -> set:
+    """Brute-force ground truth BY DEFINITION for the diagonal-run
+    composition: enumerate every (d1 < d2, p1, p2) whose gram-chain is
+    maximal, from the raw strings — no hashing, no islands trick. A
+    position participates only through grams that survive the
+    occurrence cap, mirroring the operator's documented cap
+    semantics."""
+    from collections import defaultdict
+
+    occ = defaultdict(list)
+    for d, t in docs.items():
+        for i in range(len(t) - gram_len + 1):
+            occ[t[i:i + gram_len]].append((d, i))
+    kept = {
+        g
+        for g, os in occ.items()
+        if len(os) <= max_occ and len({d for d, _ in os}) >= 2
+    }
+
+    def g_at(t, i):
+        s = t[i:i + gram_len]
+        return s if len(s) == gram_len and s in kept else None
+
+    out = set()
+    ds = sorted(docs)
+    for a in range(len(ds)):
+        for b in range(a + 1, len(ds)):
+            d1, d2 = ds[a], ds[b]
+            t1, t2 = docs[d1], docs[d2]
+            matched = {
+                (i, j)
+                for i in range(len(t1) - gram_len + 1)
+                for j in range(len(t2) - gram_len + 1)
+                if g_at(t1, i) is not None and g_at(t1, i) == g_at(t2, j)
+            }
+            for (i, j) in matched:
+                if (i - 1, j - 1) in matched:
+                    continue  # not a run start
+                ln = 0
+                while (i + ln, j + ln) in matched:
+                    ln += 1
+                span = ln - 1 + gram_len
+                if span >= min_len:
+                    out.add((d1, d2, i, j, span))
+    return out
+
+
+def test_variable_substring_spans_matches_reference_on_random_corpus(spark):
+    """The relational seed-and-extend vs the by-definition enumeration
+    on an adversarial random corpus: tiny alphabet (dense gram
+    collisions), planted shared fragments of assorted lengths, plus a
+    gram popular enough to trip the occurrence cap."""
+    import random
+
+    from gistdex_spark.operators.dedup import variable_substring_spans
+
+    rng = random.Random(17)
+    frags = [
+        "".join(rng.choice("ab") for _ in range(n)) for n in (8, 12, 20, 33)
+    ]
+    docs = {}
+    for i in range(10):
+        parts = []
+        for _ in range(rng.randint(1, 4)):
+            parts.append("".join(rng.choice("ab") for _ in range(rng.randint(0, 18))))
+            parts.append(rng.choice(frags))
+        docs[f"d{i}"] = "".join(parts)
+    want = _varspan_reference(docs, gram_len=4, min_len=8, max_occ=6)
+    df = spark.createDataFrame(
+        list(docs.items()), schema="doc_id STRING, text STRING"
+    )
+    got = {
+        (r.d1, r.d2, r.pos1, r.pos2, r.span_len)
+        for r in variable_substring_spans(
+            df, gram_len=4, min_len=8, max_occ=6
+        ).collect()
+    }
+    assert got == want

@@ -163,6 +163,7 @@ BENCH_QUERIES = [
     # Round-9 widening: variable-length (maximal-span) substring dedup +
     # the semantic curation flagship (gate -> adaptive SemDeDup -> census).
     "dedup_variable_substring_spans",
+    "dedup_variable_substring_within",
     "dedup_variable_substring_removal",
     "corpus_curation_semantic",
     "band_skew_audit",

@@ -1262,3 +1262,76 @@ def simhash_banded_keys(
             )
         ).alias("band_idx", "band_val"),
     )
+
+
+def variable_substring_spans_within(
+    df: DataFrame,
+    gram_len: int = 32,
+    min_len: int = 64,
+    max_occ: int = 50,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+) -> DataFrame:
+    """WITHIN-document maximal repeated spans — the self-repeat half of
+    Lee et al. §4.2 that :func:`variable_substring_spans` (cross-doc by
+    the d1 < d2 convention) deliberately excludes: every maximal
+    substring of length >= ``min_len`` that occurs at two offsets of the
+    SAME document. Catches tandem repeats, copy-pasted sections, and
+    template stutter inside one file — duplication whole-doc near-dup
+    (MinHash/SimHash) is structurally blind to.
+
+    Identical machinery to the cross-doc form (same seed buckets, same
+    diagonal islands — here diag = p2 - p1 > 0 is the repeat PERIOD, so
+    overlapping occurrences i.e. tandem runs are handled naturally);
+    only the pair filter differs (same doc instead of distinct docs),
+    so every scale property carries over: one corpus explode, hashed
+    seeds, cap-bounded buckets, per-(doc, period) windows. The bucket
+    pre-filter drops the distinct-docs requirement — >= 2 occurrences
+    anywhere qualifies a seed, because both may sit in one doc.
+
+    Output: (doc_id, pos1, pos2, span_len) with pos1 < pos2; pos2 - pos1
+    is the repeat period. For the REMOVAL composition, feed
+    (doc_id, pos2, pos2 + span_len) cut intervals into the same cursor
+    fold :func:`variable_substring_removal` uses — keep-earliest: every
+    excised char's content survives at offset -period (chains bottom
+    out below the first cut, which always starts at pos2 > pos1).
+    """
+    from pyspark.sql import Window
+
+    grams = _char_windows(df, gram_len, id_col, content_col).select(
+        F.col(id_col).alias("__d"),
+        F.col("pos").cast("long").alias("__p"),
+        F.xxhash64("span").alias("__gk"),
+    )
+    buckets = (
+        grams.groupBy("__gk")
+        .agg(F.array_sort(F.collect_list(F.struct("__d", "__p"))).alias("m"))
+        .filter((F.size("m") >= 2) & (F.size("m") <= max_occ))
+    )
+    # m sorted by (doc, pos): i < j with equal doc implies p1 < p2.
+    pair_expr = (
+        "flatten(transform(sequence(0, size(m) - 2), i -> "
+        "filter(transform(sequence(i + 1, size(m) - 1), j -> "
+        "struct(m[i].__d AS d, m[j].__d AS d2, m[i].__p AS p1, "
+        "m[j].__p - m[i].__p AS diag)), "
+        "p -> p.d = p.d2)))"
+    )
+    pairs = buckets.select(F.explode(F.expr(pair_expr)).alias("p")).select(
+        "p.d", "p.p1", "p.diag"
+    )
+    w = Window.partitionBy("d", "diag").orderBy("p1")
+    runs = (
+        pairs.withColumn("__grp", F.col("p1") - F.row_number().over(w))
+        .groupBy("d", "diag", "__grp")
+        .agg(
+            F.min("p1").alias("pos1"),
+            (F.max("p1") - F.min("p1") + gram_len).alias("span_len"),
+        )
+        .filter(F.col("span_len") >= min_len)
+    )
+    return runs.select(
+        F.col("d").alias(id_col),
+        F.col("pos1").cast("long").alias("pos1"),
+        (F.col("pos1") + F.col("diag")).cast("long").alias("pos2"),
+        F.col("span_len").cast("long").alias("span_len"),
+    )

@@ -37,6 +37,7 @@ SAMPLE = [
     "fertility_char_budget",          # DECIMAL/HUGEINT scaled DIV
     # round-9 additions
     "dedup_variable_substring_spans",    # diagonal runs: 100x the pairs
+    "dedup_variable_substring_within",   # empty-result agreement at scale
     "dedup_variable_substring_removal",  # interval fold over real cut lists
     "corpus_curation_semantic",          # gate-derived adaptive C diverges
 ]

@@ -633,6 +633,20 @@ def test_variable_substring_spans_stays_equality_keyed(q):
     assert num_shuffles(df) <= 2
 
 
+def test_variable_substring_within_inherits_span_contract(q):
+    """The within-doc twin inherits the cross-doc shape: hashed seeds,
+    one corpus explode (no self-join), (doc, period)-partitioned
+    window, nothing cartesian."""
+    df = q("dedup_variable_substring_within")
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "xxhash64" in plan
+    assert "hashpartitioning(span" not in plan
+    assert len(scans(df)) == 1
+    assert num_shuffles(df) <= 2
+
+
 def test_variable_substring_removal_fold_is_catalyst(q):
     """The interval excision must stay a pure Catalyst fold: no Python
     eval anywhere in the plan, no cartesian join, no unpartitioned sort

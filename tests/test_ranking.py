@@ -531,3 +531,121 @@ def test_variable_substring_spans_matches_reference_on_random_corpus(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_variable_substring_spans_within_tandem_and_copy(spark):
+    """Within-doc self-repeats: a copy-pasted section shows as ONE
+    maximal span with period = the gap between the copies; a tandem
+    repeat (period < span length) is handled naturally by the diagonal
+    islands — overlapping occurrences chain on the period diagonal."""
+    import random
+
+    from gistdex_spark.operators.dedup import variable_substring_spans_within
+
+    rng = random.Random(23)
+    sect = "".join(rng.choice("0123456789") for _ in range(80))
+    gap = "".join(rng.choice("abcdefghij") for _ in range(40))
+    copy_doc = gap[:10] + sect + gap + sect + gap[:15]
+    unit = "".join(rng.choice("KLMNOPQRST") for _ in range(24))
+    tandem_doc = unit * 5  # period 24, total 120
+    plain_doc = "".join(rng.choice("uvwxyz") for _ in range(150))
+    df = spark.createDataFrame(
+        [("a", copy_doc), ("b", tandem_doc), ("c", plain_doc)],
+        schema="doc_id STRING, text STRING",
+    )
+    rows = variable_substring_spans_within(
+        df, gram_len=16, min_len=48, max_occ=50
+    ).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.pos1, r.pos2, r.span_len))
+    # copy-paste: the repeated substring is sect (80) and maximality
+    # extends into the identical gap prefix after each copy — the
+    # maximal repeat is sect+gap[:15] (95 chars) at period |sect+gap|=120
+    assert by_doc["a"] == [(10, 130, 95)]
+    # tandem: one diagonal per multiple of the period shorter than the
+    # doc; the period-24 run is the longest (96 = 120 - 24)
+    spans_b = sorted(by_doc["b"])
+    assert (0, 24, 96) in spans_b
+    assert all(p2 - p1 in (24, 48, 72) for p1, p2, _ in spans_b)
+    assert "c" not in by_doc
+
+
+def _varspan_within_reference(
+    docs: dict, gram_len: int, min_len: int, max_occ: int
+) -> set:
+    """By-definition enumeration of maximal within-doc repeats (same cap
+    semantics as _varspan_reference, same-doc pairs p1 < p2)."""
+    from collections import defaultdict
+
+    occ = defaultdict(list)
+    for d, t in docs.items():
+        for i in range(len(t) - gram_len + 1):
+            occ[t[i:i + gram_len]].append((d, i))
+    kept = {g for g, os in occ.items() if 2 <= len(os) <= max_occ}
+
+    def g_at(t, i):
+        s = t[i:i + gram_len]
+        return s if len(s) == gram_len and s in kept else None
+
+    out = set()
+    for d, t in docs.items():
+        n = len(t) - gram_len + 1
+        matched = {
+            (i, j)
+            for i in range(n)
+            for j in range(i + 1, n)
+            if g_at(t, i) is not None and g_at(t, i) == g_at(t, j)
+        }
+        for (i, j) in matched:
+            if (i - 1, j - 1) in matched:
+                continue
+            ln = 0
+            while (i + ln, j + ln) in matched:
+                ln += 1
+            span = ln - 1 + gram_len
+            if span >= min_len:
+                out.add((d, i, j, span))
+    return out
+
+
+def test_variable_substring_within_matches_reference_on_random_corpus(spark):
+    """Within-doc diagonal runs vs the by-definition enumeration on the
+    same adversarial corpus family as the cross-doc property test —
+    repeated planted fragments land multiple times inside one doc."""
+    import random
+
+    from gistdex_spark.operators.dedup import variable_substring_spans_within
+
+    rng = random.Random(29)
+    # fragment alphabet (digits) is disjoint from filler (letters), so
+    # fragment grams repeat exactly where fragments repeat — and the
+    # cap is sized above the total fragment occurrences (the in-round
+    # seed-length lesson: an undersized cap silently empties the result,
+    # which the `assert want` guard below would catch)
+    frags = [
+        "".join(rng.choice("0123456789") for _ in range(n))
+        for n in (8, 12, 20)
+    ]
+    docs = {}
+    for i in range(8):
+        f = rng.choice(frags)
+        parts = []
+        for _ in range(rng.randint(2, 3)):  # same fragment 2-3x per doc
+            parts.append(
+                "".join(rng.choice("ab") for _ in range(rng.randint(0, 14)))
+            )
+            parts.append(f)
+        docs[f"d{i}"] = "".join(parts)
+    want = _varspan_within_reference(docs, gram_len=4, min_len=8, max_occ=60)
+    df = spark.createDataFrame(
+        list(docs.items()), schema="doc_id STRING, text STRING"
+    )
+    got = {
+        (r.doc_id, r.pos1, r.pos2, r.span_len)
+        for r in variable_substring_spans_within(
+            df, gram_len=4, min_len=8, max_occ=60
+        ).collect()
+    }
+    assert want, "corpus must actually contain within-doc repeats"
+    assert got == want

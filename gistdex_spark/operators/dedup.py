@@ -1084,12 +1084,14 @@ def variable_substring_removal(
 ) -> DataFrame:
     """Variable-length exact-substring REMOVAL: excise every maximal
     repeated span (>= ``min_len``, from :func:`variable_substring_spans`)
-    from the HIGHER-id document of each pair — the lower-id occurrence
-    survives, so the corpus retains at least one verbatim copy of every
-    maximal span as a UNIT. This is the property the fixed-width form
-    cannot guarantee: there the keeper is elected per 32-char window, so
-    a long duplicate whose fragment also occurs in some third low-id doc
-    gets its kept copy punched full of holes (see
+    from the HIGHER-id document of each pair — PER PAIR, the lower-id
+    occurrence survives as a unit. The guarantee is per-pair, not
+    global: a span kept in doc B (keeper of pair B<C) can still be
+    punched by an overlapping cut for a DIFFERENT span B shares with a
+    lower-id doc A. What the fixed-width form additionally loses — and
+    this form fixes — is per-WINDOW keeper election: there a fragment of
+    a long duplicate occurring in some third low-id doc punches holes in
+    the kept copy even with no overlapping second span (see
     tests/test_ranking.py::test_variable_removal_keeps_long_dup_intact).
 
     The excision is the same pure-Catalyst cursor fold as

@@ -29,7 +29,9 @@ oracle cannot disagree on a boundary pair.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 ROUND = 6
@@ -65,6 +67,8 @@ def semdedup(
     pair_partitions: int | None = 64,
     partitions: int | None = None,
     materialize: bool = True,
+    max_cluster_size: int | None = None,
+    checkpoint: Callable[[DataFrame], DataFrame] | None = None,
 ) -> DataFrame:
     """(id, cluster, cos_centroid, pruned): SemDeDup verdict per vector.
 
@@ -75,6 +79,29 @@ def semdedup(
     the paper keeps the far-from-centroid member of each duplicate pair).
     The lowest-sorted member of every duplicate neighbourhood therefore
     always survives, and the verdict is order-free and deterministic.
+
+    ``max_cluster_size`` caps the in-cluster pair expansion — the one
+    remaining quadratic surface when the caller fixes the cluster count
+    (k ∝ n callers are bounded by construction in expectation, but a
+    skewed assignment can still concentrate mass in one cluster). Any
+    cluster above the cap is deterministically sub-split by RANK: rows
+    sort by (cos_centroid, id) within the cluster and land in
+    consecutive buckets of ``max_cluster_size``, and pairs only form
+    inside a (cluster, sub) bucket. Rank-bucketing (not hash) keeps the
+    approximation tight: duplicates by definition sit at near-identical
+    distance to the centroid, so they sort adjacently and almost always
+    share a bucket — the same banded trick as the dedup module. The
+    sub-split window sorts each cluster on one task (O(n log n), vs the
+    O(n²) pairs it prevents); both the rank order and the bucket
+    boundaries are engine-identical, so SQL oracles mirror the cap with
+    ``(row_number() OVER (PARTITION BY cluster ORDER BY cos_centroid,
+    id) - 1) // cap``.
+
+    ``checkpoint`` overrides the internal ``localCheckpoint`` used to cut
+    the triple-consumed ``base`` lineage: callers with their own
+    checkpoint bookkeeping (queries._ckpt's per-tag registry) pass a hook
+    so the blocks are released when the owning query rebuilds, instead of
+    leaking for the process lifetime (r9 ADVICE).
     """
     from gistdex_spark.operators.ivf import assign_clusters
 
@@ -114,6 +141,20 @@ def semdedup(
         )
         .drop("c__vec", "c__nrm")
     )
+    if max_cluster_size is not None:
+        # Rank-bucket sub-split (see docstring): computed BEFORE the
+        # lineage cut so the per-cluster sort runs once, not once per
+        # consumer.
+        w = Window.partitionBy("cluster").orderBy(
+            F.asc("cos_centroid"), F.asc(id_col)
+        )
+        base = base.withColumn(
+            "sub",
+            ((F.row_number().over(w) - F.lit(1)) / F.lit(max_cluster_size))
+            .cast("int"),
+        )
+    else:
+        base = base.withColumn("sub", F.lit(0))
     if materialize:
         # `base` is consumed three times (both pair-join sides and the
         # final verdict join) and Spark has no cross-branch CSE — without
@@ -122,9 +163,14 @@ def semdedup(
         # once (the standard store-vs-recompute trade of multi-pass
         # algorithms; swap for reliable checkpoint() on long cluster
         # jobs, exactly as in connected_components).
-        base = base.localCheckpoint(eager=True)
+        base = (
+            checkpoint(base)
+            if checkpoint is not None
+            else base.localCheckpoint(eager=True)
+        )
     left = base.select(
         F.col("cluster"),
+        F.col("sub"),
         F.col(id_col).alias("id_a"),
         F.col(embedding_col).alias("v_a"),
         F.col("cos_centroid").alias("cc_a"),
@@ -132,6 +178,7 @@ def semdedup(
     )
     right = base.select(
         F.col("cluster"),
+        F.col("sub"),
         F.col(id_col).alias("id_b"),
         F.col(embedding_col).alias("v_b"),
         F.col("cos_centroid").alias("cc_b"),
@@ -164,10 +211,10 @@ def semdedup(
         # AQE size the join shuffle by bytes — the right call on inputs
         # that carry real byte weight (see ROUND6_NOTES sf1 experiment);
         # the explicit form exists for byte-starved compute-bound scans.
-        left = left.repartition(pair_partitions, "cluster", "__salt")
-        right = right.repartition(pair_partitions, "cluster", "__salt")
+        left = left.repartition(pair_partitions, "cluster", "sub", "__salt")
+        right = right.repartition(pair_partitions, "cluster", "sub", "__salt")
     pruned_ids = (
-        left.join(right, ["cluster", "__salt"])
+        left.join(right, ["cluster", "sub", "__salt"])
         .filter(
             (F.col("cc_a") < F.col("cc_b"))
             | ((F.col("cc_a") == F.col("cc_b")) & (F.col("id_a") < F.col("id_b")))

@@ -453,6 +453,23 @@ def test_semdedup_pair_join_is_equality_not_cartesian(q):
         or "BroadcastHashJoin" in strategies
 
 
+def test_semdedup_pair_join_is_sub_bucket_bounded(q):
+    """r9 verdict item 1: the in-cluster pair expansion must be BOUNDED.
+    The pair join has to key on (cluster, sub, __salt) — `sub` is the
+    rank-bucket sub-split of clusters above max_cluster_size; a join
+    keyed on cluster alone is unbounded-quadratic in the hottest
+    cluster, the first thing to fall over at 100x."""
+    plan = executed_plan(q("semdedup_prune"))
+    keyed = re.findall(
+        r"(?:SortMergeJoin|ShuffledHashJoin)(?:\s+\w+)* \[([^\]]*)\]", plan
+    )
+    pair = [k for k in keyed if "cluster#" in k and "__salt#" in k]
+    assert pair, f"no cluster-keyed pair join in plan: {keyed}"
+    assert all("sub#" in k for k in pair), (
+        f"pair join not sub-bucketed — unbounded in-cluster expansion: {pair}"
+    )
+
+
 def test_event_transitions_windows_are_partitioned(q):
     assert single_partition_exchanges(q("event_transitions")) == 0
 

@@ -95,6 +95,39 @@ def test_no_cross_cluster_pruning(spark):
     assert not out[11]["pruned"] and out[12]["pruned"]
 
 
+def test_max_cluster_size_rank_buckets_the_pair_work(spark):
+    """max_cluster_size sub-splits an oversize cluster by (cos_centroid,
+    id) rank: pairs only form inside a sub-bucket, so with five identical
+    vectors and cap=2 the buckets are [10,11],[12,13],[14] and the
+    survivors are the bucket heads {10, 12, 14} — the deterministic
+    capped semantics the SQL oracles mirror. With the cap at or above
+    the cluster population the verdict must be bit-identical to
+    uncapped."""
+    from gistdex_spark.operators.semdedup import semdedup
+
+    emb = spark.createDataFrame(
+        [(i, [0.0, 1.0]) for i in range(10, 15)],
+        schema="vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [0.1, 1.0])], schema="c_id BIGINT, c_vec ARRAY<DOUBLE>"
+    )
+    capped = {
+        r["vec_id"]: r["pruned"]
+        for r in semdedup(emb, cents, threshold=0.9, max_cluster_size=2).collect()
+    }
+    assert capped == {10: False, 11: True, 12: False, 13: True, 14: False}
+    wide = {
+        r["vec_id"]: r["pruned"]
+        for r in semdedup(emb, cents, threshold=0.9, max_cluster_size=5).collect()
+    }
+    uncapped = {
+        r["vec_id"]: r["pruned"]
+        for r in semdedup(emb, cents, threshold=0.9).collect()
+    }
+    assert wide == uncapped == {10: False, 11: True, 12: True, 13: True, 14: True}
+
+
 def test_suggest_n_clusters_scales_with_corpus():
     from gistdex_spark.operators.semdedup import suggest_n_clusters
 

@@ -101,6 +101,33 @@ def minhash_signatures(
     )
 
 
+def _auto_bucket_partitions(
+    banded: DataFrame, key_cols: list[str], salt_trip: int = 256
+) -> int | None:
+    """Audit-driven round-robin decision for the banded pair operators
+    (r9 verdict item 2 — band_population_stats computed the tripwire but
+    the treatment was a manual knob). ONE bounded driver scalar — the
+    hottest band-key population, from a map-side-combined agg — decides:
+    above ``salt_trip`` return a round-robin partition count (2x default
+    parallelism, so hot-ish buckets interleave with cold ones), else
+    None (save the extra exchange; AQE sizes the agg shuffle by bytes).
+
+    Cost of the decision: one extra map pass over the signature stream
+    (Spark can't reuse the un-actioned agg), which is why the callers
+    gate it behind an opt-in flag — cheap insurance on corpora with
+    viral-template risk, pure overhead on corpora known to be clean.
+    """
+    mx = (
+        banded.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("mx"))
+        .collect()[0]["mx"]
+    )
+    if mx is None or mx <= salt_trip:
+        return None
+    return banded.sparkSession.sparkContext.defaultParallelism * 2
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     content_col: str = "text",
@@ -108,10 +135,18 @@ def minhash_lsh_pairs(
     bands: int = 4,
     n: int = 5,
     threshold: float = 0.5,
+    bucket_partitions: int | None = None,
+    auto_salt: bool = False,
+    salt_trip: int = 256,
 ) -> DataFrame:
     """Candidate pairs sharing an LSH band, verified by signature agreement.
 
     Returns (doc_id_a, doc_id_b, est_jaccard) with a < b, est >= threshold.
+
+    ``bucket_partitions`` round-robins the bucket frame before the
+    quadratic in-bucket pair expansion (see simhash_pairs for when);
+    ``auto_salt=True`` derives it from the band-population audit instead
+    of a manual knob (see :func:`_auto_bucket_partitions`).
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, content_col, num_hashes, n)
@@ -141,11 +176,23 @@ def minhash_lsh_pairs(
     # once and shuffles each (id, sig) exactly `bands` times. members are
     # sorted by doc_id, so i<j yields doc_id_a < doc_id_b directly.
     # (Bucket blowup is governed by band tuning, same as the join form.)
+    if auto_salt and bucket_partitions is None:
+        bucket_partitions = _auto_bucket_partitions(
+            banded.select("band_idx", "band_hash"),
+            ["band_idx", "band_hash"],
+            salt_trip,
+        )
     buckets = (
         banded.groupBy("band_idx", "band_hash")
         .agg(F.array_sort(F.collect_list(F.struct("doc_id", "sig"))).alias("m"))
         .filter(F.size("m") >= 2)
     )
+    if bucket_partitions is not None:
+        # Same round-robin treatment as simhash_pairs: the bucket frame
+        # is byte-small but the pair expression below is quadratic per
+        # bucket — an explicit round-robin pins parallelism and spreads
+        # hot buckets across tasks.
+        buckets = buckets.repartition(bucket_partitions)
     # Verify + dedup INSIDE the bucket expression (same scheme as
     # simhash_pairs): keep a candidate only when the signature-agreement
     # estimate clears the threshold AND this is the first band whose rows
@@ -275,6 +322,8 @@ def simhash_pairs(
     bands: int = 4,
     max_distance: int = 3,
     bucket_partitions: int | None = None,
+    auto_salt: bool = False,
+    salt_trip: int = 256,
 ) -> DataFrame:
     """Near-dup pairs via a banded Hamming join over SimHash signatures.
 
@@ -291,6 +340,11 @@ def simhash_pairs(
     (Spark has no cross-join-side CSE, so a self-join would compute every
     signature twice). At larger corpora raise ``bits`` to 64 so band
     values span 16 bits and buckets stay small.
+
+    ``auto_salt=True`` derives ``bucket_partitions`` from the band-
+    population audit instead of a manual knob — a viral-template corpus
+    takes the round-robin path automatically, a clean corpus skips the
+    extra exchange (see :func:`_auto_bucket_partitions`).
     """
     if bits % bands != 0:
         raise ValueError("bits must be divisible by bands")
@@ -311,6 +365,15 @@ def simhash_pairs(
             )
         ).alias("band_idx", "band_val"),
     )
+    if auto_salt and bucket_partitions is None:
+        # Audit-driven treatment (opt-in): one bounded driver scalar on
+        # the band-key populations decides the round-robin spread — see
+        # _auto_bucket_partitions for the cost trade.
+        bucket_partitions = _auto_bucket_partitions(
+            banded.select("band_idx", "band_val"),
+            ["band_idx", "band_val"],
+            salt_trip,
+        )
     buckets = (
         banded.groupBy("band_idx", "band_val")
         .agg(F.array_sort(F.collect_list(F.struct("doc_id", "simhash"))).alias("m"))

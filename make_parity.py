@@ -94,10 +94,9 @@ def main() -> int:
     for i, name in enumerate(REGISTRY, 1):
         t1 = time.time()
         if is_sf01 and name in SF01_SKIP:
+            # A skip is NOT a pass (r9 verdict item 3): record no match
+            # booleans at all so the headline counts only executed checks.
             out[name] = {
-                "rows_match": True,
-                "schema_match": True,
-                "values_match": True,
                 "check": "skipped_at_sf01",
                 "reason": SF01_SKIP[name],
                 "err": None,
@@ -147,11 +146,16 @@ def main() -> int:
         print(f"[{i}/{len(REGISTRY)}] {name}: {status} ({rec['sec']}s)",
               file=sys.stderr, flush=True)
 
-    n_green = sum(1 for r in out.values() if r["values_match"])
+    executed = {
+        n: r for n, r in out.items() if r.get("check") != "skipped_at_sf01"
+    }
+    n_green = sum(1 for r in executed.values() if r["values_match"])
     artifact = {
         "round": rnd,
         "sf_dir": sf_dir,
         "n_queries": len(out),
+        "n_executed": len(executed),
+        "n_skipped": len(out) - len(executed),
         "n_values_match": n_green,
         "total_sec": round(time.time() - t0, 1),
         "queries": out,
@@ -161,8 +165,12 @@ def main() -> int:
     )
     with open(path, "w") as f:
         json.dump(artifact, f, indent=1)
-    print(f"{path}: {n_green}/{len(out)} value-green", file=sys.stderr)
-    return 0 if n_green == len(out) else 1
+    print(
+        f"{path}: {n_green}/{len(executed)} value-green "
+        f"({len(out) - len(executed)} skipped)",
+        file=sys.stderr,
+    )
+    return 0 if n_green == len(executed) else 1
 
 
 if __name__ == "__main__":

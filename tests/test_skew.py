@@ -115,3 +115,58 @@ def test_band_skew_audit_trips_and_salting_fixes(spark):
     assert sorted(map(key, treated.collect())) == sorted(
         map(key, plain.collect())
     )
+
+
+def _viral_corpus(spark, n_hot=40, n_cold=10):
+    import random
+
+    rng = random.Random(3)
+    template = " ".join(
+        "".join(rng.choice("abcdefgh") for _ in range(6)) for _ in range(30)
+    )
+    rows = [(f"hot{i:03d}", template) for i in range(n_hot)]
+    rows += [
+        (
+            f"cold{i:03d}",
+            " ".join(
+                "".join(rng.choice("nopqrstu") for _ in range(8))
+                for _ in range(25)
+            ),
+        )
+        for i in range(n_cold)
+    ]
+    return spark.createDataFrame(rows, schema="doc_id STRING, text STRING")
+
+
+def test_auto_salt_takes_round_robin_path_without_manual_knob(spark):
+    """r9 verdict item 2: the audit-driven treatment must be automatic —
+    auto_salt=True on a viral-template corpus round-robins the bucket
+    frame with NO manual bucket_partitions, for both banded families,
+    without changing the emitted pairs."""
+    from gistdex_spark.operators.dedup import minhash_lsh_pairs, simhash_pairs
+    from gistdex_spark.plans.inspect import executed_plan
+
+    df = _viral_corpus(spark)
+    auto = simhash_pairs(df, auto_salt=True, salt_trip=32)
+    assert "roundrobinpartitioning" in executed_plan(auto).lower()
+    key = lambda r: (r.doc_id_a, r.doc_id_b, r.hamming)  # noqa: E731
+    assert sorted(map(key, auto.collect())) == sorted(
+        map(key, simhash_pairs(df).collect())
+    )
+    auto_mh = minhash_lsh_pairs(df, auto_salt=True, salt_trip=32)
+    assert "roundrobinpartitioning" in executed_plan(auto_mh).lower()
+    key_mh = lambda r: (r.doc_id_a, r.doc_id_b, r.est_jaccard)  # noqa: E731
+    assert sorted(map(key_mh, auto_mh.collect())) == sorted(
+        map(key_mh, minhash_lsh_pairs(df).collect())
+    )
+
+
+def test_auto_salt_skips_exchange_on_clean_corpus(spark):
+    """A corpus with no hot band bucket must NOT pay the round-robin
+    exchange — the audit returns None and the plan stays knob-free."""
+    from gistdex_spark.operators.dedup import simhash_pairs
+    from gistdex_spark.plans.inspect import executed_plan
+
+    df = _viral_corpus(spark, n_hot=2, n_cold=20)
+    auto = simhash_pairs(df, auto_salt=True, salt_trip=32)
+    assert "roundrobinpartitioning" not in executed_plan(auto).lower()

@@ -21,17 +21,19 @@ from gistdex_spark.functions.vectors import cosine, vector_literal
 ROUND = 6
 
 
-def sign_bucket(vec: Column | str, nbits: int = 8) -> Column:
-    """LSH bucket id from the sign bits of the first `nbits` dimensions."""
+def sign_bucket(vec: Column | str, nbits: int = 8, offset: int = 0) -> Column:
+    """LSH bucket id from the sign bits of ``nbits`` dimensions starting
+    at ``offset`` — offset 0 is the classic single-table bucket; nonzero
+    offsets give the independent projections of the multi-table family."""
     vec = F.col(vec) if isinstance(vec, str) else vec
     out = F.lit(0)
     for i in range(nbits):
-        out = out + F.when(vec[i] > 0, F.lit(2**i)).otherwise(F.lit(0))
+        out = out + F.when(vec[offset + i] > 0, F.lit(2**i)).otherwise(F.lit(0))
     return out.cast("int")
 
 
-def sign_bucket_py(vec: list[float], nbits: int = 8) -> int:
-    return sum(2**i for i in range(nbits) if vec[i] > 0)
+def sign_bucket_py(vec: list[float], nbits: int = 8, offset: int = 0) -> int:
+    return sum(2**i for i in range(nbits) if vec[offset + i] > 0)
 
 
 def ann_lsh(
@@ -56,12 +58,14 @@ def ann_lsh(
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
 
 
-def probe_buckets(query_vec: list[float], nbits: int = 8, radius: int = 1) -> list[int]:
+def probe_buckets(
+    query_vec: list[float], nbits: int = 8, radius: int = 1, offset: int = 0
+) -> list[int]:
     """The query's sign-bucket plus every bucket within Hamming distance
     <= radius (bit flips). radius=1 → nbits+1 buckets."""
     from itertools import combinations
 
-    qb = sign_bucket_py(query_vec, nbits)
+    qb = sign_bucket_py(query_vec, nbits, offset)
     out = {qb}
     for r in range(1, radius + 1):
         for bits in combinations(range(nbits), r):
@@ -93,6 +97,50 @@ def ann_lsh_multiprobe(
     probes = probe_buckets(query_vec, nbits, radius)
     pruned = emb.filter(sign_bucket(vec_col, nbits).isin(probes))
     scored = pruned.withColumn(
+        "score", F.round(cosine(F.col(vec_col), vector_literal(query_vec)), ROUND)
+    )
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def ann_lsh_multitable(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int,
+    nbits: int = 8,
+    n_tables: int = 8,
+    radius: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-table sign-LSH ANN — the standard scale form (Andoni &
+    Indyk, CACM 2008): ``n_tables`` INDEPENDENT hash tables, table t
+    bucketing on the sign bits of dimension slice
+    ``[t*nbits, (t+1)*nbits)``; the candidate set is the UNION over
+    tables of the query's Hamming-<=``radius`` multiprobe buckets; exact
+    cosine rerank of the union only.
+
+    One table's recall is capped by its single projection (measured
+    r9: 8-bit single-table tops out at 0.22 recall@10 even at radius 2);
+    with L independent tables a true neighbour is missed only if it
+    misses ALL L probes, so misses shrink ~exponentially in L. Every
+    probe stays a deterministic IN-list — at rest, store the L bucket
+    ids as tiny int columns (derivable at write time): each table's
+    probe is then partition/Z-order pruning, and the union reads
+    L × (probed buckets) instead of the corpus. The DuckDB oracle
+    replays the identical bucket arithmetic, so the operator gets a
+    full VALUE oracle, not a recall floor.
+    """
+    if n_tables * nbits > len(query_vec):
+        raise ValueError(
+            f"{n_tables} tables x {nbits} bits need {n_tables * nbits} dims; "
+            f"embedding has {len(query_vec)}"
+        )
+    cond = None
+    for t in range(n_tables):
+        probes = probe_buckets(query_vec, nbits, radius, offset=t * nbits)
+        c = sign_bucket(vec_col, nbits, offset=t * nbits).isin(probes)
+        cond = c if cond is None else (cond | c)
+    scored = emb.filter(cond).withColumn(
         "score", F.round(cosine(F.col(vec_col), vector_literal(query_vec)), ROUND)
     )
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)

@@ -61,7 +61,7 @@ def timed_ids(df, id_col="vec_id"):
 
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    out_path = sys.argv[2] if len(sys.argv) > 2 else "ANN_RECALL_r09.json"
+    out_path = sys.argv[2] if len(sys.argv) > 2 else "ANN_RECALL_r10.json"
     spark = get_spark("ann-recall", cpus="32")
     emb = spread(load_table(spark, sf_dir, "embeddings")).persist()
     n = emb.count()
@@ -144,6 +144,51 @@ def main():
             for qv in queries
         ]
         record("lsh_multiprobe", {"nbits": 8, "radius": radius}, runs)
+
+    # ---- multi-table LSH: L independent tables, union of probes ---------
+    # The r9 single-table ceiling (0.22 at radius 2) is the projection,
+    # not the family: L disjoint-slice tables drive misses down
+    # ~exponentially in L. candidate_frac is the honesty metric — on
+    # near-random hash embeddings high recall costs a large union
+    # (real model embeddings cluster and need far smaller probe sets).
+    for nbits, n_tables, radius in [
+        (6, 2, 1), (6, 4, 1), (6, 10, 0), (6, 10, 1),
+        (8, 8, 0), (8, 8, 1), (8, 8, 2),
+    ]:
+        runs = [
+            timed_ids(
+                SIM.ann_lsh_multitable(
+                    emb, qv, k=K, nbits=nbits, n_tables=n_tables,
+                    radius=radius,
+                )
+            )
+            for qv in queries
+        ]
+        import functools
+        import operator as op
+
+        fracs = []
+        for qv in queries:
+            cond = functools.reduce(
+                op.or_,
+                [
+                    SIM.sign_bucket("embedding", nbits, offset=t * nbits).isin(
+                        SIM.probe_buckets(qv, nbits, radius, offset=t * nbits)
+                    )
+                    for t in range(n_tables)
+                ],
+            )
+            fracs.append(emb.filter(cond).count() / n)
+        record(
+            "lsh_multitable",
+            {
+                "nbits": nbits,
+                "n_tables": n_tables,
+                "radius": radius,
+                "candidate_frac": round(statistics.mean(fracs), 3),
+            },
+            runs,
+        )
 
     # ---- binary-sign: Hamming shortlist sweep ----------------------------
     # 1 bit/dim signatures; shortlist by bit_count(xor), exact rerank of

@@ -139,3 +139,48 @@ def test_multiprobe_recall_dominates_single_probe(emb, qvec):
     exact10 = set(_exact_topk(emb, qvec, 10))
     # recall against exact top-10 must not shrink when probing wider
     assert len(multi & exact10) >= len(single & exact10)
+
+
+def test_multitable_candidates_are_union_of_table_probes(emb, qvec):
+    """With k above the pool size, ann_lsh_multitable must return EXACTLY
+    the union of each table's probed buckets — the defining multi-table
+    property (and what the SQL oracle replays)."""
+    from gistdex_spark.operators.similarity import (
+        ann_lsh_multitable,
+        probe_buckets,
+        sign_bucket,
+    )
+
+    pool = set()
+    for t in range(4):
+        probes = probe_buckets(qvec, nbits=4, radius=1, offset=4 * t)
+        pool |= {
+            r.vec_id
+            for r in emb.filter(
+                sign_bucket("embedding", 4, offset=4 * t).isin(probes)
+            ).collect()
+        }
+    got = {
+        r.vec_id
+        for r in ann_lsh_multitable(
+            emb, qvec, k=1_000_000, nbits=4, n_tables=4, radius=1
+        ).collect()
+    }
+    assert got == pool
+    # and more tables can only widen the pool (monotone recall lever)
+    got8 = {
+        r.vec_id
+        for r in ann_lsh_multitable(
+            emb, qvec, k=1_000_000, nbits=4, n_tables=8, radius=1
+        ).collect()
+    }
+    assert got <= got8
+
+
+def test_multitable_rejects_overlong_projection(emb, qvec):
+    import pytest
+
+    from gistdex_spark.operators.similarity import ann_lsh_multitable
+
+    with pytest.raises(ValueError):
+        ann_lsh_multitable(emb, qvec, k=5, nbits=16, n_tables=8)

@@ -40,6 +40,11 @@ SAMPLE = [
     "dedup_variable_substring_within",   # empty-result agreement at scale
     "dedup_variable_substring_removal",  # interval fold over real cut lists
     "corpus_curation_semantic",          # gate-derived adaptive C diverges
+    # round-10 additions
+    "dedup_variable_substring_within_aug",  # NON-EMPTY within-doc spans
+    "chunk_markdown_census",             # section boundaries on 10x docs
+    "chunk_fixed",                       # fixed-window boundaries at scale
+    "ann_lsh_multitable",                # union-of-probes + rerank ties
 ]
 
 

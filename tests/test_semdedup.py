@@ -128,6 +128,65 @@ def test_max_cluster_size_rank_buckets_the_pair_work(spark):
     assert wide == uncapped == {10: False, 11: True, 12: True, 13: True, 14: True}
 
 
+def test_capped_verdict_matches_brute_force_on_random_corpus(spark):
+    """Property check of the capped semantics on a seeded random corpus:
+    the operator's verdict must equal a pure-Python reimplementation of
+    the spec — assign to nearest centroid (ties → lowest c_id), rank by
+    (rounded cos_centroid, id) within cluster, bucket by cap, prune iff
+    a lower-sorted same-bucket neighbour clears the threshold."""
+    import random
+
+    from gistdex_spark.operators.semdedup import semdedup
+
+    rng = random.Random(11)
+    vecs = {
+        i: [rng.uniform(-1, 1) for _ in range(8)] for i in range(60)
+    }
+    # plant duplicate groups so the threshold actually fires
+    for i in range(0, 60, 7):
+        vecs[i] = [x * rng.uniform(0.9, 1.1) for x in vecs[(i + 13) % 60]]
+    cents = {0: vecs[0], 1: vecs[1], 2: vecs[2]}
+    cap, thr = 5, 0.8
+
+    def cos(a, b):
+        return round(_cos(a, b), 6)
+
+    assign = {
+        i: min(
+            cents,
+            key=lambda c: (-cos(v, cents[c]), c),
+        )
+        for i, v in vecs.items()
+    }
+    expected = {}
+    for c in cents:
+        members = sorted(
+            (i for i in vecs if assign[i] == c),
+            key=lambda i: (cos(vecs[i], cents[c]), i),
+        )
+        buckets = [members[o : o + cap] for o in range(0, len(members), cap)]
+        for bucket in buckets:
+            for bi, b in enumerate(bucket):
+                expected[b] = any(
+                    cos(vecs[a], vecs[b]) >= thr for a in bucket[:bi]
+                )
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()],
+        schema="vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    cdf = spark.createDataFrame(
+        [(c, v) for c, v in cents.items()],
+        schema="c_id BIGINT, c_vec ARRAY<DOUBLE>",
+    )
+    got = {
+        r["vec_id"]: r["pruned"]
+        for r in semdedup(
+            emb, cdf, threshold=thr, max_cluster_size=cap
+        ).collect()
+    }
+    assert got == expected
+
+
 def test_suggest_n_clusters_scales_with_corpus():
     from gistdex_spark.operators.semdedup import suggest_n_clusters
 

@@ -56,6 +56,11 @@ HEAVY = [
     "dedup_variable_substring_removal",
     "corpus_curation_semantic",
     "band_skew_audit",
+    # round-10 additions: the augmented within-doc span family's pair
+    # work grows with planted self-repeats, and the multi-table union
+    # filter is a full-scan predicate whose cost tracks corpus size
+    "dedup_variable_substring_within_aug",
+    "ann_lsh_multitable",
 ]
 
 

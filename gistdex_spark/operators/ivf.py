@@ -85,26 +85,51 @@ def assign_clusters(
     id_col: str = "vec_id",
     embedding_col: str = "embedding",
     partitions: int | None = None,
+    vectorized: bool | None = None,
 ) -> DataFrame:
     """(id, embedding, cluster): nearest centroid by cosine, ties → lowest id.
 
-    ZERO-shuffle: the centroid set rides along as ONE broadcast array row
-    (sorted by c_id so a strictly-greater fold keeps the smallest id on
-    ties), and every vector folds over it. No row amplification, no
-    window. Norms are hoisted out of the fold — each centroid's norm is
-    computed once into the broadcast row and the vector's own norm once
-    per row, so the fold does ONE dot product per centroid instead of
-    three (bit-identical scores: the same expressions, evaluated fewer
-    times).
+    ZERO-shuffle either way: map-only over the corpus with the centroid
+    set riding along (broadcast array row in the expression form; a
+    task-serialized numpy matrix in the vectorized form). No row
+    amplification, no window.
+
+    ``vectorized``: None (default) auto-picks — the Arrow kernel when
+    the centroid count reaches ``_VECTORIZE_MIN_C``, the Catalyst fold
+    below it. The fold is INTERPRETED per element — C centroids × dim
+    lambda steps per row (C=400, dim=64 → 25k interpreted ops/row) —
+    which made assignment the dominant cost of the adaptive SemDeDup
+    family (sf1: 7.4 → 4.0 s); the numpy kernel does the identical
+    arithmetic ~10x faster. At SMALL C the fold wins: the kernel pays
+    an Arrow round-trip of the embedding column per row regardless of
+    C, pure overhead when the fold is only a few hundred ops (measured:
+    C=16 ivfpq_index slowed under the kernel). True/False force a path.
+    BIT-IDENTICAL by construction, not approximately: the kernel
+    accumulates dot products and squared norms DIMENSION BY DIMENSION
+    (``acc += E[:, i] * C[:, i]``), the same left-fold double-add
+    sequence as ``F.aggregate(zip_with(...))`` — float32 inputs widen
+    to float64 before multiply exactly as the expression's casts do, the
+    zero-norm guard short-circuits to 0.0 identically, and np.argmax's
+    first-max rule equals the fold's strictly-greater keep-lowest-c_id
+    tie-break (centroids sorted by c_id in both forms). A pairwise/SIMD
+    ``np.dot`` would NOT match (different summation order — the
+    sum-order boundary-flip failure class); the per-dimension loop is
+    64 vectorized ops, not a scalar loop, so it keeps numpy speed while
+    preserving fold order. tests/test_ivf.py pins exact frame equality
+    of both forms.
 
     ``partitions``: optional pre-repartition of the input. At cluster
     scale the scan's natural parallelism is the right answer (this is a
     map-only op — never pay a corpus shuffle for it); locally a small
-    parquet file arrives as ONE partition and would serialize the fold,
+    parquet file arrives as ONE partition and would serialize the work,
     so callers benching tiny inputs pass the core count.
     """
     if partitions is not None:
         emb = emb.repartition(partitions)
+    if vectorized is not False:
+        rows = centroids.select("c_id", "c_vec").orderBy("c_id").collect()
+        if vectorized or len(rows) >= _VECTORIZE_MIN_C:
+            return _assign_clusters_np(emb, rows, id_col, embedding_col)
     from gistdex_spark.functions.vectors import dot, l2_norm
 
     cents_arr = centroids.select(
@@ -133,6 +158,69 @@ def assign_clusters(
         .withColumn("best", F.aggregate("cents", init, _merge))
         .select(id_col, embedding_col, F.col("best.cid").alias("cluster"))
     )
+
+
+_VECTORIZE_MIN_C = 64  # Arrow round-trip amortizes above ~this many centroids
+
+
+def _assign_clusters_np(
+    emb: DataFrame,
+    rows: list,
+    id_col: str,
+    embedding_col: str,
+) -> DataFrame:
+    """Arrow-batched assignment kernel (see assign_clusters docstring for
+    the bit-identity argument). ``rows`` is the collected (c_id, c_vec)
+    centroid list, sorted by c_id — tiny by contract (the same bound the
+    broadcast array form relies on) — and rides to executors via task
+    serialization."""
+    import numpy as np
+    out_fields = (
+        f"{id_col} "
+        + dict(emb.dtypes)[id_col]
+        + f", {embedding_col} "
+        + dict(emb.dtypes)[embedding_col]
+        + ", cluster bigint"
+    )
+    narrow = emb.select(id_col, embedding_col)
+    if not rows:
+        # mirror the expression fold's init: no centroids -> cluster -1
+        return narrow.withColumn("cluster", F.lit(-1).cast("bigint"))
+    c_ids = np.array([r["c_id"] for r in rows], dtype=np.int64)
+    cm = np.stack(
+        [np.asarray(r["c_vec"], dtype=np.float64) for r in rows]
+    )
+    dim = cm.shape[1]
+    cn_acc = np.zeros(len(rows))
+    for i in range(dim):
+        cn_acc = cn_acc + cm[:, i] * cm[:, i]
+    c_nrm = np.sqrt(cn_acc)
+
+    def _assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf.assign(cluster=np.array([], dtype=np.int64))
+                continue
+            e = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[embedding_col]]
+            )
+            n = e.shape[0]
+            acc = np.zeros((n, len(c_ids)))
+            ne_acc = np.zeros(n)
+            for i in range(dim):
+                col = e[:, i]
+                acc += col[:, None] * cm[None, :, i]
+                ne_acc += col * col
+            ne = np.sqrt(ne_acc)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                s = np.where(
+                    (ne[:, None] == 0.0) | (c_nrm[None, :] == 0.0),
+                    0.0,
+                    acc / (ne[:, None] * c_nrm[None, :]),
+                )
+            yield pdf.assign(cluster=c_ids[np.argmax(s, axis=1)])
+
+    return narrow.mapInPandas(_assign, schema=out_fields)
 
 
 def probe(

@@ -177,6 +177,46 @@ def test_multitable_candidates_are_union_of_table_probes(emb, qvec):
     assert got <= got8
 
 
+def test_vectorized_assignment_is_bit_identical_to_fold(spark, emb):
+    """The Arrow argmax kernel must equal the Catalyst fold EXACTLY —
+    same left-fold summation order, same zero-norm guard, same
+    strictly-greater lowest-c_id tie-break — at every centroid count
+    (both sides of the auto-dispatch threshold) and on the zero-vector
+    + duplicate-centroid edge."""
+    from gistdex_spark.operators.ivf import assign_clusters, first_c_centroids
+
+    for c in (8, 100):
+        cents = first_c_centroids(emb, c)
+        a = sorted(
+            (r["vec_id"], r["cluster"])
+            for r in assign_clusters(emb, cents, vectorized=False).collect()
+        )
+        b = sorted(
+            (r["vec_id"], r["cluster"])
+            for r in assign_clusters(emb, cents, vectorized=True).collect()
+        )
+        assert a == b, f"C={c}"
+    edf = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, [0.5, 0.5])],
+        schema="vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    cdf = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 1.0]), (2, [1.0, 1.0])],
+        schema="c_id BIGINT, c_vec ARRAY<DOUBLE>",
+    )
+    a = sorted(
+        (r["vec_id"], r["cluster"])
+        for r in assign_clusters(edf, cdf, vectorized=False).collect()
+    )
+    b = sorted(
+        (r["vec_id"], r["cluster"])
+        for r in assign_clusters(edf, cdf, vectorized=True).collect()
+    )
+    # zero vector -> guard 0.0 everywhere -> first centroid (c_id 0);
+    # duplicate centroids 1/2 -> tie resolves to the lower c_id
+    assert a == b == [(1, 0), (2, 1), (3, 1)]
+
+
 def test_multitable_rejects_overlong_projection(emb, qvec):
     import pytest
 

@@ -126,7 +126,11 @@ def ann_lsh_multitable(
     probe stays a deterministic IN-list — at rest, store the L bucket
     ids as tiny int columns (derivable at write time): each table's
     probe is then partition/Z-order pruning, and the union reads
-    L × (probed buckets) instead of the corpus. The DuckDB oracle
+    L × (probed buckets) instead of the corpus (EXERCISED:
+    sources/lsh_store.py writes the layout and tests/test_lsh_store.py
+    proves partition pruning on table 0 + pushed int predicates on the
+    rest, with the stored search equal to this scan form exactly).
+    The DuckDB oracle
     replays the identical bucket arithmetic, so the operator gets a
     full VALUE oracle, not a recall floor.
     """

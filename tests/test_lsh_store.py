@@ -1,0 +1,86 @@
+"""Multi-table LSH store at rest: the union-of-probes search over the
+stored bucket columns must equal the scan-form operator exactly, table
+0's probe must be partition pruning (measured from the files actually
+read), and the other tables' probes must reach the parquet scan as
+pushed int predicates."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gistdex_spark.operators.similarity import ann_lsh_multitable, probe_buckets
+from gistdex_spark.queries import QV_MAIN
+from gistdex_spark.sources.lsh_store import search_stored, write_lsh_store
+from gistdex_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.01"
+NBITS, NT, RADIUS = 6, 10, 1
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+
+
+@pytest.fixture(scope="module")
+def store(spark, emb, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("lsh") / "store")
+    write_lsh_store(emb, path, nbits=NBITS, n_tables=NT)
+    return path
+
+
+def test_layout_is_partitioned_by_table0_bucket(store):
+    import os
+
+    dirs = {d for d in os.listdir(store) if d.startswith("b0=")}
+    assert len(dirs) >= 2  # the corpus spans multiple table-0 buckets
+
+
+def test_stored_search_matches_scan_form_exactly(spark, emb, store):
+    scan_form = ann_lsh_multitable(
+        emb, QV_MAIN, k=5, nbits=NBITS, n_tables=NT, radius=RADIUS
+    ).collect()
+    stored = search_stored(
+        spark, store, QV_MAIN, k=5, nbits=NBITS, n_tables=NT, radius=RADIUS
+    ).collect()
+    assert [(r["vec_id"], r["score"]) for r in scan_form] == [
+        (r["vec_id"], r["score"]) for r in stored
+    ]
+
+
+def test_table0_probe_is_partition_pruned(spark, store):
+    """A single-table (b0) probe must read ONLY the probed bucket
+    directories — the partition-pruning half of the at-rest claim."""
+    probes = probe_buckets(QV_MAIN, NBITS, RADIUS, offset=0)
+    scan = spark.read.parquet(store).filter(F.col("b0").isin(probes))
+    files = {
+        r["f"]
+        for r in scan.select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    }
+    assert files, "probe read no files"
+    for f in files:
+        assert any(f"b0={b}/" in f for b in probes), f
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "b0" in plan.split("PartitionFilters", 1)[1][:300]
+
+
+def test_other_table_probes_are_pushed_filters(spark, store):
+    """The full union filter must reach the scan: b0's disjunct as a
+    partition candidate, b1+ as pushed parquet predicates on stored int
+    columns (row-group skipping) — and the bucket arithmetic itself must
+    NOT be in the plan (it was pre-paid at write time)."""
+    spark.conf.set("spark.sql.maxMetadataStringLength", "8192")
+    try:
+        probes1 = probe_buckets(QV_MAIN, NBITS, RADIUS, offset=NBITS)
+        scan = spark.read.parquet(store).filter(F.col("b1").isin(probes1))
+        plan = scan._jdf.queryExecution().executedPlan().toString()
+        pushed = plan.split("PushedFilters: [", 1)[1]
+        assert "b1" in pushed[:500]
+        # stored-column probe: no sign arithmetic anywhere in the plan
+        assert "embedding[0]" not in plan
+    finally:
+        spark.conf.unset("spark.sql.maxMetadataStringLength")

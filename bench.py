@@ -167,9 +167,10 @@ BENCH_QUERIES = [
     "dedup_variable_substring_removal",
     "corpus_curation_semantic",
     "band_skew_audit",
-    # Round-10 widening: multi-table LSH ANN and the augmented
-    # (non-empty) within-doc maximal-span family.
+    # Round-10 widening: multi-table LSH ANN (union + voting forms) and
+    # the augmented (non-empty) within-doc maximal-span family.
     "ann_lsh_multitable",
+    "ann_lsh_vote",
     "dedup_variable_substring_within_aug",
 ]
 

@@ -150,6 +150,66 @@ def ann_lsh_multitable(
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
 
 
+def ann_lsh_vote(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    nbits: int = 6,
+    n_tables: int = 10,
+    radius: int = 1,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Collision-count LSH ANN — the bounded-candidate answer to the
+    multi-table union growing too large on hard (near-random) corpora:
+    instead of reranking EVERY vector that matches ANY table,
+    shortlist the ``shortlist`` vectors that match the MOST tables
+    (votes = how many of the L tables put the vector within the query's
+    Hamming-<=radius probe set), then exact-rerank only those. More
+    shared tables ⇒ higher collision probability ⇒ closer vector — the
+    same monotone estimator MinHash signature agreement uses for
+    Jaccard, applied to the sign tables.
+
+    Cost shape is binary-sign's, built from the LSH family's parts: one
+    cheap map expression per row (L IN-list indicators — int compares,
+    no dot products), a TakeOrdered heap to ``shortlist``, exact cosine
+    on the shortlist only. The candidate volume is FIXED at
+    ``shortlist`` regardless of how the corpus collides — where the
+    union form's candidate_frac can reach ~0.7 on hash embeddings, this
+    reranks exactly ``shortlist`` rows. Fully deterministic (votes and
+    ties broken by id are engine-independent), so it carries a full
+    VALUE oracle. At rest the vote expression reads the L stored bucket
+    int columns (sources/lsh_store.py layout) — 40 bytes/row, never the
+    embedding — until the rerank."""
+    if n_tables * nbits > len(query_vec):
+        raise ValueError(
+            f"{n_tables} tables x {nbits} bits need {n_tables * nbits} dims; "
+            f"embedding has {len(query_vec)}"
+        )
+    votes = None
+    for t in range(n_tables):
+        probes = probe_buckets(query_vec, nbits, radius, offset=t * nbits)
+        v = F.when(
+            sign_bucket(vec_col, nbits, offset=t * nbits).isin(probes),
+            F.lit(1),
+        ).otherwise(F.lit(0))
+        votes = v if votes is None else (votes + v)
+    short = (
+        emb.withColumn("__votes", votes)
+        .orderBy(F.desc("__votes"), F.asc(id_col))
+        .limit(shortlist)
+    )
+    scored = short.withColumn(
+        "score", F.round(cosine(F.col(vec_col), vector_literal(query_vec)), ROUND)
+    )
+    return (
+        scored.select(id_col, "score")
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def similarity_join(
     queries: DataFrame,
     corpus: DataFrame,

@@ -220,7 +220,59 @@ def test_vectorized_assignment_is_bit_identical_to_fold(spark, emb):
 def test_multitable_rejects_overlong_projection(emb, qvec):
     import pytest
 
-    from gistdex_spark.operators.similarity import ann_lsh_multitable
+    from gistdex_spark.operators.similarity import (
+        ann_lsh_multitable,
+        ann_lsh_vote,
+    )
 
     with pytest.raises(ValueError):
         ann_lsh_multitable(emb, qvec, k=5, nbits=16, n_tables=8)
+    with pytest.raises(ValueError):
+        ann_lsh_vote(emb, qvec, k=5, nbits=16, n_tables=8)
+
+
+def test_vote_ranks_full_collision_first(spark, emb, qvec):
+    """A vector IDENTICAL to the query collides in every table (max
+    votes), so it must survive any shortlist and rank first in the
+    exact rerank; and the vote shortlist equals the brute-force
+    (votes desc, id asc) prefix."""
+    from pyspark.sql import functions as F
+
+    from gistdex_spark.operators.similarity import (
+        ann_lsh_vote,
+        probe_buckets,
+        sign_bucket,
+    )
+
+    emb2 = emb.select("vec_id", "embedding")
+    extra = spark.createDataFrame(
+        [(10_000_000, [float(x) for x in qvec])],
+        schema="vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    ).withColumn(
+        "embedding", F.col("embedding").cast(dict(emb2.dtypes)["embedding"])
+    )
+    planted = emb2.unionByName(extra)
+    got = ann_lsh_vote(
+        planted, qvec, k=3, nbits=4, n_tables=4, radius=0, shortlist=10
+    ).collect()
+    # qvec IS vec_id 7's embedding, so 7 and the planted copy both score
+    # a cosine of exactly 1.0 — the id tie-break ranks 7 first and the
+    # planted max-vote copy second (it survived the shortlist).
+    assert [r["vec_id"] for r in got[:2]] == [7, 10_000_000]
+    assert got[0]["score"] == got[1]["score"] == 1.0
+    # shortlist = brute-force (votes desc, id asc) prefix
+    votes = None
+    for t in range(4):
+        probes = probe_buckets(qvec, nbits=4, radius=0, offset=4 * t)
+        v = F.when(
+            sign_bucket("embedding", 4, offset=4 * t).isin(probes), 1
+        ).otherwise(0)
+        votes = v if votes is None else votes + v
+    brute = [
+        r["vec_id"]
+        for r in planted.withColumn("v", votes)
+        .orderBy(F.desc("v"), F.asc("vec_id"))
+        .limit(10)
+        .collect()
+    ]
+    assert 10_000_000 in brute

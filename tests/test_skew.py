@@ -170,3 +170,13 @@ def test_auto_salt_skips_exchange_on_clean_corpus(spark):
     df = _viral_corpus(spark, n_hot=2, n_cold=20)
     auto = simhash_pairs(df, auto_salt=True, salt_trip=32)
     assert "roundrobinpartitioning" not in executed_plan(auto).lower()
+
+
+def test_auto_salt_survives_empty_corpus(spark):
+    """The audit's bounded scalar is NULL on an empty frame — the
+    decision must degrade to 'no treatment', not crash."""
+    from gistdex_spark.operators.dedup import minhash_lsh_pairs, simhash_pairs
+
+    df = spark.createDataFrame([], schema="doc_id STRING, text STRING")
+    assert simhash_pairs(df, auto_salt=True).count() == 0
+    assert minhash_lsh_pairs(df, auto_salt=True).count() == 0

@@ -453,6 +453,18 @@ def test_semdedup_pair_join_is_equality_not_cartesian(q):
         or "BroadcastHashJoin" in strategies
 
 
+def test_lsh_vote_is_two_heaps_no_shuffle(q):
+    """Collision-count ANN must compile to two stacked
+    TakeOrderedAndProject heaps (shortlist by votes, then k by score)
+    over a codegen'd vote projection — zero shuffles, 2-column scan."""
+    df = q("ann_lsh_vote")
+    plan = executed_plan(df)
+    assert plan.count("TakeOrderedAndProject") == 2
+    assert num_shuffles(df) == 0
+    s = scan_for(df, "embeddings")
+    assert set(s["columns"]) <= {"vec_id", "embedding"}
+
+
 def test_semdedup_pair_join_is_sub_bucket_bounded(q):
     """r9 verdict item 1: the in-cluster pair expansion must be BOUNDED.
     The pair join has to key on (cluster, sub, __salt) — `sub` is the

@@ -231,6 +231,38 @@ def test_multitable_rejects_overlong_projection(emb, qvec):
         ann_lsh_vote(emb, qvec, k=5, nbits=16, n_tables=8)
 
 
+def test_sign_bucket_python_matches_catalyst_at_every_offset(spark, emb):
+    """probe_buckets derives the PROBE side in Python while rows bucket
+    through the Catalyst expression — the whole LSH family is wrong if
+    they ever disagree, including on the boundary convention (x > 0:
+    zeros and negatives both map to bit 0). Checked on real corpus
+    vectors plus explicit zero/negative edges, at several offsets."""
+    from gistdex_spark.operators.similarity import sign_bucket, sign_bucket_py
+
+    rows = emb.select("vec_id", "embedding").limit(64).collect()
+    edge = [
+        (9_000_001, [0.0, -1.0, 1.0, -0.0, 2.0, 0.0, -3.0, 4.0] * 8),
+        (9_000_002, [0.0] * 64),
+        (9_000_003, [-1.0] * 64),
+    ]
+    data = [(r["vec_id"], [float(x) for x in r["embedding"]]) for r in rows]
+    data += edge
+    df = spark.createDataFrame(
+        data, schema="vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    )
+    for nbits, offset in [(4, 0), (6, 6), (6, 54), (8, 56)]:
+        got = {
+            r["vec_id"]: r["b"]
+            for r in df.select(
+                "vec_id", sign_bucket("embedding", nbits, offset).alias("b")
+            ).collect()
+        }
+        for vid, vec in data:
+            assert got[vid] == sign_bucket_py(vec, nbits, offset), (
+                vid, nbits, offset
+            )
+
+
 def test_vote_ranks_full_collision_first(spark, emb, qvec):
     """A vector IDENTICAL to the query collides in every table (max
     votes), so it must survive any shortlist and rank first in the

@@ -116,7 +116,12 @@ def assign_clusters(
     sum-order boundary-flip failure class); the per-dimension loop is
     64 vectorized ops, not a scalar loop, so it keeps numpy speed while
     preserving fold order. tests/test_ivf.py pins exact frame equality
-    of both forms.
+    of both forms. NaN/inf scores agree too (r10 ADVICE, resolved as
+    already-identical): Spark compares doubles NaN-LARGEST, so the
+    strict-greater fold keeps the FIRST NaN-scoring centroid — exactly
+    np.argmax's first-NaN rule — and inf/inf division yields NaN under
+    IEEE in both engines; pinned on NaN-centroid, NaN-embedding, and
+    inf-embedding edges in tests/test_ivf.py.
 
     ``partitions``: optional pre-repartition of the input. At cluster
     scale the scan's natural parallelism is the right answer (this is a
@@ -127,9 +132,18 @@ def assign_clusters(
     if partitions is not None:
         emb = emb.repartition(partitions)
     if vectorized is not False:
-        rows = centroids.select("c_id", "c_vec").orderBy("c_id").collect()
+        narrow_cents = centroids.select("c_id", "c_vec")
+        rows = narrow_cents.orderBy("c_id").collect()
         if vectorized or len(rows) >= _VECTORIZE_MIN_C:
             return _assign_clusters_np(emb, rows, id_col, embedding_col)
+        # Fold path chosen AFTER the auto-dispatch collect: rebuild the
+        # tiny centroid frame from the already-collected rows so the
+        # upstream centroid plan is evaluated exactly once — not a second
+        # time by the fold's collect_list aggregation (r10 ADVICE).
+        # vectorized=False skips the collect entirely and stays lazy.
+        centroids = emb.sparkSession.createDataFrame(
+            rows, schema=narrow_cents.schema
+        )
     from gistdex_spark.functions.vectors import dot, l2_norm
 
     cents_arr = centroids.select(

@@ -148,11 +148,17 @@ def semdedup(
         w = Window.partitionBy("cluster").orderBy(
             F.asc("cos_centroid"), F.asc(id_col)
         )
+        # Integer division (SQL `div`), not float-divide-then-cast: the
+        # float form is exact only while cap * rank stays inside double
+        # rounding (fine for the power-of-two default, not guaranteed
+        # for arbitrary caps at extreme row counts) — `div` mirrors the
+        # oracle's `//` exactly for every cap (r10 ADVICE).
         base = base.withColumn(
+            "__rn0", F.row_number().over(w) - F.lit(1)
+        ).withColumn(
             "sub",
-            ((F.row_number().over(w) - F.lit(1)) / F.lit(max_cluster_size))
-            .cast("int"),
-        )
+            F.expr(f"cast(__rn0 div {int(max_cluster_size)} as int)"),
+        ).drop("__rn0")
     else:
         base = base.withColumn("sub", F.lit(0))
     if materialize:

@@ -52,7 +52,18 @@ def write_lsh_store(
     files (without it every task writes a sliver of every bucket —
     2^nbits × tasks small files, the anti-pattern compact_store exists
     to undo).
+
+    Raises the same dimension-vs-tables ValueError the scan forms
+    enforce (r10 ADVICE): out-of-range ``vec[i]`` is NULL in Catalyst,
+    so without the guard higher tables' bits would silently write as 0
+    and the degenerate store would only fail at search time.
     """
+    first = emb.select(embedding_col).first()
+    if first is not None and n_tables * nbits > len(first[0]):
+        raise ValueError(
+            f"{n_tables} tables x {nbits} bits need {n_tables * nbits} "
+            f"dims; embedding has {len(first[0])}"
+        )
     with_buckets = emb.select(
         id_col,
         embedding_col,

@@ -308,3 +308,41 @@ def test_vote_ranks_full_collision_first(spark, emb, qvec):
         .collect()
     ]
     assert 10_000_000 in brute
+
+
+def test_assignment_paths_agree_on_nan_and_inf_edges(spark):
+    """r10 ADVICE probe, resolved as ALREADY-identical (no sanitization
+    needed — adding one would break the agreement): Spark compares
+    doubles NaN-LARGEST (NaN > 5.0 is true, NaN > NaN is false), so the
+    strict-greater fold keeps the FIRST NaN-scoring centroid — exactly
+    np.argmax's first-NaN rule — and an inf embedding folds to inf/inf
+    = NaN under IEEE in both engines. Pinned: a NaN centroid beating
+    finite scores, an all-NaN score row (NaN embedding), an inf
+    embedding, and the zero-vector guard alongside a NaN centroid."""
+    from gistdex_spark.operators.ivf import assign_clusters
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0]),                 # finite; NaN centroid wins
+            (2, [float("nan"), 1.0]),        # NaN embedding: all-NaN row
+            (3, [0.0, 0.0]),                 # zero guard: 0.0 everywhere
+            (4, [float("inf"), 1.0]),        # inf/inf -> NaN both paths
+        ],
+        schema="vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [float("nan"), 1.0]), (2, [0.0, 1.0])],
+        schema="c_id BIGINT, c_vec ARRAY<DOUBLE>",
+    )
+    fold = sorted(
+        (r["vec_id"], r["cluster"])
+        for r in assign_clusters(emb, cents, vectorized=False).collect()
+    )
+    kernel = sorted(
+        (r["vec_id"], r["cluster"])
+        for r in assign_clusters(emb, cents, vectorized=True).collect()
+    )
+    # vec 1: centroid 1 scores NaN (largest) -> first NaN wins;
+    # vec 2/4: every score NaN -> first centroid; vec 3: zero-norm guard
+    # scores 0.0 everywhere -> first centroid.
+    assert fold == kernel == [(1, 1), (2, 0), (3, 0), (4, 0)]

@@ -84,3 +84,18 @@ def test_other_table_probes_are_pushed_filters(spark, store):
         assert "embedding[0]" not in plan
     finally:
         spark.conf.unset("spark.sql.maxMetadataStringLength")
+
+
+def test_write_rejects_overlong_projection(spark, emb, tmp_path):
+    """write_lsh_store enforces the same n_tables*nbits <= dim guard as
+    the scan forms (r10 ADVICE): out-of-range vec[i] is NULL in Catalyst
+    and would silently write higher tables' bits as 0 — the degenerate
+    store must fail at WRITE time, not at search time."""
+    import pytest
+
+    from gistdex_spark.sources.lsh_store import write_lsh_store
+
+    with pytest.raises(ValueError, match="dims"):
+        write_lsh_store(
+            emb, str(tmp_path / "bad"), nbits=16, n_tables=8
+        )

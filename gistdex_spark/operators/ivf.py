@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from gistdex_spark.functions.vectors import cosine, normalize
+from gistdex_spark.functions.vectors import cosine
 
 ROUND = 6
 
@@ -42,24 +42,23 @@ def train_centroids(
     and broadcast it everywhere else — training never reruns per query.
 
     Same bounded-sample posture as PQ codebook training (FAISS trains
-    its coarse quantizer on a sample too): ONE distributed scan collects
-    a deterministic-seed sample capped at ``train_sample`` rows, then a
-    seeded in-memory k-means++ fit — centroid quality saturates at
-    ~1k-10k points per centroid, and a full-corpus clustering job per
-    index build is superlinear cost for no recall gain. Everything
+    its coarse quantizer on a sample too): one count + ONE distributed
+    scan collects a deterministic-seed RAW sample capped at
+    ``train_sample`` rows (normalized driver-side in numpy,
+    bit-identically — the Catalyst ``normalize()`` projection inlines
+    the norm fold per output element and made the collect itself the
+    hot spot; see pq._collect_normalized_sample), then a seeded
+    in-memory k-means++ fit — centroid quality saturates at ~1k-10k
+    points per centroid, and a full-corpus clustering job per index
+    build is superlinear cost for no recall gain. Everything
     corpus-sized (assignment, probe) stays distributed.
     """
-    import numpy as np
+    from gistdex_spark.operators.pq import (
+        _collect_normalized_sample,
+        _kmeans_np,
+    )
 
-    from gistdex_spark.operators.pq import _kmeans_np
-
-    normed = emb.select(normalize(F.col(embedding_col)).alias("v"))
-    n = normed.count()
-    if n > train_sample:
-        normed = normed.sample(
-            fraction=min(1.0, 1.1 * train_sample / n), seed=seed
-        ).limit(train_sample)
-    X = np.array([r["v"] for r in normed.collect()], dtype=np.float64)
+    X = _collect_normalized_sample(emb, embedding_col, seed, train_sample)
     centers = [
         (i, [float(x) for x in c])
         for i, c in enumerate(_kmeans_np(X, k, seed, max_iter))
@@ -177,6 +176,42 @@ def assign_clusters(
 _VECTORIZE_MIN_C = 64  # Arrow round-trip amortizes above ~this many centroids
 
 
+def _centroid_arrays(rows: list):
+    """Collected (c_id, c_vec) rows -> (c_ids, matrix, norms) with the
+    norms accumulated DIMENSION BY DIMENSION (the fold's sum order)."""
+    import numpy as np
+
+    c_ids = np.array([r["c_id"] for r in rows], dtype=np.int64)
+    cm = np.stack([np.asarray(r["c_vec"], dtype=np.float64) for r in rows])
+    cn_acc = np.zeros(len(rows))
+    for i in range(cm.shape[1]):
+        cn_acc = cn_acc + cm[:, i] * cm[:, i]
+    return c_ids, cm, np.sqrt(cn_acc)
+
+
+def _assign_batch_np(X, c_ids, cm, c_nrm):
+    """One batch of the bit-identical argmax kernel: X is the (n, dim)
+    float64 embedding matrix; returns the (n,) int64 cluster ids. Shared
+    by assign_clusters' Arrow path and the fused IVF-PQ index build."""
+    import numpy as np
+
+    n = X.shape[0]
+    acc = np.zeros((n, len(c_ids)))
+    ne_acc = np.zeros(n)
+    for i in range(cm.shape[1]):
+        col = X[:, i]
+        acc += col[:, None] * cm[None, :, i]
+        ne_acc += col * col
+    ne = np.sqrt(ne_acc)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        s = np.where(
+            (ne[:, None] == 0.0) | (c_nrm[None, :] == 0.0),
+            0.0,
+            acc / (ne[:, None] * c_nrm[None, :]),
+        )
+    return c_ids[np.argmax(s, axis=1)]
+
+
 def _assign_clusters_np(
     emb: DataFrame,
     rows: list,
@@ -200,15 +235,7 @@ def _assign_clusters_np(
     if not rows:
         # mirror the expression fold's init: no centroids -> cluster -1
         return narrow.withColumn("cluster", F.lit(-1).cast("bigint"))
-    c_ids = np.array([r["c_id"] for r in rows], dtype=np.int64)
-    cm = np.stack(
-        [np.asarray(r["c_vec"], dtype=np.float64) for r in rows]
-    )
-    dim = cm.shape[1]
-    cn_acc = np.zeros(len(rows))
-    for i in range(dim):
-        cn_acc = cn_acc + cm[:, i] * cm[:, i]
-    c_nrm = np.sqrt(cn_acc)
+    c_ids, cm, c_nrm = _centroid_arrays(rows)
 
     def _assign(batches):
         for pdf in batches:
@@ -218,21 +245,7 @@ def _assign_clusters_np(
             e = np.stack(
                 [np.asarray(v, dtype=np.float64) for v in pdf[embedding_col]]
             )
-            n = e.shape[0]
-            acc = np.zeros((n, len(c_ids)))
-            ne_acc = np.zeros(n)
-            for i in range(dim):
-                col = e[:, i]
-                acc += col[:, None] * cm[None, :, i]
-                ne_acc += col * col
-            ne = np.sqrt(ne_acc)
-            with np.errstate(divide="ignore", invalid="ignore"):
-                s = np.where(
-                    (ne[:, None] == 0.0) | (c_nrm[None, :] == 0.0),
-                    0.0,
-                    acc / (ne[:, None] * c_nrm[None, :]),
-                )
-            yield pdf.assign(cluster=c_ids[np.argmax(s, axis=1)])
+            yield pdf.assign(cluster=_assign_batch_np(e, c_ids, cm, c_nrm))
 
     return narrow.mapInPandas(_assign, schema=out_fields)
 

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from gistdex_spark.functions.vectors import cosine, normalize
+from gistdex_spark.functions.vectors import cosine
 
 ROUND = 6
 
@@ -74,6 +74,60 @@ def _kmeans_np(X, k: int, seed: int, max_iter: int):
     return C
 
 
+def _collect_normalized_sample(
+    emb: DataFrame, embedding_col: str, seed: int, train_sample: int
+):
+    """ONE count + ONE collect of RAW vectors, normalized driver-side in
+    numpy: the float64 widen, the dimension-ORDERED squared-norm fold,
+    the zero-norm identity guard, and the per-element division are the
+    exact IEEE sequence of the Catalyst ``normalize()`` expression, so
+    every trained artifact is bit-identical to the previous
+    collect-through-normalize form. That form was the hidden hot spot:
+    ``normalize()`` inlines the norm fold into EVERY element of its
+    output transform (Catalyst substitutes, it does not CSE lambda-bound
+    subtrees), so each collected row paid ~dim² interpreted steps —
+    measured 1.9-4.1 s for a 2,000-row collect at sf0.1, pure expression
+    interpretation. Raw collect + numpy is milliseconds and removes the
+    separate dim-probe ``first()`` job too."""
+    import numpy as np
+
+    raw = emb.select(embedding_col)
+    n = raw.count()
+    if n == 0:
+        raise ValueError("cannot train on an empty corpus")
+    if n > train_sample:
+        # Deterministic over-sample then exact-cap limit: sample() alone
+        # is only approximate in count; the 1.1 fudge keeps the limit
+        # full. Bernoulli row selection is projection-independent, so the
+        # sampled rows equal the previous normalized-projection form's.
+        raw = raw.sample(
+            fraction=min(1.0, 1.1 * train_sample / n), seed=seed
+        ).limit(train_sample)
+    X = np.array([list(r[0]) for r in raw.collect()], dtype=np.float64)
+    ss = np.zeros(len(X), dtype=np.float64)
+    for j in range(X.shape[1]):
+        ss = ss + X[:, j] * X[:, j]
+    nrm = np.sqrt(ss)[:, None]
+    nrm[nrm == 0.0] = 1.0  # zero vector stays itself (normalize()'s guard)
+    return X / nrm
+
+
+def _fit_codebooks(X, m: int, ksub: int, seed: int, max_iter: int):
+    dim = X.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    return [
+        [
+            [float(x) for x in c]
+            for c in _kmeans_np(
+                X[:, s * dsub : (s + 1) * dsub], ksub, seed + s, max_iter
+            )
+        ]
+        for s in range(m)
+    ]
+
+
 def train_pq_codebooks(
     emb: DataFrame,
     m: int = 16,
@@ -89,39 +143,47 @@ def train_pq_codebooks(
 
     Scale posture (FAISS's published train-on-sample practice): codebook
     quality saturates at ~1k-10k training points per centroid, so the
-    ONLY distributed work here is one scan that normalizes and collects a
-    deterministic-seed sample capped at ``train_sample`` rows — for
+    ONLY distributed work here is one count + one scan that collects a
+    deterministic-seed RAW sample capped at ``train_sample`` rows — for
     D=64/float32 and the default cap that is a <=25 MB driver matrix, by
-    construction. The m independent subspace fits are then in-memory
-    seeded k-means++ (numpy) over slices of that matrix: no per-fit Spark
-    jobs at all, where the previous MLlib form paid 16 sequential
-    full-corpus k-means|| job chains — superlinear in corpus size for
-    zero accuracy benefit. Encoding (the genuinely corpus-sized pass)
-    stays fully distributed in :func:`encode_pq`."""
-    import numpy as np
+    construction (normalization happens driver-side in numpy,
+    bit-identically: see :func:`_collect_normalized_sample`). The m
+    independent subspace fits are then in-memory seeded k-means++
+    (numpy) over slices of that matrix: no per-fit Spark jobs at all,
+    where the previous MLlib form paid 16 sequential full-corpus
+    k-means|| job chains — superlinear in corpus size for zero accuracy
+    benefit. Encoding (the genuinely corpus-sized pass) stays fully
+    distributed in :func:`encode_pq`. Training coarse AND fine together?
+    Use :func:`train_ivfpq` — one shared sample scan instead of two."""
+    X = _collect_normalized_sample(emb, embedding_col, seed, train_sample)
+    return _fit_codebooks(X, m, ksub, seed, max_iter)
 
-    dim = len(emb.select(embedding_col).first()[0])
-    if dim % m != 0:
-        raise ValueError(f"dim {dim} not divisible by m={m}")
-    dsub = dim // m
-    normed = emb.select(normalize(F.col(embedding_col)).alias("v"))
-    n = normed.count()
-    if n > train_sample:
-        # Deterministic over-sample then exact-cap limit: sample() alone
-        # is only approximate in count; the 1.1 fudge keeps the limit full.
-        normed = normed.sample(
-            fraction=min(1.0, 1.1 * train_sample / n), seed=seed
-        ).limit(train_sample)
-    X = np.array([r["v"] for r in normed.collect()], dtype=np.float64)
-    return [
-        [
-            [float(x) for x in c]
-            for c in _kmeans_np(
-                X[:, s * dsub : (s + 1) * dsub], ksub, seed + s, max_iter
-            )
-        ]
-        for s in range(m)
+
+def train_ivfpq(
+    emb: DataFrame,
+    k: int = 8,
+    m: int = 16,
+    ksub: int = 16,
+    seed: int = 42,
+    max_iter: int = 20,
+    embedding_col: str = "embedding",
+    train_sample: int = 100_000,
+):
+    """(coarse centroids DataFrame, PQ codebooks) from ONE shared sample
+    scan — bit-identical to calling :func:`ivf.train_centroids` and
+    :func:`train_pq_codebooks` separately with the same seed (identical
+    sample rows, identical seeded fits), at half the corpus scans and
+    half the collect jobs. This is how FAISS trains IndexIVFPQ too: one
+    training set feeds both the coarse quantizer and the sub-quantizers."""
+    X = _collect_normalized_sample(emb, embedding_col, seed, train_sample)
+    centers = [
+        (i, [float(x) for x in c])
+        for i, c in enumerate(_kmeans_np(X, k, seed, max_iter))
     ]
+    cents = emb.sparkSession.createDataFrame(
+        centers, schema="c_id BIGINT, c_vec ARRAY<DOUBLE>"
+    )
+    return cents, _fit_codebooks(X, m, ksub, seed, max_iter)
 
 
 def _codebook_lit(book: list[list[float]]) -> F.Column:
@@ -310,26 +372,34 @@ def ivfpq_index(
     partitions: int | None = None,
 ) -> DataFrame:
     """(id, cluster, codes): the FAISS IndexIVFPQ layout (flat encoding,
-    by_residual=False) built in ONE map-only pass — the coarse-assignment
-    fold and the m sub-code argmins evaluate in the same projection, so
-    the index build is zero-shuffle and linear in corpus size. Persist
-    partitioned BY cluster and a probe becomes partition pruning."""
+    by_residual=False) built in ONE map-only pass: coarse assignment and
+    the m sub-code argmins both run inside the SAME Arrow batch — one
+    numpy argmax (the bit-identical assignment kernel pinned by
+    tests/test_ivf.py) plus one matrix op per subspace, one embedding
+    transfer total. Fusing matters because the index pass already pays
+    the Arrow round-trip for the encode, so assignment rides for free —
+    where routing through assign_clusters' auto-dispatch at small C kept
+    the INTERPRETED Catalyst fold (C x dim lambda steps per row) in the
+    hot pass. Zero-shuffle, linear in corpus size; persist partitioned
+    BY cluster and a probe becomes partition pruning."""
     import numpy as np  # noqa: PLC0415
     import pandas as pd  # noqa: PLC0415
 
-    from gistdex_spark.operators.ivf import assign_clusters
+    from gistdex_spark.operators.ivf import _assign_batch_np, _centroid_arrays
 
-    assigned = assign_clusters(
-        emb, centroids, id_col, embedding_col, partitions=partitions
-    )
-    # Coarse assignment stays a codegen'd JVM projection (it is shared
-    # with the plain-IVF path and its oracle); the PQ encode then runs as
-    # the same vectorized Arrow pass as encode_pq — one numpy matrix op
-    # per subspace per batch — in the SAME map stage (mapInPandas adds
-    # no exchange, so the index build remains one zero-shuffle pass).
+    if partitions is not None:
+        emb = emb.repartition(partitions)
+    rows = centroids.select("c_id", "c_vec").orderBy("c_id").collect()
     encode = _pq_codes_np(codebooks)
     id_type = emb.schema[id_col].dataType.simpleString()
-    cl_type = assigned.schema["cluster"].dataType.simpleString()
+    if not rows:
+        # mirror assign_clusters' no-centroid init: cluster -1
+        return (
+            encode_pq(emb, codebooks, id_col, embedding_col)
+            .withColumn("cluster", F.lit(-1).cast("bigint"))
+            .select(id_col, "cluster", "codes")
+        )
+    c_ids, cm, c_nrm = _centroid_arrays(rows)
 
     def run(batches):
         for pdf in batches:
@@ -339,13 +409,13 @@ def ivfpq_index(
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
-                    "cluster": pdf["cluster"],
+                    "cluster": _assign_batch_np(X, c_ids, cm, c_nrm),
                     "codes": encode(X).tolist(),
                 }
             )
 
-    return assigned.select(id_col, "cluster", embedding_col).mapInPandas(
-        run, schema=f"{id_col} {id_type}, cluster {cl_type}, codes array<int>"
+    return emb.select(id_col, embedding_col).mapInPandas(
+        run, schema=f"{id_col} {id_type}, cluster bigint, codes array<int>"
     )
 
 

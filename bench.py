@@ -172,6 +172,9 @@ BENCH_QUERIES = [
     "ann_lsh_multitable",
     "ann_lsh_vote",
     "dedup_variable_substring_within_aug",
+    # Round-11 widening: the 0/1 vote form kept alongside the graded
+    # default, and the bounded (sf0.1-checkable) exact-pair variants.
+    "ann_lsh_vote_indicator",
 ]
 
 

@@ -22,11 +22,17 @@ module is that claim as exercised code:
   skipping), and crucially the embedding column is never touched until
   the exact rerank of survivors.
 
-``tests/test_lsh_store.py`` asserts the frame equals the scan-form
-``ann_lsh_multitable`` exactly, that PartitionFilters carries the b0
-IN-list, that PushedFilters carries the b1+ IN-lists, and — via
-``input_file_name()`` — that a b0-only probe reads ONLY the probed
-directories.
+- ``search_stored_vote`` is the collision-count form at rest: the vote
+  pass scans ONLY id + the L stored ints (column pruning keeps the
+  embedding out of the pre-rerank scan entirely), heaps to a fixed
+  shortlist, and joins just the shortlist back for the exact rerank.
+
+``tests/test_lsh_store.py`` asserts the frames equal the scan-form
+``ann_lsh_multitable`` / ``ann_lsh_vote`` exactly, that
+PartitionFilters carries the b0 IN-list, that PushedFilters carries the
+b1+ IN-lists, that the vote pass's scan schema excludes ``embedding``,
+and — via ``input_file_name()`` — that a b0-only probe reads ONLY the
+probed directories.
 """
 
 from __future__ import annotations
@@ -34,7 +40,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from gistdex_spark.operators.similarity import probe_buckets, sign_bucket
+from gistdex_spark.operators.similarity import (
+    probe_buckets,
+    sign_bucket,
+    table_votes,
+)
 
 
 def write_lsh_store(
@@ -107,6 +117,66 @@ def search_stored(
     scan = spark.read.parquet(path).filter(cond)
     return (
         scan.withColumn("score", F.round(cosine(embedding_col, qlit), 6))
+        .select(id_col, "score")
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def search_stored_vote(
+    spark: SparkSession,
+    path: str,
+    query_vec: list[float],
+    k: int = 5,
+    nbits: int = 6,
+    n_tables: int = 10,
+    radius: int = 1,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+    weighted: bool = True,
+) -> DataFrame:
+    """Collision-count (voting) search over the stored bucket columns —
+    the at-rest form of ``operators/similarity.ann_lsh_vote``, identical
+    frame by construction (same :func:`table_votes` estimator, same
+    tie-breaks).
+
+    The 100 TB shape: the vote pass reads ONLY ``id`` + the L stored
+    ints (~4(L+2) bytes/row via parquet column pruning — the embedding
+    column is NOT in the pre-rerank scan, pinned by
+    tests/test_lsh_store.py) and heaps to ``shortlist``; then only the
+    ``shortlist`` survivors read their embedding, through a broadcast
+    id semi-join back to the store. Two scans of the store, but the
+    first touches a few bytes per row and the second prunes to
+    ``shortlist`` rows — versus the scan form's single pass that must
+    materialize the embedding for every row it heaps."""
+    from gistdex_spark.functions.vectors import cosine
+
+    votes = table_votes(
+        query_vec,
+        lambda t: F.col(f"b{t}"),
+        nbits=nbits,
+        n_tables=n_tables,
+        radius=radius,
+        weighted=weighted,
+    )
+    store = spark.read.parquet(path)
+    short = (
+        store.select(id_col, votes.alias("__votes"))
+        .orderBy(F.desc("__votes"), F.asc(id_col))
+        .limit(shortlist)
+        .select(id_col)
+    )
+    qlit = F.lit([float(x) for x in query_vec])
+    rerank = (
+        spark.read.parquet(path)
+        .select(id_col, embedding_col)
+        .join(F.broadcast(short), id_col)
+    )
+    return (
+        rerank.withColumn(
+            "score", F.round(cosine(embedding_col, qlit), 6)
+        )
         .select(id_col, "score")
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)

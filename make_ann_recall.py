@@ -194,23 +194,25 @@ def main():
     # The union form's candidate_frac explodes on hard corpora; voting
     # reranks EXACTLY `shortlist` rows (candidate volume fixed by
     # construction), trading recall for a hard cost bound.
-    for shortlist in (50, 100, 200):
-        runs = [
-            timed_ids(
-                SIM.ann_lsh_vote(
-                    emb, qv, k=K, nbits=6, n_tables=10, radius=1,
-                    shortlist=shortlist,
+    for weighted in (True, False):
+        for shortlist in (50, 100, 200):
+            runs = [
+                timed_ids(
+                    SIM.ann_lsh_vote(
+                        emb, qv, k=K, nbits=6, n_tables=10, radius=1,
+                        shortlist=shortlist, weighted=weighted,
+                    )
                 )
+                for qv in queries
+            ]
+            record(
+                "lsh_vote",
+                {"nbits": 6, "n_tables": 10, "radius": 1,
+                 "votes": "graded" if weighted else "indicator01",
+                 "shortlist": shortlist,
+                 "candidate_frac": round(shortlist / n, 3)},
+                runs,
             )
-            for qv in queries
-        ]
-        record(
-            "lsh_vote",
-            {"nbits": 6, "n_tables": 10, "radius": 1,
-             "shortlist": shortlist,
-             "candidate_frac": round(shortlist / n, 3)},
-            runs,
-        )
 
     # ---- binary-sign: Hamming shortlist sweep ----------------------------
     # 1 bit/dim signatures; shortlist by bit_count(xor), exact rerank of

@@ -99,3 +99,55 @@ def test_write_rejects_overlong_projection(spark, emb, tmp_path):
         write_lsh_store(
             emb, str(tmp_path / "bad"), nbits=16, n_tables=8
         )
+
+
+def test_stored_vote_matches_scan_form_exactly(spark, emb, store):
+    """The at-rest vote search must be frame-equal to the scan-form
+    ann_lsh_vote — graded (default) AND 0/1 indicator — closing the r10
+    'at rest the vote expression reads the stored bucket columns' claim
+    with exercised code instead of a docstring."""
+    from gistdex_spark.operators.similarity import ann_lsh_vote
+    from gistdex_spark.sources.lsh_store import search_stored_vote
+
+    for weighted in (True, False):
+        scan_form = ann_lsh_vote(
+            emb, QV_MAIN, k=5, nbits=NBITS, n_tables=NT, radius=RADIUS,
+            shortlist=20, weighted=weighted,
+        ).collect()
+        stored = search_stored_vote(
+            spark, store, QV_MAIN, k=5, nbits=NBITS, n_tables=NT,
+            radius=RADIUS, shortlist=20, weighted=weighted,
+        ).collect()
+        assert [(r["vec_id"], r["score"]) for r in scan_form] == [
+            (r["vec_id"], r["score"]) for r in stored
+        ], f"weighted={weighted}"
+
+
+def test_stored_vote_never_reads_embedding_before_rerank(spark, store):
+    """The vote pass must touch ONLY id + the L stored bucket ints: no
+    scan in the plan reads embedding together with a bucket column, and
+    the embedding-reading scan is the broadcast-semi-joined rerank of
+    `shortlist` ids. This is the 100 TB cost story — a few int bytes
+    per corpus row, full vectors only for the shortlist."""
+    import re
+
+    from gistdex_spark.sources.lsh_store import search_stored_vote
+
+    df = search_stored_vote(
+        spark, store, QV_MAIN, k=5, nbits=NBITS, n_tables=NT,
+        radius=RADIUS, shortlist=20,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert len(schemas) >= 2, f"expected two store scans: {plan[:500]}"
+    vote_scans = [s for s in schemas if "b1:" in s or "b9:" in s]
+    emb_scans = [s for s in schemas if "embedding" in s]
+    assert vote_scans, f"no bucket-column scan: {schemas}"
+    assert emb_scans, f"no rerank scan: {schemas}"
+    for s in vote_scans:
+        assert "embedding" not in s, f"vote scan reads embedding: {s}"
+    for s in emb_scans:
+        assert "b1:" not in s and "b9:" not in s, (
+            f"rerank scan reads bucket columns: {s}"
+        )
+    assert "BroadcastHashJoin" in plan

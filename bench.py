@@ -7,9 +7,12 @@ JSON line {"metric": ..., "value": total_sec, "unit": "sec",
 Query set: the scalable headliners from gistdex_spark.queries.REGISTRY —
 relational aggregates/joins, kNN search (single + batched), rerank/hybrid,
 dedup (exact, MinHash-LSH, SimHash), text analysis, and event windows.
-The O(n^2) exact-pair oracles (dedup_embedding_cosine, dedup_ngram_jaccard)
-are correctness-only and excluded here; their scale path is the LSH/blocked
-variant which IS benchmarked.
+The O(n^2) exact-pair queries (dedup_embedding_cosine, dedup_ngram_jaccard)
+stay excluded here — still quadratic pair counts by definition (the round-11
+block-cartesian kernel cut the constant ~70x, not the exponent); their
+bounded scale paths (dedup_embedding_cosine_blocked,
+dedup_ngram_jaccard_banded, dedup_minhash_lsh) ARE benchmarked, and the
+exact forms execute with full value oracles in both parity artifacts.
 """
 
 from __future__ import annotations
@@ -175,6 +178,8 @@ BENCH_QUERIES = [
     # Round-11 widening: the 0/1 vote form kept alongside the graded
     # default, and the bounded (sf0.1-checkable) exact-pair variants.
     "ann_lsh_vote_indicator",
+    "dedup_embedding_cosine_blocked",
+    "dedup_ngram_jaccard_banded",
 ]
 
 

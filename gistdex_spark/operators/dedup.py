@@ -276,6 +276,117 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_banded(
+    df: DataFrame,
+    content_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.1,
+    num_hashes: int = 16,
+    bands: int = 4,
+    bucket_partitions: int | None = None,
+) -> DataFrame:
+    """Banded n-gram Jaccard near-dup: MinHash banding over the WORD
+    n-gram sets proposes candidates, EXACT n-gram Jaccard verifies only
+    the candidates — the bounded scale path of the all-pairs
+    :func:`ngram_jaccard_pairs` (and unlike that form it needs no
+    blocking key: candidates may cross sources).
+
+    Scale shape: candidate volume is governed by the band tuning — a
+    pair is proposed iff some full band of ``num_hashes/bands`` minhash
+    rows agrees (probability ``1-(1-j^r)^b``: ~1 for the j >= 0.89
+    near-dup mass the corpus plants, vanishing for unrelated docs) —
+    and the exact verify reads gram arrays for candidates only, via two
+    id equality joins. Fully deterministic: hashes, banding, and the
+    verify replay bit-for-bit in the SQL oracle, so the operator gets a
+    full VALUE oracle at every scale (where the exact form's oracle is
+    quadratic in both engines). Returns (doc_id_a, doc_id_b, jaccard
+    rounded) with jaccard >= threshold; near-dup pairs the banding
+    misses are absent from BOTH engines by construction.
+    """
+    rows_per_band = num_hashes // bands
+    a, b = _coeffs(num_hashes)
+    c = f"lower({content_col})"
+    toks = f"filter(split({c}, '[\\\\s]+'), w -> length(w) > 0)"
+    grams = (
+        f"array_distinct(transform(sequence(1, greatest(size({toks}) - {n - 1}, 1)), "
+        f"i -> concat_ws(' ', slice({toks}, i, {n}))))"
+    )
+    gsets = _spread(df).select("doc_id", F.expr(grams).alias("__grams"))
+    hs = (
+        f"transform(__grams, g -> "
+        f"cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint) % {MINHASH_P}L)"
+    )
+    sig = ", ".join(
+        f"array_min(transform(__hs, h -> ({a[i]}L * h + {b[i]}L) % {MINHASH_P}L))"
+        for i in range(num_hashes)
+    )
+    sigd = gsets.select("doc_id", F.expr(hs).alias("__hs")).select(
+        "doc_id", F.expr(f"array({sig})").alias("sig")
+    )
+    band_key = [
+        F.md5(
+            F.concat_ws(
+                "-",
+                *[
+                    F.col("sig")[b_ * rows_per_band + r].cast("string")
+                    for r in range(rows_per_band)
+                ],
+            )
+        ).alias(f"band{b_}")
+        for b_ in range(bands)
+    ]
+    banded = sigd.select("doc_id", "sig", *band_key).select(
+        "doc_id",
+        "sig",
+        F.posexplode(F.array(*[F.col(f"band{b_}") for b_ in range(bands)])).alias(
+            "band_idx", "band_hash"
+        ),
+    )
+    buckets = (
+        banded.groupBy("band_idx", "band_hash")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "sig"))).alias("m"))
+        .filter(F.size("m") >= 2)
+    )
+    if bucket_partitions is not None:
+        buckets = buckets.repartition(bucket_partitions)
+    # First-band dedup exactly as minhash_lsh_pairs (each candidate pair
+    # emitted once, no dropDuplicates exchange); NO estimate threshold —
+    # every band collision goes to the exact verify.
+    rpb = rows_per_band
+    first_band = (
+        f"(band_idx = 0 or not exists(sequence(0, band_idx - 1), b -> "
+        f"forall(sequence(0, {rpb - 1}), r -> "
+        f"p.sig_a[b * {rpb} + r] = p.sig_b[b * {rpb} + r])))"
+    )
+    pair_expr = (
+        "flatten(transform(sequence(0, size(m) - 2), i -> "
+        "filter(transform(sequence(i + 1, size(m) - 1), j -> "
+        "struct(m[i].doc_id AS doc_id_a, m[j].doc_id AS doc_id_b, "
+        "m[i].sig AS sig_a, m[j].sig AS sig_b)), "
+        f"p -> {first_band})))"
+    )
+    cands = (
+        buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.doc_id_a", "p.doc_id_b")
+    )
+    ga = gsets.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("__grams").alias("grams_a")
+    )
+    gb = gsets.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("__grams").alias("grams_b")
+    )
+    inter = F.size(F.array_intersect("grams_a", "grams_b")).cast("double")
+    union = F.size(F.array_union("grams_a", "grams_b")).cast("double")
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        cands.join(ga, "doc_id_a")
+        .join(gb, "doc_id_b")
+        .withColumn("jaccard", F.round(jac, ROUND))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id_a", "doc_id_b", "jaccard")
+    )
+
+
 def simhash(df: DataFrame, content_col: str = "text", bits: int = 32) -> DataFrame:
     """(doc_id, simhash BIGINT): majority vote per bit over token hashes.
 
@@ -763,20 +874,128 @@ def dedup_survivors(
 
 
 def embedding_neardup_pairs(
-    emb: DataFrame, threshold: float = 0.8, id_col: str = "vec_id"
+    emb: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    n_blocks: int | None = None,
+    block: F.Column | None = None,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs (exact, full pairwise).
+    """Embedding-cosine near-dup pairs by BLOCK-CARTESIAN outer products.
 
-    Exact variant for oracle comparison; at 100 TB use the LSH-bucketed
-    variant in similarity.py (sign-bucket blocking) to avoid the cross join.
+    ``block=None`` (default): EXACT full all-pairs — O(n²) in pair count
+    by definition, but organized the way a 100 TB engine has to organize
+    it: rows hash into ``n_blocks`` id-blocks, every block PAIR (i <= j)
+    becomes one task, and each task scores its two blocks' cross sim
+    matrix as numpy outer products over Arrow — one (|A| x |B|) matrix
+    op per dimension instead of an interpreted 64-step cosine fold per
+    pair (the fold form measured 130 s for 2M pairs at sf0.1; this form
+    is seconds). Block size is the memory knob: bytes per task are
+    2 x block_rows x dim x 8, independent of corpus size.
+
+    ``block=<Column>`` (e.g. similarity.sign_bucket): BLOCKED exact
+    cosine — pairs form only inside equal block values, the standard
+    bounded near-dup shape (same-bucket vectors are sign-correlated, so
+    high-cosine pairs concentrate inside blocks). Same kernel, only the
+    diagonal block pairs.
+
+    Bit-parity with the SQL oracle: the kernel accumulates dots and
+    squared norms DIMENSION BY DIMENSION (the left-fold order of
+    functions/vectors.cosine and sql_cosine), widens to float64 before
+    multiplying, applies the zero-norm -> 0.0 guard identically, and
+    leaves ROUNDING to Catalyst (F.round on the emitted double), so the
+    rounded sims and the threshold boundary are engine-identical.
+    Returns (id_a, id_b, sim) with id_a < id_b, sim >= threshold.
     """
-    from gistdex_spark.functions.vectors import cosine
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
 
-    l = emb.select(F.col(id_col).alias("id_a"), F.col("embedding").alias("emb_a"))
-    r = emb.select(F.col(id_col).alias("id_b"), F.col("embedding").alias("emb_b"))
+    spark = emb.sparkSession
+    if block is not None:
+        blocked = emb.select(
+            F.col(id_col).alias("id"), F.col("embedding"), block.alias("blk")
+        )
+    else:
+        if n_blocks is None:
+            n_blocks = spark.sparkContext.defaultParallelism
+        blocked = emb.select(
+            F.col(id_col).alias("id"),
+            F.col("embedding"),
+            F.pmod(F.hash(F.col(id_col)), F.lit(n_blocks)).alias("blk"),
+        )
+    packs = blocked.groupBy("blk").agg(
+        F.collect_list(F.struct("id", "embedding")).alias("m")
+    )
+    a = packs.select(
+        F.col("blk").alias("blk_a"), F.col("m").alias("m_a")
+    )
+    b = packs.select(
+        F.col("blk").alias("blk_b"), F.col("m").alias("m_b")
+    )
+    if block is not None:
+        joined = a.join(b, F.col("blk_a") == F.col("blk_b"))
+    else:
+        # every unordered block pair exactly once; broadcast-free join of
+        # two tiny (n_blocks-row) frames — AQE picks the strategy.
+        joined = a.join(b, F.col("blk_a") <= F.col("blk_b"))
+
+    id_type = emb.schema[id_col].dataType.simpleString()
+
+    def run(batches):
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                ids_a = np.array([m["id"] for m in row["m_a"]])
+                ids_b = np.array([m["id"] for m in row["m_b"]])
+                X = np.array(
+                    [list(m["embedding"]) for m in row["m_a"]],
+                    dtype=np.float64,
+                )
+                Y = np.array(
+                    [list(m["embedding"]) for m in row["m_b"]],
+                    dtype=np.float64,
+                )
+                dots = np.zeros((len(ids_a), len(ids_b)))
+                na = np.zeros(len(ids_a))
+                nb = np.zeros(len(ids_b))
+                for d in range(X.shape[1]):
+                    dots += X[:, d, None] * Y[None, :, d]
+                    na += X[:, d] * X[:, d]
+                    nb += Y[:, d] * Y[:, d]
+                na, nb = np.sqrt(na), np.sqrt(nb)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    sim = np.where(
+                        (na[:, None] == 0.0) | (nb[None, :] == 0.0),
+                        0.0,
+                        dots / (na[:, None] * nb[None, :]),
+                    )
+                # Conservative RAW pre-filter bounds the emitted rows to
+                # near-final size (a block pair emits its full sim matrix
+                # otherwise): round(sim, 6) >= t implies sim >= t - 5e-7,
+                # so a 1e-6 margin can never drop a pair the exact
+                # Catalyst-rounded filter downstream would keep — the
+                # rounding itself stays in F.round (numpy rounds
+                # half-even, the tie-break divergence class).
+                keep = sim >= threshold - 1e-6
+                if row["blk_a"] == row["blk_b"]:
+                    # diagonal block: each unordered pair appears once,
+                    # oriented id_a < id_b by the mask
+                    ia, ib = np.nonzero((ids_a[:, None] < ids_b[None, :]) & keep)
+                    lo, hi = ids_a[ia], ids_b[ib]
+                else:
+                    # off-diagonal: every cross pair appears exactly once
+                    # (block pairs are generated i <= j only) — normalize
+                    # the id orientation
+                    ia, ib = np.nonzero(keep)
+                    lo = np.minimum(ids_a[ia], ids_b[ib])
+                    hi = np.maximum(ids_a[ia], ids_b[ib])
+                yield pd.DataFrame(
+                    {"id_a": lo, "id_b": hi, "sim": sim[ia, ib]}
+                )
+
+    pairs = joined.mapInPandas(
+        run, schema=f"id_a {id_type}, id_b {id_type}, sim double"
+    )
     return (
-        l.join(r, F.col("id_a") < F.col("id_b"))
-        .withColumn("sim", F.round(cosine("emb_a", "emb_b"), ROUND))
+        pairs.withColumn("sim", F.round("sim", ROUND))
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )

@@ -27,16 +27,13 @@ import os
 import sys
 import time
 
-# Exact all-pairs oracles: quadratic in BOTH engines by design
-# (correctness-only surface). At sf0.1 they are minutes of wall-clock for
-# no added signal — the banded/LSH scale paths of the same semantics are
-# value-checked at both SFs.
-SF01_SKIP = {
-    "dedup_embedding_cosine": "exact all-pairs oracle; scale path "
-    "(LSH/SemDeDup) checked instead",
-    "dedup_ngram_jaccard": "exact within-block pairs oracle; scale path "
-    "(MinHash+LSH) checked instead",
-}
+# Round 11: the former SF01_SKIP set is empty — dedup_embedding_cosine's
+# Spark side became the block-cartesian numpy kernel (130s -> ~2s at
+# sf0.1) and its DuckDB side is ~15s; dedup_ngram_jaccard totals ~2 min
+# across both engines, paid once per sweep. Both now execute at sf0.1,
+# and their bounded scale paths (dedup_embedding_cosine_blocked,
+# dedup_ngram_jaccard_banded) carry value oracles at every SF too.
+SF01_SKIP: dict[str, str] = {}
 
 
 def main() -> int:

@@ -1,0 +1,122 @@
+"""Block-cartesian exact-pair kernel + banded n-gram Jaccard: the numpy
+outer-product form must equal the Catalyst cosine-fold recipe exactly
+(every block count, zero-vector and duplicate edges), the sign-blocked
+form must equal the exact form restricted to same-block pairs, and every
+banded-Jaccard pair must carry the true exact Jaccard value."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from gistdex_spark.functions.vectors import cosine
+from gistdex_spark.operators.dedup import (
+    embedding_neardup_pairs,
+    ngram_jaccard_banded,
+    ngram_jaccard_pairs,
+)
+from gistdex_spark.operators.similarity import sign_bucket, sign_bucket_py
+
+ROUND = 6
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = random.Random(7)
+    vecs = {i: [rng.uniform(-1, 1) for _ in range(8)] for i in range(40)}
+    vecs[38] = list(vecs[3])          # exact duplicate -> sim 1.0
+    vecs[39] = [0.0] * 8              # zero vector -> guard path
+    for i in range(0, 40, 9):         # planted near-dups
+        vecs[i] = [x * rng.uniform(0.95, 1.05) for x in vecs[(i + 11) % 40]]
+    return spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()],
+        schema="vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+
+
+def _fold_pairs(emb, threshold):
+    """The pre-round-11 expression recipe: pair join + Catalyst cosine
+    fold — the parity-proven reference the kernel must reproduce."""
+    l = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"))
+    r = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"))
+    return {
+        (x["id_a"], x["id_b"], x["sim"])
+        for x in l.join(r, F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", F.round(cosine("emb_a", "emb_b"), ROUND))
+        .filter(F.col("sim") >= threshold)
+        .collect()
+    }
+
+
+def test_block_cartesian_matches_fold_form_exactly(emb):
+    want = _fold_pairs(emb, 0.2)
+    for n_blocks in (1, 3, 7, 64):
+        got = {
+            (x["id_a"], x["id_b"], x["sim"])
+            for x in embedding_neardup_pairs(
+                emb, threshold=0.2, n_blocks=n_blocks
+            ).collect()
+        }
+        assert got == want, f"n_blocks={n_blocks}"
+    # the exact duplicate survives with sim 1.0; zero vector pairs never
+    assert any(a == 3 and b == 38 and s == 1.0 for a, b, s in want)
+    assert not any(39 in (a, b) for a, b, _ in want)
+
+
+def test_blocked_form_is_exact_restricted_to_blocks(emb):
+    nbits = 3
+    got = {
+        (x["id_a"], x["id_b"], x["sim"])
+        for x in embedding_neardup_pairs(
+            emb, threshold=0.2, block=sign_bucket("embedding", nbits)
+        ).collect()
+    }
+    buckets = {
+        r["vec_id"]: sign_bucket_py([float(v) for v in r["embedding"]], nbits)
+        for r in emb.collect()
+    }
+    want = {
+        (a, b, s)
+        for a, b, s in _fold_pairs(emb, 0.2)
+        if buckets[a] == buckets[b]
+    }
+    assert got == want and got  # non-vacuous on this corpus
+
+
+def test_ngram_banded_pairs_carry_true_jaccard(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "while the cat watches from the warm windowsill nearby"
+    )
+    docs = [
+        (0, base, "s0"),
+        (1, base + " tonight", "s1"),              # near-dup of 0, other source
+        (2, "completely unrelated text about spark shuffles and parquet "
+            "row groups and column pruning at scale", "s0"),
+        # near-dup of 0 (one appended word, j ~ 0.95 — the >=0.89
+        # near-dup mass banding is tuned for; a j~0.7 "fox"->"wolf"
+        # rewrite sits in the 1-(1-j^4)^4 coin-flip zone and may
+        # legitimately be missed by BOTH engines)
+        (3, base + " quietly", "s0"),
+        (4, "", "s1"),                              # empty-doc edge
+    ]
+    df = spark.createDataFrame(docs, schema="doc_id BIGINT, text STRING, source STRING")
+    got = {
+        (r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+        for r in ngram_jaccard_banded(df, n=3, threshold=0.1).collect()
+    }
+    # banding must surface the planted near-dups (cross-source allowed)
+    assert (0, 1) in got and (0, 3) in got
+    # every reported value equals the brute-force exact Jaccard
+    exact = {
+        (r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            df.withColumn("one", F.lit(1)), n=3, threshold=0.0, block_col="one"
+        ).collect()
+    }
+    for pair, j in got.items():
+        assert exact[pair] == j, pair
+    # and banded results are a subset of the exact >=threshold pairs
+    assert set(got) <= {p for p, j in exact.items() if j >= 0.1}

@@ -259,6 +259,39 @@ def main() -> None:
         print(f"# {name}: {dt:.2f}s (min {min(runs):.2f}s)",
               file=sys.stderr, flush=True)
 
+    # Full-registry lap (r10 verdict item 5): the ~54 registry queries
+    # outside the headline list only had single-run parity `sec`s that
+    # nobody diffed round-over-round — time them here too (min-of-3,
+    # 1 warmup; min, not median: these are sub-second queries where the
+    # floor is the engine and anything above it is scheduler noise) so
+    # every registry query has a diffable series in the bench artifact.
+    # Skipped in subset (SPARK_GRAFT_BENCH_ONLY) runs; disable with
+    # SPARK_GRAFT_FULL_LAP=0.
+    full_lap: dict[str, float] = {}
+    full_total = 0.0
+    if not only and os.environ.get("SPARK_GRAFT_FULL_LAP", "1") != "0":
+        rest = [n for n in REGISTRY if n not in BENCH_QUERIES]
+        for name in rest:
+            fn = REGISTRY[name]
+            try:
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                runs = []
+                for _ in range(3):
+                    t0 = time.time()
+                    fn(spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    runs.append(time.time() - t0)
+            except Exception as exc:
+                errors[name] = str(exc).split("\n")[0][:300]
+                print(f"# full_lap {name}: FAILED {errors[name]}",
+                      file=sys.stderr, flush=True)
+                continue
+            full_lap[name] = round(min(runs), 3)
+            full_total += full_lap[name]
+            print(f"# full_lap {name}: min {full_lap[name]:.2f}s",
+                  file=sys.stderr, flush=True)
+
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
         sf_val: float | str = float(sf)
@@ -273,6 +306,10 @@ def main() -> None:
         "sf": sf_val,
         "timing": f"median_of_{n_runs}_1_warmup",
     }
+    if full_lap:
+        payload["full_lap"] = full_lap
+        payload["full_lap_total"] = round(full_total, 3)
+        payload["full_lap_timing"] = "min_of_3_1_warmup"
     if errors:
         # Failed queries contribute no time, so `value` alone would read
         # BETTER on a broken round — surface the failure count at top

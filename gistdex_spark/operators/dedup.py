@@ -934,9 +934,25 @@ def embedding_neardup_pairs(
     if block is not None:
         joined = a.join(b, F.col("blk_a") == F.col("blk_b"))
     else:
-        # every unordered block pair exactly once; broadcast-free join of
-        # two tiny (n_blocks-row) frames — AQE picks the strategy.
-        joined = a.join(b, F.col("blk_a") <= F.col("blk_b"))
+        # Every unordered block pair exactly once — via a LITERAL
+        # B(B+1)/2-row pair frame and two EQUALITY joins, NOT a blk_a <=
+        # blk_b theta join: the theta form compiles to
+        # BroadcastNestedLoopJoin, which would broadcast the packed
+        # corpus (the packs frame has few ROWS but carries every
+        # embedding). Equality joins hash-partition on blk; the ~B/2x
+        # replication of each pack is the inherent data movement of
+        # all-pairs, paid as shuffle, never as a driver broadcast.
+        pair_idx = spark.createDataFrame(
+            [
+                (i, j)
+                for i in range(n_blocks)
+                for j in range(i, n_blocks)
+            ],
+            schema="blk_a int, blk_b int",
+        )
+        joined = (
+            a.join(F.broadcast(pair_idx), "blk_a").join(b, "blk_b")
+        )
 
     id_type = emb.schema[id_col].dataType.simpleString()
 

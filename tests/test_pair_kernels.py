@@ -120,3 +120,16 @@ def test_ngram_banded_pairs_carry_true_jaccard(spark):
         assert exact[pair] == j, pair
     # and banded results are a subset of the exact >=threshold pairs
     assert set(got) <= {p for p, j in exact.items() if j >= 0.1}
+
+
+def test_exact_pair_join_is_equality_keyed(emb):
+    """The block-pair meeting must be EQUALITY joins on blk (a literal
+    B(B+1)/2 pair frame), never the blk_a <= blk_b theta join: theta
+    compiles to BroadcastNestedLoopJoin, whose build side is the packed
+    corpus — few rows, every embedding — a driver broadcast that falls
+    over at scale. Equality keys let AQE choose broadcast only while
+    the packs actually fit, shuffle joins otherwise."""
+    df = embedding_neardup_pairs(emb, threshold=0.2, n_blocks=4)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

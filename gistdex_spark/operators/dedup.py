@@ -433,7 +433,7 @@ def simhash_pairs(
     bands: int = 4,
     max_distance: int = 3,
     bucket_partitions: int | None = None,
-    auto_salt: bool = False,
+    auto_salt: bool = True,
     salt_trip: int = 256,
 ) -> DataFrame:
     """Near-dup pairs via a banded Hamming join over SimHash signatures.
@@ -452,10 +452,18 @@ def simhash_pairs(
     signature twice). At larger corpora raise ``bits`` to 64 so band
     values span 16 bits and buckets stay small.
 
-    ``auto_salt=True`` derives ``bucket_partitions`` from the band-
-    population audit instead of a manual knob — a viral-template corpus
-    takes the round-robin path automatically, a clean corpus skips the
-    extra exchange (see :func:`_auto_bucket_partitions`).
+    ``auto_salt`` derives ``bucket_partitions`` from the band-population
+    audit instead of a manual knob (see :func:`_auto_bucket_partitions`;
+    an explicit ``bucket_partitions`` always short-circuits it). Default
+    ON here — unlike minhash, concentration is STRUCTURAL for SimHash:
+    band values span only 2^(bits/bands) ids (256 at the defaults), so
+    even a clean corpus piles thousands of docs per band bucket and the
+    audit fires usefully essentially always. Measured on the clean
+    corpora (r11 A/B, median-of-3): sf0.1 2.0 s -> 1.4 s, sf1
+    20.1 s -> 7.1 s with the audit ON. minhash_lsh_pairs keeps the
+    audit opt-in for the mirror-image reason: its md5 band keys are
+    128-bit, clean-corpus buckets are near-singletons, and the audit
+    pass measured as pure overhead there (sf1 60.4 s -> 64.9 s).
     """
     if bits % bands != 0:
         raise ValueError("bits must be divisible by bands")

@@ -146,7 +146,11 @@ def minhash_lsh_pairs(
     ``bucket_partitions`` round-robins the bucket frame before the
     quadratic in-bucket pair expansion (see simhash_pairs for when);
     ``auto_salt=True`` derives it from the band-population audit instead
-    of a manual knob (see :func:`_auto_bucket_partitions`).
+    of a manual knob (see :func:`_auto_bucket_partitions`). Opt-in HERE
+    (unlike simhash_pairs, where it defaults on): the md5 band keys are
+    128-bit, so clean-corpus buckets are near-singletons and the audit
+    pass measured as pure overhead (r11 A/B: sf1 60.4 s -> 64.9 s) —
+    turn it on for corpora with viral-template risk.
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, content_col, num_hashes, n)

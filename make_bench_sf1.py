@@ -61,6 +61,12 @@ HEAVY = [
     # filter is a full-scan predicate whose cost tracks corpus size
     "dedup_variable_substring_within_aug",
     "ann_lsh_multitable",
+    # round-11 additions: both vote forms (full-scan int expressions —
+    # cost tracks corpus size) and the bounded exact-pair variants whose
+    # block/band populations grow with the corpus
+    "ann_lsh_vote",
+    "dedup_embedding_cosine_blocked",
+    "dedup_ngram_jaccard_banded",
 ]
 
 

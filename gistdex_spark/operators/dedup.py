@@ -249,31 +249,105 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact word-n-gram Jaccard near-dup within a blocking key.
 
-    Blocking bounds the pair count (pairs only form inside a block); the
-    join shuffles by block, so skewed blocks are handled by AQE. For
-    unblocked corpora use minhash_lsh_pairs instead.
+    For ``threshold > 0`` this runs as an INVERTED-INDEX count: explode
+    distinct grams to postings, equality-join postings on (block, gram)
+    to count shared grams per pair, and derive
+    ``jaccard = shared / (|A| + |B| - shared)`` — identical values to
+    the set-operation form (arrays are distinct, so |A ∪ B| is exactly
+    the inclusion-exclusion count), but the pair join moves (ids, count)
+    rows instead of materializing both gram ARRAYS per candidate pair
+    (622k pairs x ~6 KB of strings at sf0.1 — measured 33 s; the
+    posting join is bounded by Σ posting² = 386k rows there, max
+    posting 6, and runs in ~2 s). Pairs sharing ZERO grams have
+    jaccard 0 and are absent from the posting join — exactly the rows
+    a positive threshold filters anyway, so results are identical.
+
+    ``threshold <= 0`` (wants the zero-overlap pairs too, a
+    correctness-only surface) falls back to the block pair join with
+    array set ops. Blocking bounds the pair count either way; for
+    unblocked corpora use minhash_lsh_pairs or ngram_jaccard_banded.
     """
-    c = f"lower({content_col})"
-    toks = f"filter(split({c}, '[\\\\s]+'), w -> length(w) > 0)"
+    # Two-stage projection, NOT one inlined expression: a lambda body
+    # referencing the tokenize subtree gets it SUBSTITUTED per element
+    # (Catalyst does not CSE lambda-bound subtrees — the normalize()
+    # finding again), so the one-expression form re-tokenized the whole
+    # document once per gram (~300x). Staging `__toks` as a column
+    # evaluates the split once per row; measured 3.1 s -> 0.35 s per
+    # gram-set pass at sf0.1.
+    toks = (
+        f"filter(split(lower({content_col}), '[\\\\s]+'), "
+        f"w -> length(w) > 0)"
+    )
     grams = (
-        f"array_distinct(transform(sequence(1, greatest(size({toks}) - {n - 1}, 1)), "
-        f"i -> concat_ws(' ', slice({toks}, i, {n}))))"
+        f"array_distinct(transform(sequence(1, greatest(size(__toks) - {n - 1}, 1)), "
+        f"i -> concat_ws(' ', slice(__toks, i, {n}))))"
     )
     with_sets = df.select(
-        "doc_id", F.col(block_col).alias("block"), F.expr(grams).alias("grams")
+        "doc_id", F.col(block_col).alias("block"), F.expr(toks).alias("__toks")
+    ).select("doc_id", "block", F.expr(grams).alias("grams"))
+    if threshold <= 0:
+        l = with_sets.select(
+            F.col("doc_id").alias("doc_id_a"), "block",
+            F.col("grams").alias("grams_a"),
+        )
+        r = with_sets.select(
+            F.col("doc_id").alias("doc_id_b"), "block",
+            F.col("grams").alias("grams_b"),
+        )
+        inter = F.size(F.array_intersect("grams_a", "grams_b")).cast("double")
+        union = F.size(F.array_union("grams_a", "grams_b")).cast("double")
+        jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+        return (
+            l.join(r, "block")
+            .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+            .withColumn("jaccard", F.round(jac, ROUND))
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_id_a", "doc_id_b", "jaccard")
+        )
+    sizes = with_sets.select(
+        "doc_id", F.size("grams").cast("double").alias("n_grams")
     )
-    l = with_sets.select(
-        F.col("doc_id").alias("doc_id_a"), "block", F.col("grams").alias("grams_a")
+    # explode_OUTER, then drop the (never-occurring) NULL rows ABOVE the
+    # Generate: plain explode emits an implicit `size(grams) > 0`
+    # predicate that pushes below the projections with the WHOLE gram
+    # pipeline inlined into it — every row paid the tokenize+gram build
+    # an extra time (the same lambda-inlining class as above; measured
+    # 3.5 s -> ~1 s for the posting pass). The isNotNull filter sits on
+    # the generated column, so it cannot push below the Generate.
+    posts = with_sets.select(
+        "doc_id", "block", F.explode_outer("grams").alias("g")
+    ).filter(F.col("g").isNotNull())
+    # Shared-gram counts via per-bucket pair expansion (ONE evaluation
+    # of the posting pipeline — a posting self-JOIN would evaluate it
+    # twice, Spark has no cross-join-side CSE; same shape as
+    # minhash_lsh_pairs' buckets). Grams are distinct per doc, so m
+    # holds distinct docs and each pair appears once per shared gram.
+    buckets = (
+        posts.groupBy("block", "g")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("m"))
+        .filter(F.size("m") >= 2)
     )
-    r = with_sets.select(
-        F.col("doc_id").alias("doc_id_b"), "block", F.col("grams").alias("grams_b")
+    pair_expr = (
+        "flatten(transform(sequence(0, size(m) - 2), i -> "
+        "transform(sequence(i + 1, size(m) - 1), j -> "
+        "struct(m[i] AS doc_id_a, m[j] AS doc_id_b))))"
     )
-    inter = F.size(F.array_intersect("grams_a", "grams_b")).cast("double")
-    union = F.size(F.array_union("grams_a", "grams_b")).cast("double")
-    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    shared = (
+        buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.doc_id_a", "p.doc_id_b")
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count(F.lit(1)).cast("double").alias("shared"))
+    )
+    na = sizes.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("n_grams").alias("na")
+    )
+    nb = sizes.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("n_grams").alias("nb")
+    )
+    jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
     return (
-        l.join(r, "block")
-        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        shared.join(na, "doc_id_a")
+        .join(nb, "doc_id_b")
         .withColumn("jaccard", F.round(jac, ROUND))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_id_a", "doc_id_b", "jaccard")
@@ -309,13 +383,19 @@ def ngram_jaccard_banded(
     """
     rows_per_band = num_hashes // bands
     a, b = _coeffs(num_hashes)
-    c = f"lower({content_col})"
-    toks = f"filter(split({c}, '[\\\\s]+'), w -> length(w) > 0)"
-    grams = (
-        f"array_distinct(transform(sequence(1, greatest(size({toks}) - {n - 1}, 1)), "
-        f"i -> concat_ws(' ', slice({toks}, i, {n}))))"
+    # staged __toks for the same per-element inlining reason as
+    # ngram_jaccard_pairs (lambda bodies re-evaluate referenced subtrees)
+    toks = (
+        f"filter(split(lower({content_col}), '[\\\\s]+'), "
+        f"w -> length(w) > 0)"
     )
-    gsets = _spread(df).select("doc_id", F.expr(grams).alias("__grams"))
+    grams = (
+        f"array_distinct(transform(sequence(1, greatest(size(__toks) - {n - 1}, 1)), "
+        f"i -> concat_ws(' ', slice(__toks, i, {n}))))"
+    )
+    gsets = _spread(df).select("doc_id", F.expr(toks).alias("__toks")).select(
+        "doc_id", F.expr(grams).alias("__grams")
+    )
     hs = (
         f"transform(__grams, g -> "
         f"cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint) % {MINHASH_P}L)"
@@ -408,9 +488,21 @@ def simhash(df: DataFrame, content_col: str = "text", bits: int = 32) -> DataFra
     # md5 is applied AFTER the explode, as a plain projection: inside the
     # transform() lambda it would run interpreted per element (HOFs never
     # enter codegen) — measured 2× slower than this codegen'd form.
-    tok = df.select("doc_id", F.explode(F.expr(toks)).alias("w")).select(
-        "doc_id",
-        F.expr("cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint)").alias("h"),
+    # explode_OUTER + isNotNull ABOVE the Generate: plain explode pushes
+    # an implicit `size(toks) > 0` filter below the projection with the
+    # tokenize inlined — one extra split per row (the ngram_jaccard
+    # finding); the outer form emits w=NULL for empty docs, and the
+    # not-null filter on the GENERATED column (cannot push below)
+    # restores the documented drop-empty-docs semantics exactly.
+    tok = (
+        df.select("doc_id", F.explode_outer(F.expr(toks)).alias("w"))
+        .filter(F.col("w").isNotNull())
+        .select(
+            "doc_id",
+            F.expr(
+                "cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint)"
+            ).alias("h"),
+        )
     )
     # shiftright, not div/pow: same values for j <= 31 (hashes are 32-bit
     # non-negatives) but integer ops inside codegen.

@@ -35,10 +35,21 @@ def shingle_set(
         f"transform(sequence(0, size(__t) - {n}), "
         f"i -> concat_ws(' ', slice(__t, i + 1, {n})))"
     )
+    # explode_OUTER + not-null: plain explode pushes an implicit
+    # size>0 filter below the projection with the whole gram transform
+    # inlined — one extra gram build per row (the ngram_jaccard
+    # finding). The size(__t) >= n guard already proves the array is
+    # non-empty, so the outer form emits no NULLs in practice and the
+    # not-null filter only restores the contract.
     return (
         df.withColumn("__t", toks)
         .filter(F.size("__t") >= n)
-        .select(id_col, *extra_cols, F.explode(F.array_distinct(grams)).alias("gram"))
+        .select(
+            id_col,
+            *extra_cols,
+            F.explode_outer(F.array_distinct(grams)).alias("gram"),
+        )
+        .filter(F.col("gram").isNotNull())
     )
 
 

@@ -409,9 +409,14 @@ def tfidf_cosine_pairs(
     """
     from gistdex_spark.functions.text import stopword_array, tokens
 
+    # explode_OUTER + not-null above the Generate: plain explode pushes
+    # an implicit size>0 filter below the projection with the tokenize
+    # inlined (one extra split per row — the ngram_jaccard finding);
+    # the length >= min_len filter then drops the NULL terms the outer
+    # form emits for empty docs, exactly as explode dropped their rows.
     tokd = (
         docs.select(
-            F.col(id_col), F.explode(tokens(text_col)).alias("term")
+            F.col(id_col), F.explode_outer(tokens(text_col)).alias("term")
         )
         .filter(F.length("term") >= min_len)
         .filter(~F.array_contains(stopword_array(), F.col("term")))

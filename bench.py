@@ -8,11 +8,12 @@ Query set: the scalable headliners from gistdex_spark.queries.REGISTRY —
 relational aggregates/joins, kNN search (single + batched), rerank/hybrid,
 dedup (exact, MinHash-LSH, SimHash), text analysis, and event windows.
 The O(n^2) exact-pair queries (dedup_embedding_cosine, dedup_ngram_jaccard)
-stay excluded here — still quadratic pair counts by definition (the round-11
-block-cartesian kernel cut the constant ~70x, not the exponent); their
-bounded scale paths (dedup_embedding_cosine_blocked,
-dedup_ngram_jaccard_banded, dedup_minhash_lsh) ARE benchmarked, and the
-exact forms execute with full value oracles in both parity artifacts.
+stay out of the HEADLINE set — quadratic pair counts by definition (the
+round-11 block-cartesian kernel cut the constant ~70x and bounds per-task
+memory, not the exponent) — but they DO run in the once-per-round full_lap
+section below, so they keep a diffable timing series; their bounded scale
+paths (dedup_embedding_cosine_blocked, dedup_ngram_jaccard_banded,
+dedup_minhash_lsh) are in the headline set.
 """
 
 from __future__ import annotations

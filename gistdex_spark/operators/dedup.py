@@ -327,10 +327,16 @@ def ngram_jaccard_pairs(
         .agg(F.array_sort(F.collect_list("doc_id")).alias("m"))
         .filter(F.size("m") >= 2)
     )
+    # Strict < guard (m is sorted, so only duplicate ids can tie): a
+    # duplicated doc_id in the input would otherwise emit a (d, d)
+    # self-pair here where the set-op branch and the oracle emit
+    # nothing. Duplicate-id inputs remain caller error (their sizes
+    # join fans out), but the two branches now agree on self-pairs.
     pair_expr = (
         "flatten(transform(sequence(0, size(m) - 2), i -> "
-        "transform(sequence(i + 1, size(m) - 1), j -> "
-        "struct(m[i] AS doc_id_a, m[j] AS doc_id_b))))"
+        "filter(transform(sequence(i + 1, size(m) - 1), j -> "
+        "struct(m[i] AS doc_id_a, m[j] AS doc_id_b)), "
+        "p -> p.doc_id_a < p.doc_id_b)))"
     )
     shared = (
         buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
@@ -362,6 +368,8 @@ def ngram_jaccard_banded(
     num_hashes: int = 16,
     bands: int = 4,
     bucket_partitions: int | None = None,
+    materialize: bool = True,
+    checkpoint=None,
 ) -> DataFrame:
     """Banded n-gram Jaccard near-dup: MinHash banding over the WORD
     n-gram sets proposes candidates, EXACT n-gram Jaccard verifies only
@@ -396,6 +404,20 @@ def ngram_jaccard_banded(
     gsets = _spread(df).select("doc_id", F.expr(toks).alias("__toks")).select(
         "doc_id", F.expr(grams).alias("__grams")
     )
+    if materialize:
+        # gsets feeds the signature build AND both verify-join sides;
+        # Spark has no cross-branch/join-side CSE, so without a cut the
+        # tokenize+gram projection runs three times per action — the
+        # same store-vs-recompute trade as semdedup's base frame.
+        # ``checkpoint`` lets callers with their own bookkeeping
+        # (queries._ckpt) own the blocks; ``materialize=False`` selects
+        # plain recompute (the right call when three streaming passes
+        # beat materializing the gram corpus at 100 TB).
+        gsets = (
+            checkpoint(gsets)
+            if checkpoint is not None
+            else gsets.localCheckpoint(eager=True)
+        )
     hs = (
         f"transform(__grams, g -> "
         f"cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint) % {MINHASH_P}L)"
@@ -560,6 +582,14 @@ def simhash_pairs(
     audit opt-in for the mirror-image reason: its md5 band keys are
     128-bit, clean-corpus buckets are near-singletons, and the audit
     pass measured as pure overhead there (sf1 60.4 s -> 64.9 s).
+
+    CAVEAT — the audit makes plan CONSTRUCTION eager: deciding the
+    partition count runs one collect at call time, which re-executes
+    the un-actioned upstream once. Fine on a raw scan (where the wins
+    above were measured); on an expensive DERIVED input with no cache,
+    or when building plans without executing them, pass an explicit
+    ``bucket_partitions`` (short-circuits the audit, keeps the
+    treatment) or ``auto_salt=False``.
     """
     if bits % bands != 0:
         raise ValueError("bits must be divisible by bands")
@@ -983,18 +1013,27 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     n_blocks: int | None = None,
     block: F.Column | None = None,
+    block_rows: int = 2048,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs by BLOCK-CARTESIAN outer products.
 
     ``block=None`` (default): EXACT full all-pairs — O(n²) in pair count
     by definition, but organized the way a 100 TB engine has to organize
-    it: rows hash into ``n_blocks`` id-blocks, every block PAIR (i <= j)
-    becomes one task, and each task scores its two blocks' cross sim
-    matrix as numpy outer products over Arrow — one (|A| x |B|) matrix
-    op per dimension instead of an interpreted 64-step cosine fold per
-    pair (the fold form measured 130 s for 2M pairs at sf0.1; this form
-    is seconds). Block size is the memory knob: bytes per task are
-    2 x block_rows x dim x 8, independent of corpus size.
+    it: rows hash into id-blocks, every block PAIR (i <= j) becomes one
+    task, and each task scores its two blocks' cross sim matrix as
+    numpy outer products over Arrow — one (|A| x |B|) matrix op per
+    dimension instead of an interpreted 64-step cosine fold per pair
+    (the fold form measured 130 s for 2M pairs at sf0.1; this form is
+    seconds). Bytes per task are the two packs (2·rows·dim·8) PLUS the
+    score matrices (~2·rows²·8: the dot/sim matrix divided IN PLACE
+    plus its transient denominator, and a rows²/8 bool mask) — the
+    matrices dominate, so the bound is set by ``block_rows``
+    (default 2048 → ~70 MB of matrices + ~4 MB of packs per task) and
+    ``n_blocks`` defaults to ``max(defaultParallelism, ceil(n /
+    block_rows))`` via one count job, so per-task memory stays CONSTANT
+    as the corpus grows (n_blocks scales with n; task count grows as
+    n_blocks², which is the honest cost curve of exact all-pairs).
+    Pass ``n_blocks`` explicitly to skip the count.
 
     ``block=<Column>`` (e.g. similarity.sign_bucket): BLOCKED exact
     cosine — pairs form only inside equal block values, the standard
@@ -1020,7 +1059,11 @@ def embedding_neardup_pairs(
         )
     else:
         if n_blocks is None:
-            n_blocks = spark.sparkContext.defaultParallelism
+            n = emb.count()
+            n_blocks = max(
+                spark.sparkContext.defaultParallelism,
+                -(-n // max(block_rows, 1)),
+            )
         blocked = emb.select(
             F.col(id_col).alias("id"),
             F.col("embedding"),
@@ -1081,12 +1124,21 @@ def embedding_neardup_pairs(
                     na += X[:, d] * X[:, d]
                     nb += Y[:, d] * Y[:, d]
                 na, nb = np.sqrt(na), np.sqrt(nb)
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    sim = np.where(
-                        (na[:, None] == 0.0) | (nb[None, :] == 0.0),
-                        0.0,
-                        dots / (na[:, None] * nb[None, :]),
-                    )
+                # Divide by the PRODUCT na*nb in place (sequential /na
+                # then /nb would change the IEEE result); zero-norm
+                # rows/cols forced to 0.0 afterwards, exactly the
+                # cosine() guard. Peak extra memory: one transient
+                # denominator matrix, freed before the index scan.
+                za, zb = na == 0.0, nb == 0.0
+                na[za], nb[zb] = 1.0, 1.0
+                denom = na[:, None] * nb[None, :]
+                dots /= denom
+                del denom
+                if za.any():
+                    dots[za, :] = 0.0
+                if zb.any():
+                    dots[:, zb] = 0.0
+                sim = dots
                 # Conservative RAW pre-filter bounds the emitted rows to
                 # near-final size (a block pair emits its full sim matrix
                 # otherwise): round(sim, 6) >= t implies sim >= t - 5e-7,

@@ -538,7 +538,16 @@ def curate_with_metrics(docs: DataFrame):
     gated = docs.join(
         stats.filter(F.col("quality_pass")).select("doc_id"), "doc_id"
     ).observe(obs_gate, F.count(F.lit(1)).alias("n"))
-    pairs = D.simhash_pairs(gated)
+    # Explicit bucket partitions, NOT the auto_salt audit: `gated` is a
+    # derived (join + stats) frame with no cache, and the audit's
+    # decision collect would re-execute that whole upstream once per
+    # CALL — at plan-construction time, before any action. The explicit
+    # round-robin measured fastest here anyway (r11 A/B: 3.99 s vs the
+    # audit's 4.22 s vs untreated 4.46 s at sf0.1).
+    pairs = D.simhash_pairs(
+        gated,
+        bucket_partitions=gated.sparkSession.sparkContext.defaultParallelism,
+    )
     comp = D.connected_components(pairs)
     kept = D.dedup_survivors(gated, comp).observe(
         obs_kept, F.count(F.lit(1)).alias("n")

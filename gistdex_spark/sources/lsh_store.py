@@ -69,11 +69,17 @@ def write_lsh_store(
     and the degenerate store would only fail at search time.
     """
     first = emb.select(embedding_col).first()
-    if first is not None and n_tables * nbits > len(first[0]):
-        raise ValueError(
-            f"{n_tables} tables x {nbits} bits need {n_tables * nbits} "
-            f"dims; embedding has {len(first[0])}"
-        )
+    if first is not None and first[0] is not None:
+        if n_tables * nbits > len(first[0]):
+            raise ValueError(
+                f"{n_tables} tables x {nbits} bits need {n_tables * nbits} "
+                f"dims; embedding has {len(first[0])}"
+            )
+    # The guard inspects the first non-degenerate row (one small eager
+    # job; write is an action anyway). Ragged corpora — later rows
+    # shorter than the first — are caller error the array type cannot
+    # encode; their out-of-range bits write as 0, same as every scan
+    # form computes for them.
     with_buckets = emb.select(
         id_col,
         embedding_col,

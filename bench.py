@@ -181,6 +181,13 @@ BENCH_QUERIES = [
     "ann_lsh_vote_indicator",
     "dedup_embedding_cosine_blocked",
     "dedup_ngram_jaccard_banded",
+    # Round-11 late widening: skyline, containment near-subset pairs,
+    # count-min audit, epoch reshuffle, source interleave.
+    "skyline_parts",
+    "dedup_ngram_containment",
+    "countmin_user_census",
+    "epoch_shuffle_stats",
+    "interleave_sources",
 ]
 
 

@@ -360,6 +360,95 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    content_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    block_col: str = "source",
+) -> DataFrame:
+    """Exact word-n-gram CONTAINMENT near-subset pairs within a block.
+
+    Containment ``C(A in B) = |A ∩ B| / |A|`` is the asymmetric
+    companion to Jaccard (Broder's resemblance-vs-containment split,
+    "On the resemblance and containment of documents", 1997): a short
+    excerpt quoted inside a long document scores near 1.0 on
+    containment while its Jaccard stays tiny — exactly the quote/
+    excerpt/boilerplate-reuse cases a symmetric threshold misses. A
+    pair is emitted when EITHER direction reaches ``threshold``, and
+    both directions are reported so callers can tell subset from
+    near-identical.
+
+    Same inverted-index shape (and the same lambda-inlining-safe
+    staging) as ngram_jaccard_pairs: distinct grams -> postings ->
+    per-(block, gram) bucket pair expansion -> shared counts, then two
+    divisions instead of inclusion-exclusion. Pairs sharing zero grams
+    have containment 0 in both directions and are absent from the
+    posting join — identical to what any positive threshold filters,
+    so requiring ``threshold > 0`` loses nothing.
+    """
+    if threshold <= 0:
+        raise ValueError(
+            "ngram_containment_pairs requires threshold > 0: zero-overlap "
+            "pairs are absent from the posting join by construction"
+        )
+    toks = (
+        f"filter(split(lower({content_col}), '[\\\\s]+'), "
+        f"w -> length(w) > 0)"
+    )
+    grams = (
+        f"array_distinct(transform(sequence(1, greatest(size(__toks) - {n - 1}, 1)), "
+        f"i -> concat_ws(' ', slice(__toks, i, {n}))))"
+    )
+    with_sets = df.select(
+        "doc_id", F.col(block_col).alias("block"), F.expr(toks).alias("__toks")
+    ).select("doc_id", "block", F.expr(grams).alias("grams"))
+    sizes = with_sets.select(
+        "doc_id", F.size("grams").cast("double").alias("n_grams")
+    )
+    posts = with_sets.select(
+        "doc_id", "block", F.explode_outer("grams").alias("g")
+    ).filter(F.col("g").isNotNull())
+    buckets = (
+        posts.groupBy("block", "g")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("m"))
+        .filter(F.size("m") >= 2)
+    )
+    pair_expr = (
+        "flatten(transform(sequence(0, size(m) - 2), i -> "
+        "filter(transform(sequence(i + 1, size(m) - 1), j -> "
+        "struct(m[i] AS doc_id_a, m[j] AS doc_id_b)), "
+        "p -> p.doc_id_a < p.doc_id_b)))"
+    )
+    shared = (
+        buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.doc_id_a", "p.doc_id_b")
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count(F.lit(1)).cast("double").alias("shared"))
+    )
+    na = sizes.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("n_grams").alias("na")
+    )
+    nb = sizes.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("n_grams").alias("nb")
+    )
+    return (
+        shared.join(na, "doc_id_a")
+        .join(nb, "doc_id_b")
+        .withColumn(
+            "containment_a", F.round(F.col("shared") / F.col("na"), ROUND)
+        )
+        .withColumn(
+            "containment_b", F.round(F.col("shared") / F.col("nb"), ROUND)
+        )
+        .filter(
+            (F.col("containment_a") >= threshold)
+            | (F.col("containment_b") >= threshold)
+        )
+        .select("doc_id_a", "doc_id_b", "containment_a", "containment_b")
+    )
+
+
 def ngram_jaccard_banded(
     df: DataFrame,
     content_col: str = "text",

@@ -66,3 +66,91 @@ def misra_gries_candidates(
         mg, schema="item string, lb long"
     )
     return local.groupBy("item").agg(F.sum("lb").alias("lb"))
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan, "An improved data stream
+# summary: the count-min sketch and its applications", J. Algorithms 2005).
+# Deterministic 2-universal hashes h_j(k) = ((a_j * k + b_j) mod p) mod w
+# over the Mersenne prime p = 2^31 - 1, with literal (a_j, b_j) so the
+# DuckDB oracle computes the IDENTICAL cells in plain BIGINT arithmetic
+# (k mod p < 2^31 and a_j < 2^31, so a_j * (k mod p) < 2^62 — no overflow
+# in either engine).
+# --------------------------------------------------------------------------
+
+CMS_P = 2147483647  # 2^31 - 1
+CMS_SEEDS: list[tuple[int, int]] = [
+    (1000003, 12345),
+    (999983, 54321),
+    (1000033, 98765),
+    (999979, 13579),
+]
+
+
+def _cms_cell_sql(key: str, a: int, b: int, width: int) -> str:
+    return (
+        f"pmod(pmod({a}L * pmod(cast({key} as bigint), {CMS_P}L) + {b}L, "
+        f"{CMS_P}L), {width}L)"
+    )
+
+
+def count_min_cells(
+    df: DataFrame,
+    key_col: str,
+    width: int = 64,
+    seeds: list[tuple[int, int]] | None = None,
+) -> DataFrame:
+    """Build the count-min table over an integer key column: one row per
+    (hash row j, cell) with its counter. Map-only cell computation (the
+    d cells ride one generated array per input row) into a hash agg with
+    map-side combine; the result is bounded by d * width rows no matter
+    the input size — the entire point of sketching a 100 TB stream.
+    Mergeable by construction: sketches of shards SUM cell-wise."""
+    seeds = CMS_SEEDS if seeds is None else seeds
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("int").alias("j"),
+                F.expr(_cms_cell_sql(key_col, a, b, width)).alias("cell"),
+            )
+            for j, (a, b) in enumerate(seeds)
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("c"))
+        .select("c.j", "c.cell")
+        .groupBy("j", "cell")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def count_min_estimate(
+    cells: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    width: int = 64,
+    seeds: list[tuple[int, int]] | None = None,
+) -> DataFrame:
+    """Point-query the sketch for every row of ``keys``: estimate =
+    min over the d rows of the key's cell counters. The sketch is at
+    most d * width rows, so the probe join broadcasts it; missing cells
+    (possible only when probing keys absent from the build input)
+    count as 0 via the left join + coalesce."""
+    seeds = CMS_SEEDS if seeds is None else seeds
+    probe_cells = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("int").alias("j"),
+                F.expr(_cms_cell_sql(key_col, a, b, width)).alias("cell"),
+            )
+            for j, (a, b) in enumerate(seeds)
+        ]
+    )
+    probes = keys.select(
+        F.col(key_col), F.explode(probe_cells).alias("c")
+    ).select(key_col, "c.j", "c.cell")
+    return (
+        probes.join(F.broadcast(cells), ["j", "cell"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cms_estimate"))
+    )

@@ -865,3 +865,60 @@ def unimax_allocation(
         )
         cols = cols[:2] + ["chars_total"] + cols[2:] + ["char_budget"]
     return out.select(*cols)
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    epochs: int = 2,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Deterministic per-epoch reshuffle for training-data ordering: one
+    (id, epoch, shard) row per document per epoch, with
+    ``shard = md5(id || ':' || epoch) % n_shards``. Keying the hash on
+    the epoch gives each pass an INDEPENDENT pseudo-random permutation
+    (the property epoch reshuffling exists for — the same pair of docs
+    should not share a shard every epoch) while staying RNG-free and
+    engine-portable: resuming a crashed epoch-3 writer reproduces the
+    identical assignment from nothing but (id, epoch). Map-only — the
+    explode emits `epochs` rows per doc with no shuffle; the actual
+    shard write is `partitionBy(epoch, shard)` on these columns."""
+    if epochs < 1:
+        raise ValueError(f"epochs must be >= 1, got {epochs}")
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(e).cast("int").alias("epoch"),
+                F.expr(
+                    MD5_BUCKET.format(
+                        id=f"concat(cast({id_col} as string), ':', '{e}')",
+                        mod=n_shards,
+                    )
+                ).alias("shard"),
+            )
+            for e in range(epochs)
+        ]
+    )
+    return df.select(
+        F.col(id_col), F.explode(pairs).alias("a")
+    ).select(id_col, "a.epoch", "a.shard")
+
+
+def interleave_order(
+    df: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Round-robin interleave key for multi-source training mixes: adds
+    ``rr_round`` = the document's 1-based position within its source
+    (ordered by id). Sorting by (rr_round, source, id) yields the
+    deterministic interleave a1 b1 c1 a2 b2 c2 ... — sources with fewer
+    docs simply drop out of later rounds. One window shuffle partitioned
+    by source; consumers either TakeOrdered a bounded audit slice (no
+    global sort — see queries.interleave_sources) or write the full
+    ordering via range-partitioning on (rr_round, source), which is a
+    sort-shuffle, not a single-partition row_number."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(source_col).orderBy(id_col)
+    return df.withColumn("rr_round", F.row_number().over(w))

@@ -133,3 +133,40 @@ def test_exact_pair_join_is_equality_keyed(emb):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ngram_containment_detects_subset(spark):
+    """An excerpt wholly contained in a longer doc scores containment
+    1.0 in the excerpt direction while Jaccard stays below any useful
+    threshold — the asymmetric case the operator exists for."""
+    from gistdex_spark.operators.dedup import ngram_containment_pairs
+
+    long_words = " ".join(f"w{i}" for i in range(40))
+    excerpt = " ".join(f"w{i}" for i in range(10, 16))
+    rows = [
+        (1, long_words, "s"),
+        (2, excerpt, "s"),
+        (3, "entirely different tokens here now", "s"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    got = {
+        (r.doc_id_a, r.doc_id_b): (r.containment_a, r.containment_b)
+        for r in ngram_containment_pairs(df, n=3, threshold=0.5).collect()
+    }
+    assert set(got) == {(1, 2)}
+    ca, cb = got[(1, 2)]
+    # All 4 trigrams of the excerpt appear in the long doc: containment
+    # is 1.0 toward the excerpt (doc 2, the b side) and 4/38 toward the
+    # long doc.
+    assert cb == 1.0
+    assert abs(ca - 4 / 38) < 1e-6
+
+
+def test_ngram_containment_requires_positive_threshold(spark):
+    import pytest as _pytest
+
+    from gistdex_spark.operators.dedup import ngram_containment_pairs
+
+    df = spark.createDataFrame([(1, "a b c", "s")], ["doc_id", "text", "source"])
+    with _pytest.raises(ValueError):
+        ngram_containment_pairs(df, threshold=0.0)

@@ -397,3 +397,59 @@ def test_unimax_closed_form_property():
         got = _unimax_closed_form(caps, budget)
         want = _unimax_reference(caps, budget)
         assert got == want, (caps, budget, got, want)
+
+
+def test_epoch_shuffle_deterministic_and_in_range(spark):
+    from gistdex_spark.operators.pipeline import epoch_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(40)], ["doc_id"])
+    a = sorted(map(tuple, epoch_shuffle(df, epochs=3, n_shards=8).collect()))
+    b = sorted(map(tuple, epoch_shuffle(df, epochs=3, n_shards=8).collect()))
+    assert a == b  # RNG-free: identical across invocations
+    assert len(a) == 40 * 3  # one row per (doc, epoch)
+    assert all(0 <= shard < 8 for _, _, shard in a)
+
+
+def test_epoch_shuffle_epochs_are_independent_permutations(spark):
+    """Different epochs must NOT reuse the same assignment — the whole
+    point of keying the hash on the epoch."""
+    from gistdex_spark.operators.pipeline import epoch_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(200)], ["doc_id"])
+    rows = epoch_shuffle(df, epochs=2, n_shards=8).collect()
+    e0 = {r.doc_id: r.shard for r in rows if r.epoch == 0}
+    e1 = {r.doc_id: r.shard for r in rows if r.epoch == 1}
+    stayed = sum(1 for d in e0 if e0[d] == e1[d])
+    # Independent 8-shard assignment keeps ~1/8 in place; identical
+    # assignment would keep all 200. Anything under half is decisive.
+    assert stayed < 100
+
+
+def test_epoch_shuffle_rejects_zero_epochs(spark):
+    import pytest as _pytest
+
+    from gistdex_spark.operators.pipeline import epoch_shuffle
+
+    df = spark.createDataFrame([(1,)], ["doc_id"])
+    with _pytest.raises(ValueError):
+        epoch_shuffle(df, epochs=0)
+
+
+def test_interleave_order_round_robin_pattern(spark):
+    """Sources a(3), b(2), c(1) ordered by (rr_round, source, id) give
+    a1 b1 c1 a2 b2 a3 — short sources drop out of later rounds."""
+    from gistdex_spark.operators.pipeline import interleave_order
+
+    rows = [
+        (1, "a"), (2, "a"), (3, "a"),
+        (4, "b"), (5, "b"),
+        (6, "c"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    got = [
+        (r.doc_id, r.source)
+        for r in interleave_order(df)
+        .orderBy("rr_round", "source", "doc_id")
+        .collect()
+    ]
+    assert got == [(1, "a"), (4, "b"), (6, "c"), (2, "a"), (5, "b"), (3, "a")]

@@ -33,3 +33,57 @@ def test_hll_sketches_merge_across_partitions(spark):
     ).first()
     exact = ev.select("user_id").distinct().count()
     assert abs(merged.approx - exact) <= max(1, 0.05 * exact)
+
+
+def test_count_min_estimate_never_undercounts(spark):
+    """CMS one-sided error: estimate >= exact for EVERY key, and the
+    sketch is bounded by d * width rows regardless of input size."""
+    from gistdex_spark.operators.heavyhitters import (
+        CMS_SEEDS,
+        count_min_cells,
+        count_min_estimate,
+    )
+
+    ev = load_table(spark, SF_CORRECTNESS, "events")
+    cells = count_min_cells(ev, "user_id", width=64)
+    assert cells.count() <= len(CMS_SEEDS) * 64
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact"))
+    est = count_min_estimate(cells, exact.select("user_id"), "user_id")
+    bad = (
+        exact.join(est, "user_id")
+        .filter(F.col("cms_estimate") < F.col("exact"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_count_min_sketches_merge_cellwise(spark):
+    """Sketches of disjoint shards SUM cell-wise to the whole-stream
+    sketch — the property that lets 1000 executors sketch locally and
+    merge 256 numbers instead of shuffling raw keys."""
+    from gistdex_spark.operators.heavyhitters import count_min_cells
+
+    ev = load_table(spark, SF_CORRECTNESS, "events")
+    whole = {
+        (r.j, r.cell): r.cnt
+        for r in count_min_cells(ev, "user_id").collect()
+    }
+    lo = count_min_cells(ev.filter("event_id % 2 = 0"), "user_id")
+    hi = count_min_cells(ev.filter("event_id % 2 = 1"), "user_id")
+    merged: dict = {}
+    for r in lo.collect() + hi.collect():
+        merged[(r.j, r.cell)] = merged.get((r.j, r.cell), 0) + r.cnt
+    assert merged == whole
+
+
+def test_count_min_probe_join_broadcasts_sketch(spark):
+    from gistdex_spark.operators.heavyhitters import (
+        count_min_cells,
+        count_min_estimate,
+    )
+
+    ev = load_table(spark, SF_CORRECTNESS, "events")
+    cells = count_min_cells(ev, "user_id")
+    est = count_min_estimate(cells, ev.select("user_id").distinct(), "user_id")
+    plan = est._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

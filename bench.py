@@ -188,6 +188,7 @@ BENCH_QUERIES = [
     "countmin_user_census",
     "epoch_shuffle_stats",
     "interleave_sources",
+    "gram_novelty",
 ]
 
 

@@ -922,3 +922,57 @@ def interleave_order(
 
     w = Window.partitionBy(source_col).orderBy(id_col)
     return df.withColumn("rr_round", F.row_number().over(w))
+
+
+def gram_novelty(
+    df: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+) -> DataFrame:
+    """Cross-corpus novelty score: the fraction of a document's DISTINCT
+    word n-grams whose FIRST corpus occurrence (minimum id) is this
+    document. Curation pipelines ingesting in id/time order use this to
+    drop low-contribution documents — a doc whose grams all appeared
+    earlier adds no new text even when no single earlier doc is a
+    near-dup (the case pairwise dedup by construction cannot see).
+
+    Shape: distinct grams per doc (one staged projection — the
+    lambda-inlining-safe split, see ngram_jaccard_pairs), then
+    ``min(id) OVER (PARTITION BY gram)`` tags every posting with its
+    gram's first doc in ONE pass — a window, not a groupBy+self-join
+    (which would evaluate the posting pipeline twice; Spark has no
+    cross-join-side CSE) and not a collect_list (whose per-gram array
+    is unbounded for viral grams at 100 TB). One sort-shuffle on gram +
+    one hash agg on id. Short docs carry their single degenerate gram
+    ('' when below n tokens) and score on it like any other gram.
+    """
+    toks = (
+        f"filter(split(lower({content_col}), '[\\\\s]+'), "
+        f"w -> length(w) > 0)"
+    )
+    grams = (
+        f"array_distinct(transform(sequence(1, greatest(size(__toks) - {n - 1}, 1)), "
+        f"i -> concat_ws(' ', slice(__toks, i, {n}))))"
+    )
+    from pyspark.sql import Window
+
+    posts = (
+        df.select(F.col(id_col), F.expr(toks).alias("__toks"))
+        .select(id_col, F.expr(grams).alias("grams"))
+        .select(id_col, F.explode_outer("grams").alias("g"))
+        .filter(F.col("g").isNotNull())
+    )
+    tagged = posts.withColumn(
+        "first_doc", F.min(id_col).over(Window.partitionBy("g"))
+    )
+    novel = F.sum(
+        F.when(F.col(id_col) == F.col("first_doc"), 1).otherwise(0)
+    ).cast("bigint")
+    return tagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        novel.alias("n_novel"),
+        F.round(
+            novel.cast("double") / F.count(F.lit(1)), 6
+        ).alias("novelty"),
+    )

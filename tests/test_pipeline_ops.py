@@ -453,3 +453,24 @@ def test_interleave_order_round_robin_pattern(spark):
         .collect()
     ]
     assert got == [(1, "a"), (4, "b"), (6, "c"), (2, "a"), (5, "b"), (3, "a")]
+
+
+def test_gram_novelty_copy_scores_zero(spark):
+    """Doc 1 introduces all its grams (novelty 1.0); doc 2 is a verbatim
+    copy (novelty 0.0); doc 3 shares half its text with doc 1."""
+    from gistdex_spark.operators.pipeline import gram_novelty
+
+    first = " ".join(f"w{i}" for i in range(12))
+    half_new = " ".join(f"w{i}" for i in range(6)) + " " + " ".join(
+        f"x{i}" for i in range(6)
+    )
+    df = spark.createDataFrame(
+        [(1, first), (2, first), (3, half_new)], ["doc_id", "text"]
+    )
+    got = {r.doc_id: (r.n_grams, r.n_novel, r.novelty)
+           for r in gram_novelty(df, n=3).collect()}
+    assert got[1] == (10, 10, 1.0)
+    assert got[2] == (10, 0, 0.0)
+    # doc 3: 10 trigrams, the first 4 (within w0..w5) already appeared
+    # in doc 1; the 6 crossing into or inside x-tokens are new.
+    assert got[3] == (10, 6, 0.6)

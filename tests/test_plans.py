@@ -843,3 +843,41 @@ def test_corpus_version_diff_joins_on_id_only_once(q):
         "SortMergeJoin",
         "ShuffledHashJoin",
     ), strategies
+
+
+def test_skyline_frontier_is_broadcast_and_scan_pruned(q):
+    """The skyline's join back to the input must broadcast the frontier
+    (the skyline itself, small by construction), and the part scan must
+    read only the four involved columns."""
+    df = q("skyline_parts")
+    assert "BroadcastHashJoin" in executed_plan(df)
+    s = scan_for(df, "part")
+    assert "p_name" not in s["columns"]
+    assert "p_type" not in s["columns"]
+
+
+def test_countmin_probe_broadcasts_sketch_and_takes_topk(q):
+    """The bounded (d x w) sketch must broadcast into the probe join,
+    and the top-20 must be a heap, not a global sort."""
+    df = q("countmin_user_census")
+    plan = executed_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert has_take_ordered(df)
+
+
+def test_interleave_audit_is_take_ordered_not_global_sort(q):
+    """The 50-row audit slice must come from TakeOrderedAndProject;
+    the only full-data exchange is the per-source window partition."""
+    df = q("interleave_sources")
+    assert has_take_ordered(df)
+    assert num_shuffles(df) == 1  # the source-partitioned window
+
+
+def test_gram_novelty_single_gram_shuffle_no_self_join(q):
+    """Novelty tags first occurrence with a window over the posting
+    frame — one gram exchange plus the per-doc agg exchange, and no
+    join (a posting self-join would evaluate the gram pipeline twice)."""
+    df = q("gram_novelty")
+    plan = executed_plan(df)
+    assert "Join" not in plan
+    assert num_shuffles(df) == 2

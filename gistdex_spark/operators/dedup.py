@@ -1273,8 +1273,11 @@ def simhash_pairs_between(
     """Cross-set near-dup pairs (new batch vs existing corpus) via the
     same banded Hamming scheme as :func:`simhash_pairs` — the
     INCREMENTAL-ingest shape: only new-vs-old pairs are generated, never
-    old-vs-old (at 100 TB the existing corpus side is the stored
-    signature table, read not recomputed).
+    old-vs-old. At 100 TB the existing corpus side is the stored
+    signature table, read not recomputed — that form is exercised code
+    in ``sources/band_store.incremental_pairs_stored`` (frame-equality
+    with this function and per-band partition/row-group pruning pinned
+    in tests/test_band_store.py).
 
     Exact for ``max_distance < bands`` by the pigeonhole argument. Each
     side computes signatures once and shuffles once per band on

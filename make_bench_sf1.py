@@ -67,6 +67,12 @@ HEAVY = [
     "ann_lsh_vote",
     "dedup_embedding_cosine_blocked",
     "dedup_ngram_jaccard_banded",
+    # round-11 late additions: the containment posting join and the
+    # novelty gram window both grow with corpus text; triangles rides
+    # the simhash pair graph (and now lineage-cuts the edge list)
+    "dedup_ngram_containment",
+    "gram_novelty",
+    "neardup_triangles",
 ]
 
 

@@ -75,21 +75,66 @@ def stream_neardup_filter(
     batch admission decisions are identical by construction, and the
     anti-join makes re-delivered batches idempotent at the decision
     level. At 100 TB the static side is the STORED signature table
-    (read, not recomputed) partitioned by band — the same layout
-    ivf_store uses for cluster pruning. Within-batch self-duplicates
+    (read, not recomputed) partitioned by band — that form is
+    :func:`stream_neardup_filter_stored`, backed by
+    ``sources/band_store``. Within-batch self-duplicates
     are deliberately left to the periodic full dedup pass over the
     accepted store (the standard two-tier design: cheap admission
     filter at ingest, transitive-closure dedup offline).
     """
+    from gistdex_spark.operators.dedup import simhash_pairs_between
+
+    return _neardup_admission(
+        docs,
+        lambda batch: simhash_pairs_between(
+            batch, static_docs, max_distance=max_distance
+        ),
+        out_path,
+        checkpoint_dir,
+        query_name,
+    )
+
+
+def stream_neardup_filter_stored(
+    docs: DataFrame,
+    store_path: str,
+    out_path: str,
+    max_distance: int = 3,
+    checkpoint_dir: str | None = None,
+    query_name: str = "stream_neardup_filter_stored",
+):
+    """:func:`stream_neardup_filter` with the static corpus side read
+    from a :mod:`~gistdex_spark.sources.band_store` signature store —
+    each micro-batch probes (id, simhash, band) columns with per-band
+    partition/row-group pruning instead of re-tokenizing the corpus's
+    text every batch. Admission decisions are identical to the
+    recompute form by the store's frame-equality contract
+    (tests/test_band_store.py + tests/test_stream_ingest.py)."""
+    from gistdex_spark.sources.band_store import incremental_pairs_stored
+
+    return _neardup_admission(
+        docs,
+        lambda batch: incremental_pairs_stored(
+            batch.sparkSession, store_path, batch, max_distance=max_distance
+        ),
+        out_path,
+        checkpoint_dir,
+        query_name,
+    )
+
+
+def _neardup_admission(
+    docs: DataFrame,
+    pairs_of_batch,
+    out_path: str,
+    checkpoint_dir: str | None,
+    query_name: str,
+):
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.head(1):
             return
-        from gistdex_spark.operators.dedup import simhash_pairs_between
-
         hits = (
-            simhash_pairs_between(
-                batch_df, static_docs, max_distance=max_distance
-            )
+            pairs_of_batch(batch_df)
             .select(F.col("new_id").alias("doc_id"))
             .distinct()
         )

@@ -79,3 +79,29 @@ def test_skyline_frontier_join_broadcasts(spark):
     df = spark.createDataFrame(ROWS, ["id", "grp", "cost", "benefit"])
     plan = skyline(df, "cost", "benefit", by="grp")._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_skyline_randomized_against_brute_force(spark):
+    """20 seeded random datasets (heavy tie mass: costs/benefits drawn
+    from 6 values each, so duplicates and partial ties are everywhere)
+    checked against the quadratic reference in ONE Spark pass — the
+    dataset id doubles as the skyline's grouping key."""
+    import random
+
+    rng = random.Random(42)
+    rows = []
+    rid = 0
+    for ds in range(20):
+        for _ in range(rng.randint(1, 30)):
+            rows.append(
+                (rid, f"d{ds}", float(rng.randint(0, 5)), rng.randint(0, 5))
+            )
+            rid += 1
+    df = spark.createDataFrame(rows, ["id", "grp", "cost", "benefit"])
+    got = sorted(
+        (r.id, r.grp, r.cost, r.benefit)
+        for r in skyline(df, "cost", "benefit", by="grp")
+        .select("id", "grp", "cost", "benefit")
+        .collect()
+    )
+    assert got == _brute_skyline(rows)

@@ -147,3 +147,58 @@ def test_stream_neardup_filter_matches_batch(spark, tmp_path):
     rows = spark.read.parquet(out).collect()
     assert len(rows) == len({r.doc_id for r in rows}), "duplicate appends"
     assert {r.doc_id for r in rows} == expected
+
+
+def test_stream_neardup_filter_stored_matches_recompute_form(spark, tmp_path):
+    """Store-backed streaming admission == recompute-both-sides
+    admission: same accepted set, with the static side read from the
+    band-store signatures instead of re-tokenized text."""
+    from gistdex_spark.sources.band_store import write_band_store
+    from gistdex_spark.streaming.ingest import (
+        stream_neardup_filter,
+        stream_neardup_filter_stored,
+    )
+
+    static_docs = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog " * 10),
+            (101, "pack my box with five dozen liquor jugs today " * 10),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    store = str(tmp_path / "sig_store")
+    write_band_store(static_docs, store)
+
+    incoming = [
+        (1, "the quick brown fox jumps over the lazy dog " * 10 + "extra"),
+        (2, "completely different content about spark streaming " * 10),
+        (3, "pack my box with five dozen liquor jugs today " * 10 + "now"),
+    ]
+    src = str(tmp_path / "nds_src")
+    _write_docs_json(spark, src, [(str(i), t) for i, t in incoming])
+
+    def run(factory, out, ckpt):
+        stream = (
+            spark.readStream.schema("source_id STRING, content STRING")
+            .json(src)
+            .selectExpr("CAST(source_id AS BIGINT) AS doc_id", "content AS text")
+        )
+        q = factory(stream, out, ckpt)
+        q.awaitTermination(120)
+        return {r.doc_id for r in spark.read.parquet(out).collect()}
+
+    got_stored = run(
+        lambda s, out, ck: stream_neardup_filter_stored(
+            s, store, out, checkpoint_dir=ck
+        ),
+        str(tmp_path / "nds_out"),
+        str(tmp_path / "nds_ckpt"),
+    )
+    got_recompute = run(
+        lambda s, out, ck: stream_neardup_filter(
+            s, static_docs, out, checkpoint_dir=ck
+        ),
+        str(tmp_path / "ndr_out"),
+        str(tmp_path / "ndr_ckpt"),
+    )
+    assert got_stored == got_recompute == {2}

@@ -189,6 +189,7 @@ BENCH_QUERIES = [
     "epoch_shuffle_stats",
     "interleave_sources",
     "gram_novelty",
+    "global_index_audit",
 ]
 
 

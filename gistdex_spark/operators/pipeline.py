@@ -976,3 +976,63 @@ def gram_novelty(
             novel.cast("double") / F.count(F.lit(1)), 6
         ).alias("novelty"),
     )
+
+
+def global_row_index(
+    df: DataFrame,
+    order_by: list,
+    index_col: str = "global_idx",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Contiguous 1-based global row index in ``order_by`` order WITHOUT
+    a single-partition window over the data — the DataFrame-native
+    zipWithIndex, and the primitive a training-data writer needs to
+    stamp a total curriculum order onto a 100 TB corpus.
+
+    Two-phase, the classic per-partition-count scheme: range-repartition
+    on the order columns (range partition i holds keys strictly below
+    partition i+1's), rank locally inside each range partition, and add
+    each partition's starting offset = the cumulative count of earlier
+    partitions. The counts frame is one row per PARTITION — the only
+    single-partition window in the plan runs over those ~hundreds of
+    rows, never the corpus — and joins back as a broadcast. Both the
+    ranking branch and the counting branch hang off the IDENTICAL range
+    exchange, which Spark dedupes via ReuseExchange (pinned in
+    test_plans.py) — the corpus is shuffled once.
+
+    Determinism: ``order_by`` must be a total order (include a unique
+    id as the last column); entries are column names or Column sort
+    expressions (``F.col("x").desc()``), applied identically to the
+    range partitioner and the local rank. The index depends only on that order, not
+    on where the sampled range boundaries happen to fall — boundary
+    jitter moves rows between partitions but local rank + offset
+    reproduces the same global rank.
+    """
+    from pyspark.sql import Column, Window
+
+    cols = [c if isinstance(c, Column) else F.col(c) for c in order_by]
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n, *cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    local = ranged.withColumn(
+        "__lrank",
+        F.row_number().over(Window.partitionBy("__pid").orderBy(*cols)),
+    )
+    counts = ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
+    offsets = counts.withColumn(
+        "__offset",
+        F.coalesce(
+            F.sum("__n").over(
+                Window.orderBy("__pid").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ),
+    ).select("__pid", "__offset")
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(index_col, (F.col("__offset") + F.col("__lrank")).cast("bigint"))
+        .drop("__pid", "__lrank", "__offset")
+    )

@@ -474,3 +474,45 @@ def test_gram_novelty_copy_scores_zero(spark):
     # doc 3: 10 trigrams, the first 4 (within w0..w5) already appeared
     # in doc 1; the 6 crossing into or inside x-tokens are new.
     assert got[3] == (10, 6, 0.6)
+
+
+def test_global_row_index_matches_single_window(spark):
+    """The two-phase range+offset index must reproduce the exact
+    row_number a single-partition window would assign, descending
+    order and ties included."""
+    from pyspark.sql import functions as F
+
+    from gistdex_spark.operators.pipeline import global_row_index
+
+    rows = [(i, (i * 37) % 11) for i in range(200)]  # heavy key ties
+    df = spark.createDataFrame(rows, ["id", "k"])
+    got = {
+        r.id: r.global_idx
+        for r in global_row_index(
+            df, [F.col("k").desc(), F.col("id").asc()], partitions=7
+        ).collect()
+    }
+    want = {
+        rid: i + 1
+        for i, (rid, _) in enumerate(
+            sorted(rows, key=lambda t: (-t[1], t[0]))
+        )
+    }
+    assert got == want
+
+
+def test_global_row_index_shuffles_corpus_once(spark):
+    """Rank and count branches must share ONE range exchange
+    (ReusedExchange in the executed plan) — the corpus is shuffled
+    once, and the only single-partition window runs over the
+    per-partition counts."""
+    from pyspark.sql import functions as F
+
+    from gistdex_spark.operators.pipeline import global_row_index
+
+    df = spark.range(1000).select(F.col("id"), (F.col("id") % 13).alias("k"))
+    out = global_row_index(df, [F.col("k").asc(), F.col("id").asc()])
+    out.collect()  # AQE finalizes reuse at execution
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan
+    assert "ReusedExchange" in plan or "ReuseExchange" in plan

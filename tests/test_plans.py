@@ -881,3 +881,15 @@ def test_gram_novelty_single_gram_shuffle_no_self_join(q):
     plan = executed_plan(df)
     assert "Join" not in plan
     assert num_shuffles(df) == 2
+
+
+def test_global_index_reuses_one_range_exchange(q):
+    """The rank and count branches of the two-phase global index must
+    share one range exchange (ReusedExchange after AQE finalizes) —
+    the corpus shuffles once, and no single-partition window touches
+    corpus-sized data (the offsets window sees per-partition counts)."""
+    df = q("global_index_audit")
+    df.collect()
+    plan = executed_plan(df)
+    assert "rangepartitioning" in plan
+    assert "ReusedExchange" in plan or "ReuseExchange" in plan

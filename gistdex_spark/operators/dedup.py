@@ -1262,6 +1262,144 @@ def embedding_neardup_pairs(
     )
 
 
+def knn_graph(
+    emb: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    n_blocks: int | None = None,
+    block_rows: int = 2048,
+) -> DataFrame:
+    """EXACT cosine k-nearest-neighbor GRAPH over an embedding column —
+    the primitive under graph-based dedup, semantic clustering, and
+    hard-negative mining. Same block-cartesian organization as
+    :func:`embedding_neardup_pairs` (rows hash into id-blocks, every
+    unordered block pair is one task scoring its cross sim matrix as
+    dimension-ordered numpy outer products over Arrow), with one change
+    that makes the GRAPH shape scale: each task emits only its LOCAL
+    top-k per source row, so the candidate stream is n·B·k rows (B =
+    block count), never the n² scored pairs. The global resolution is
+    then one hash shuffle on src plus a per-src window over ≤ B·k rows.
+
+    The local cut is margin-safe against the downstream rounding: a row
+    keeps every candidate whose RAW sim is within 2e-6 of its k-th best
+    RAW sim in the block pair. A dropped candidate therefore has ≥ k
+    block-mates whose raw sim exceeds its own by > 2e-6, which forces
+    their Catalyst-ROUNDED sims (|round(x) - x| ≤ 5e-7) strictly above
+    its rounded sim — it can never enter the global rounded top-k, for
+    any tie-break. Bit-parity of the sims themselves is inherited from
+    the shared kernel discipline (dimension-ordered accumulation,
+    in-place product-denominator divide, zero-norm → 0.0, rounding left
+    to F.round).
+
+    Returns (src_id, nbr_id, sim, rk) with rk 1..k ordered by
+    (sim desc, nbr_id asc) per source — every row of ``emb`` appears as
+    src_id (up to n-1 neighbors exist), self-pairs excluded.
+    """
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    spark = emb.sparkSession
+    if n_blocks is None:
+        n = emb.count()
+        n_blocks = max(
+            spark.sparkContext.defaultParallelism,
+            -(-n // max(block_rows, 1)),
+        )
+    blocked = emb.select(
+        F.col(id_col).alias("id"),
+        F.col("embedding"),
+        F.pmod(F.hash(F.col(id_col)), F.lit(n_blocks)).alias("blk"),
+    )
+    packs = blocked.groupBy("blk").agg(
+        F.collect_list(F.struct("id", "embedding")).alias("m")
+    )
+    a = packs.select(F.col("blk").alias("blk_a"), F.col("m").alias("m_a"))
+    b = packs.select(F.col("blk").alias("blk_b"), F.col("m").alias("m_b"))
+    # Literal pair frame + equality joins, NOT a theta join — same
+    # rationale as embedding_neardup_pairs (a blk_a <= blk_b condition
+    # compiles to BroadcastNestedLoopJoin over the packed corpus).
+    pair_idx = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        schema="blk_a int, blk_b int",
+    )
+    joined = a.join(F.broadcast(pair_idx), "blk_a").join(b, "blk_b")
+    id_type = emb.schema[id_col].dataType.simpleString()
+
+    def run(batches):
+        cols = ["src", "nbr", "sim"]
+
+        def local_topk(sim, src_ids, nbr_ids):
+            # Keep every candidate within 2e-6 of the row's k-th best
+            # raw sim (see docstring for why the margin makes the cut
+            # exact under rounding). Self-pairs arrive as -inf.
+            if sim.shape[1] > k:
+                kth = -np.partition(-sim, k - 1, axis=1)[:, k - 1]
+            else:
+                kth = np.full(sim.shape[0], -np.inf)
+            keep = (sim >= kth[:, None] - 2e-6) & (sim != -np.inf)
+            ia, ib = np.nonzero(keep)
+            return pd.DataFrame(
+                {"src": src_ids[ia], "nbr": nbr_ids[ib], "sim": sim[ia, ib]},
+                columns=cols,
+            )
+
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                ids_a = np.array([m["id"] for m in row["m_a"]])
+                ids_b = np.array([m["id"] for m in row["m_b"]])
+                X = np.array(
+                    [list(m["embedding"]) for m in row["m_a"]],
+                    dtype=np.float64,
+                )
+                Y = np.array(
+                    [list(m["embedding"]) for m in row["m_b"]],
+                    dtype=np.float64,
+                )
+                dots = np.zeros((len(ids_a), len(ids_b)))
+                na = np.zeros(len(ids_a))
+                nb = np.zeros(len(ids_b))
+                for d in range(X.shape[1]):
+                    dots += X[:, d, None] * Y[None, :, d]
+                    na += X[:, d] * X[:, d]
+                    nb += Y[:, d] * Y[:, d]
+                na, nb = np.sqrt(na), np.sqrt(nb)
+                za, zb = na == 0.0, nb == 0.0
+                na[za], nb[zb] = 1.0, 1.0
+                denom = na[:, None] * nb[None, :]
+                dots /= denom
+                del denom
+                if za.any():
+                    dots[za, :] = 0.0
+                if zb.any():
+                    dots[:, zb] = 0.0
+                if row["blk_a"] == row["blk_b"]:
+                    # Diagonal: A == B, so A->B alone covers every
+                    # directed pair inside the block; mask the self cell.
+                    dots[ids_a[:, None] == ids_b[None, :]] = -np.inf
+                    yield local_topk(dots, ids_a, ids_b)
+                else:
+                    # Off-diagonal (blk_a < blk_b): both directions.
+                    yield local_topk(dots, ids_a, ids_b)
+                    yield local_topk(dots.T, ids_b, ids_a)
+
+    cand = joined.mapInPandas(
+        run, schema=f"src {id_type}, nbr {id_type}, sim double"
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("sim_r"), F.asc("nbr"))
+    return (
+        cand.withColumn("sim_r", F.round("sim", ROUND))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            F.col("src").alias("src_id"),
+            F.col("nbr").alias("nbr_id"),
+            F.col("sim_r").alias("sim"),
+            "rk",
+        )
+    )
+
+
 def simhash_pairs_between(
     new: DataFrame,
     old: DataFrame,

@@ -170,3 +170,78 @@ def test_ngram_containment_requires_positive_threshold(spark):
     df = spark.createDataFrame([(1, "a b c", "s")], ["doc_id", "text", "source"])
     with _pytest.raises(ValueError):
         ngram_containment_pairs(df, threshold=0.0)
+
+
+# --------------------------------------------------------------------------
+# knn_graph: the block-local top-k cut must be invisible — every block
+# count yields exactly the naive window-form graph, including rounded-sim
+# ties (resolved nbr-asc), duplicate vectors, and the zero-vector guard.
+# --------------------------------------------------------------------------
+
+
+def _window_knn(emb, k):
+    """Naive reference: full directed pair join + Catalyst cosine fold +
+    one global window — the oracle's QUALIFY shape."""
+    from pyspark.sql import Window
+
+    l = emb.select(F.col("vec_id").alias("src_id"), F.col("embedding").alias("emb_a"))
+    r = emb.select(F.col("vec_id").alias("nbr_id"), F.col("embedding").alias("emb_b"))
+    w = Window.partitionBy("src_id").orderBy(F.desc("sim"), F.asc("nbr_id"))
+    return {
+        (x["src_id"], x["nbr_id"], x["sim"], x["rk"])
+        for x in l.join(r, F.col("src_id") != F.col("nbr_id"))
+        .withColumn("sim", F.round(cosine("emb_a", "emb_b"), ROUND))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .collect()
+    }
+
+
+def test_knn_graph_matches_window_form_every_block_count(emb):
+    from gistdex_spark.operators.dedup import knn_graph
+
+    want = _window_knn(emb, 5)
+    for n_blocks in (1, 3, 7, 64):
+        got = {
+            (x["src_id"], x["nbr_id"], x["sim"], x["rk"])
+            for x in knn_graph(emb, k=5, n_blocks=n_blocks).collect()
+        }
+        assert got == want, f"n_blocks={n_blocks}"
+
+
+def test_knn_graph_duplicate_and_zero_vector_edges(emb):
+    from gistdex_spark.operators.dedup import knn_graph
+
+    rows = knn_graph(emb, k=5, n_blocks=7).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["src_id"], []).append(r)
+    # Every source has exactly k neighbors (corpus is larger than k+1).
+    assert all(len(v) == 5 for v in by_src.values())
+    assert len(by_src) == 40
+    # Exact duplicate pair (3, 38): each is the other's rank-1 at 1.0.
+    top3 = min(by_src[3], key=lambda r: r["rk"])
+    top38 = min(by_src[38], key=lambda r: r["rk"])
+    assert (top3["nbr_id"], top3["sim"], top3["rk"]) == (38, 1.0, 1)
+    assert (top38["nbr_id"], top38["sim"], top38["rk"]) == (3, 1.0, 1)
+    # Zero vector: every sim is the 0.0 guard value, so the neighbor set
+    # is the 5 smallest ids (pure nbr-asc tie-break).
+    zero = sorted(by_src[39], key=lambda r: r["rk"])
+    assert [r["nbr_id"] for r in zero] == [0, 1, 2, 3, 4]
+    assert all(r["sim"] == 0.0 for r in zero)
+
+
+def test_knn_graph_k_exceeding_corpus(spark):
+    from gistdex_spark.operators.dedup import knn_graph
+
+    df = spark.createDataFrame(
+        [(i, [float(i + 1), 1.0]) for i in range(4)],
+        schema="vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    rows = knn_graph(df, k=10, n_blocks=3).collect()
+    # k > n-1: every directed pair survives, ranks are dense 1..3.
+    assert len(rows) == 12
+    per_src = {}
+    for r in rows:
+        per_src.setdefault(r["src_id"], []).append(r["rk"])
+    assert all(sorted(v) == [1, 2, 3] for v in per_src.values())

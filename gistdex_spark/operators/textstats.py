@@ -180,3 +180,96 @@ def tokenizer_fertility(
         ),
         ratio6("bpe_tokens_total", "n_docs").alias("bpe_tokens_per_doc"),
     )
+
+
+def token_entropy(
+    df: DataFrame, content_col: str = "text", gate_bits: float = 4.7
+) -> DataFrame:
+    """Shannon entropy (bits) of each document's TOKEN distribution plus
+    the low-entropy gate a spam/keyword-stuffing filter keys on — low
+    entropy means a few tokens dominate the document.
+
+    Zero-shuffle per-row fold. The token array is STAGED as a projected
+    column (``__toks``) so the tokenize subtree is evaluated once per
+    row, not re-inlined into every lambda that references it (the
+    round-11 lambda-inlining class). The entropy sum runs over counts in
+    TOKEN-ASCENDING order (array_sort of the distinct tokens), the same
+    deterministic order the oracle's list_transform walks, so the float
+    accumulation order is engine-identical; rounding to 6 dp absorbs
+    the remaining last-ulp noise of a ~types-length sum.
+    """
+    staged = df.withColumn("__toks", tokens(F.col(content_col)))
+    t = F.col("__toks")
+    n = F.size(t)
+    counts = F.transform(
+        F.array_sort(F.array_distinct(t)),
+        lambda w: F.size(F.filter(t, lambda x: x == w)),
+    )
+    ent = F.aggregate(
+        counts,
+        F.lit(0.0),
+        lambda acc, c: acc
+        - (c.cast("double") / n) * F.log2(c.cast("double") / n),
+    )
+    return staged.select(
+        "doc_id",
+        n.cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(t)).alias("n_types"),
+        F.round(ent, ROUND).alias("entropy_bits"),
+        (F.round(ent, ROUND) >= F.lit(gate_bits)).alias("entropy_pass"),
+    )
+
+
+def line_quality_gate(
+    df: DataFrame,
+    content_col: str = "text",
+    line_tokens: int = 7,
+    min_line_tokens: int = 5,
+    min_distinct_frac: float = 0.7,
+) -> DataFrame:
+    """C4-style LINE-level quality filtering with document reassembly:
+    split each document into lines, drop lines that fail the per-line
+    gates (too short, too repetitive), and rebuild the cleaned text in
+    order. The corpus documents are single-line, so lines are DERIVED
+    deterministically as fixed-size token windows (``line_tokens``
+    each; the trailing window keeps its remainder) — identically in the
+    SQL oracle, per the pii_scrub precedent — which makes the keep/drop
+    logic genuinely exercised: short trailing lines and low-distinct
+    windows really are removed.
+
+    Map-only, whole-stage codegen: one staged tokenize, then pure array
+    expressions (sequence/slice/filter/array_join). At 100 TB this is a
+    scan-shaped pass — no shuffle, no Python.
+    """
+    staged = df.withColumn("__toks", tokens(F.col(content_col)))
+    t = F.col("__toks")
+    n_lines = F.ceil(F.size(t) / F.lit(float(line_tokens))).cast("int")
+    lines = F.when(F.size(t) == F.lit(0), F.lit([]).cast("array<array<string>>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_lines - 1),
+            lambda i: F.slice(t, i * line_tokens + 1, line_tokens),
+        )
+    )
+    keep = lambda ln: (F.size(ln) >= min_line_tokens) & (  # noqa: E731
+        F.size(F.array_distinct(ln)).cast("double") / F.size(ln)
+        > F.lit(min_distinct_frac)
+    )
+    staged = staged.withColumn("__kept", F.filter(lines, keep)).withColumn(
+        "__n_lines", n_lines
+    )
+    kept = F.col("__kept")
+    return staged.select(
+        "doc_id",
+        F.col("__n_lines").alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+        F.round(
+            F.when(
+                F.col("__n_lines") > 0,
+                F.size(kept).cast("double") / F.col("__n_lines"),
+            ).otherwise(F.lit(0.0)),
+            ROUND,
+        ).alias("kept_frac"),
+        F.array_join(
+            F.transform(kept, lambda ln: F.array_join(ln, " ")), "\n"
+        ).alias("clean_text"),
+    )

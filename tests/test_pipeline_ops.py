@@ -516,3 +516,57 @@ def test_global_row_index_shuffles_corpus_once(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" in plan
     assert "ReusedExchange" in plan or "ReuseExchange" in plan
+
+
+def test_token_entropy_gate_behavior(spark):
+    """Entropy extremes: a one-token-repeated doc scores 0 bits and
+    fails the gate; a k-distinct uniform doc scores exactly log2(k)."""
+    import math
+
+    from gistdex_spark.operators.textstats import token_entropy
+
+    rows = [
+        (1, "spam " * 40),                                # 0 bits
+        (2, " ".join(f"w{i}" for i in range(32))),        # log2(32) = 5
+        (3, "a a b b c c d d"),                           # log2(4) = 2
+        (4, ""),                                          # empty edge
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in token_entropy(df, gate_bits=4.45).collect()}
+    assert got[1].entropy_bits == 0.0 and not got[1].entropy_pass
+    assert got[2].entropy_bits == 5.0 and got[2].entropy_pass
+    assert abs(got[3].entropy_bits - 2.0) < 1e-9 and not got[3].entropy_pass
+    assert got[4].n_tokens == 0 and got[4].entropy_bits == 0.0
+    assert math.isclose(got[2].entropy_bits, math.log2(32))
+
+
+def test_line_quality_gate_drops_and_reassembles(spark):
+    """Positive cases the corpus parity row can't show: a repetitive
+    window and a short trailing window drop; survivors rebuild in
+    order."""
+    from gistdex_spark.operators.textstats import line_quality_gate
+
+    # 7 distinct + 7 repeated + 2 trailing tokens -> lines: keep, drop
+    # (distinct frac 1/7), drop (len 2 < 5).
+    text = " ".join(f"w{i}" for i in range(7)) + " " + "dup " * 7 + "t1 t2"
+    df = spark.createDataFrame(
+        [(1, text), (2, "")], ["doc_id", "text"]
+    )
+    got = {r.doc_id: r for r in line_quality_gate(df).collect()}
+    assert (got[1].n_lines, got[1].n_kept) == (3, 1)
+    assert got[1].clean_text == " ".join(f"w{i}" for i in range(7))
+    assert got[1].kept_frac == round(1 / 3, 6)
+    assert (got[2].n_lines, got[2].n_kept, got[2].clean_text) == (0, 0, "")
+
+
+def test_line_quality_gate_partial_line_can_pass(spark):
+    """A 5-token all-distinct trailing line passes both gates."""
+    from gistdex_spark.operators.textstats import line_quality_gate
+
+    text = " ".join(f"a{i}" for i in range(12))  # 7 + 5 tokens
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    r = line_quality_gate(df).collect()[0]
+    assert (r.n_lines, r.n_kept) == (2, 2)
+    assert r.clean_text == " ".join(f"a{i}" for i in range(7)) + "\n" + " ".join(
+        f"a{i}" for i in range(7, 12)
+    )

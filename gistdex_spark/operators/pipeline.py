@@ -983,6 +983,7 @@ def global_row_index(
     order_by: list,
     index_col: str = "global_idx",
     partitions: int | None = None,
+    materialize=None,
 ) -> DataFrame:
     """Contiguous 1-based global row index in ``order_by`` order WITHOUT
     a single-partition window over the data — the DataFrame-native
@@ -995,10 +996,22 @@ def global_row_index(
     each partition's starting offset = the cumulative count of earlier
     partitions. The counts frame is one row per PARTITION — the only
     single-partition window in the plan runs over those ~hundreds of
-    rows, never the corpus — and joins back as a broadcast. Both the
-    ranking branch and the counting branch hang off the IDENTICAL range
-    exchange, which Spark dedupes via ReuseExchange (pinned in
-    test_plans.py) — the corpus is shuffled once.
+    rows, never the corpus — and joins back as a broadcast.
+
+    The ranged frame is MATERIALIZED once (eager localCheckpoint by
+    default; pass ``materialize`` to route through a caller-managed
+    cache) before the rank and count branches consume it. This is
+    correctness, not caching: the two branches CANNOT be left to
+    re-evaluate the range exchange independently, because Spark's
+    RangePartitioner samples its boundaries with an rdd.id-derived seed
+    — and ReuseExchange, which would dedupe the two evaluations, breaks
+    as soon as the frame carries a column only one branch needs (column
+    pruning gives the branches different exchange schemas; found when a
+    wide text column produced local ranks from one set of boundaries
+    and offsets from another, yielding indexes past n). The
+    materialization IS the single evaluation; at 100 TB it is the
+    honest price of a total-order stamp — index the narrow key columns
+    and join back by key if the corpus row is wide.
 
     Determinism: ``order_by`` must be a total order (include a unique
     id as the last column); entries are column names or Column sort
@@ -1015,6 +1028,10 @@ def global_row_index(
     ranged = df.repartitionByRange(n, *cols).withColumn(
         "__pid", F.spark_partition_id()
     )
+    if materialize is None:
+        ranged = ranged.localCheckpoint(eager=True)
+    else:
+        ranged = materialize(ranged)
     local = ranged.withColumn(
         "__lrank",
         F.row_number().over(Window.partitionBy("__pid").orderBy(*cols)),
@@ -1035,4 +1052,79 @@ def global_row_index(
         local.join(F.broadcast(offsets), "__pid")
         .withColumn(index_col, (F.col("__offset") + F.col("__lrank")).cast("bigint"))
         .drop("__pid", "__lrank", "__offset")
+    )
+
+
+def vocab_growth(
+    df: DataFrame,
+    content_col: str = "text",
+    buckets: int = 10,
+    materialize=None,
+) -> DataFrame:
+    """Heaps-law audit: cumulative distinct vocabulary vs cumulative
+    token count across a doc_id-ordered corpus split into ``buckets``
+    equal slices — the curve a tokenizer designer reads before fixing a
+    vocab size (V ~ K·N^beta; a flattening type/token ratio says the
+    corpus stopped contributing new types).
+
+    Scale shape: the total order comes from :func:`global_row_index`
+    (one range exchange, no single-partition window over the corpus);
+    "first bucket a term appears in" is a map-combined min agg over the
+    exploded tokens; every window after that runs over ``buckets`` rows.
+    The count() that fixes bucket boundaries is one scalar job.
+    """
+    from pyspark.sql import Window
+
+    from gistdex_spark.functions.text import tokens
+
+    n = df.count()
+    spark = df.sparkSession
+    if n == 0:
+        return spark.createDataFrame(
+            [],
+            schema="bucket INT, cum_tokens BIGINT, cum_vocab BIGINT, "
+            "type_token_ratio DOUBLE",
+        )
+    idx = global_row_index(
+        df.select("doc_id", F.col(content_col).alias("__txt")),
+        ["doc_id"],
+        materialize=materialize,
+    )
+    bucketed = idx.select(
+        F.expr(f"CAST((global_idx - 1) * {buckets} DIV {n} AS INT)").alias(
+            "bucket"
+        ),
+        tokens(F.col("__txt")).alias("__toks"),
+    )
+    toks = bucketed.groupBy("bucket").agg(
+        F.sum(F.size("__toks")).alias("__tok_n")
+    )
+    first = (
+        bucketed.select("bucket", F.explode("__toks").alias("__w"))
+        .groupBy("__w")
+        .agg(F.min("bucket").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("__new"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        toks.join(first, "bucket", "left")
+        .select(
+            "bucket",
+            F.sum("__tok_n").over(w).cast("bigint").alias("cum_tokens"),
+            F.sum(F.coalesce("__new", F.lit(0)))
+            .over(w)
+            .cast("bigint")
+            .alias("cum_vocab"),
+        )
+    )
+    return cum.withColumn(
+        "type_token_ratio",
+        F.round(
+            F.when(
+                F.col("cum_tokens") > 0,
+                F.col("cum_vocab").cast("double") / F.col("cum_tokens"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ),
     )

@@ -501,21 +501,41 @@ def test_global_row_index_matches_single_window(spark):
     assert got == want
 
 
-def test_global_row_index_shuffles_corpus_once(spark):
-    """Rank and count branches must share ONE range exchange
-    (ReusedExchange in the executed plan) — the corpus is shuffled
-    once, and the only single-partition window runs over the
-    per-partition counts."""
+def test_global_row_index_single_materialized_exchange(spark):
+    """The ranged frame is materialized once (eager localCheckpoint),
+    and both branches read it — the downstream plan holds no
+    rangepartitioning exchange, and the only single-partition window
+    runs over the per-partition counts."""
     from pyspark.sql import functions as F
 
     from gistdex_spark.operators.pipeline import global_row_index
 
     df = spark.range(1000).select(F.col("id"), (F.col("id") % 13).alias("k"))
     out = global_row_index(df, [F.col("k").asc(), F.col("id").asc()])
-    out.collect()  # AQE finalizes reuse at execution
+    out.collect()
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "rangepartitioning" in plan
-    assert "ReusedExchange" in plan or "ReuseExchange" in plan
+    assert "rangepartitioning" not in plan
+    assert "ExistingRDD" in plan
+
+
+def test_global_row_index_wide_column_regression(spark):
+    """The boundary-divergence regression: with a WIDE payload column
+    that only the rank branch keeps, column pruning used to give the
+    rank and count branches different range exchanges (different
+    rdd.id-seeded boundary samples), producing indexes past n. The
+    materialized form must stamp a dense 1..n permutation regardless of
+    payload width or partition count."""
+    from pyspark.sql import functions as F
+
+    from gistdex_spark.operators.pipeline import global_row_index
+
+    df = spark.range(5000).select(
+        F.col("id"),
+        F.concat(F.lit("x" * 200), F.col("id").cast("string")).alias("wide"),
+    )
+    out = global_row_index(df, ["id"], partitions=37)
+    idx = sorted(r.global_idx for r in out.collect())
+    assert idx == list(range(1, 5001))
 
 
 def test_token_entropy_gate_behavior(spark):

@@ -883,13 +883,18 @@ def test_gram_novelty_single_gram_shuffle_no_self_join(q):
     assert num_shuffles(df) == 2
 
 
-def test_global_index_reuses_one_range_exchange(q):
-    """The rank and count branches of the two-phase global index must
-    share one range exchange (ReusedExchange after AQE finalizes) —
-    the corpus shuffles once, and no single-partition window touches
-    corpus-sized data (the offsets window sees per-partition counts)."""
+def test_global_index_single_materialized_range_exchange(q):
+    """The two-phase global index pins its range partitioning by
+    materializing the ranged frame ONCE (eager localCheckpoint) — both
+    the rank and count branches read that checkpointed RDD, so the
+    downstream executed plan contains NO rangepartitioning exchange at
+    all (it already happened, exactly once, at build time). Trusting
+    ReuseExchange instead is the boundary-divergence bug documented in
+    pipeline.global_row_index: RangePartitioner seeds by rdd.id, and
+    column pruning splits the branches into different exchanges as soon
+    as the frame carries a column only one branch needs."""
     df = q("global_index_audit")
     df.collect()
     plan = executed_plan(df)
-    assert "rangepartitioning" in plan
-    assert "ReusedExchange" in plan or "ReuseExchange" in plan
+    assert "rangepartitioning" not in plan
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan

@@ -190,6 +190,14 @@ BENCH_QUERIES = [
     "interleave_sources",
     "gram_novelty",
     "global_index_audit",
+    # This session's widening: entropy/line gates (scan-shaped), the
+    # Heaps-law and per-dim embedding audits, int8 ANN. knn_graph stays
+    # in the full lap with the other exact-pair quadratics.
+    "token_entropy_gate",
+    "line_quality_gate",
+    "heaps_law_audit",
+    "embedding_dim_stats",
+    "ann_int8_rerank",
 ]
 
 

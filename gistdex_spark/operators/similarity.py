@@ -475,3 +475,68 @@ def tfidf_cosine_pairs(
         "db",
         F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cos"),
     )
+
+
+def ann_int8(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Int8 symmetric-quantized ANN (4x compression): the shortlist
+    ranks by the exact INTEGER dot product between per-vector int8
+    codes and the identically quantized query, then exact cosine
+    reranks ONLY the shortlist. Quantization is the
+    pipeline.quantize_int8_stats recipe — scale = max|x|/127 per
+    vector, code = clamp(floor(x/scale + 0.5), ±127) so the tie rule is
+    bit-identical across engines — and the shortlist score is pure
+    BIGINT arithmetic, so like binary-sign (and unlike trained IVF/PQ)
+    this quantization carries a full VALUE oracle. At rest, store the
+    codes + scale as columns: the shortlist pass then reads dim bytes +
+    8 per row, never the f64 embedding (the lsh_store/ivf_store layout
+    discipline; compute-on-scan here keeps the oracle self-contained).
+
+    Zero vectors (scale 0) score 0. Two stacked TakeOrdered heaps —
+    zero shuffles, the ann_lsh_vote plan shape.
+    """
+    import math  # noqa: PLC0415
+
+    qscale = max(abs(x) for x in query_vec) / 127.0
+    if qscale == 0.0:
+        qint = [0] * len(query_vec)
+    else:
+        qint = [
+            int(min(max(math.floor(x / qscale + 0.5), -127.0), 127.0))
+            for x in query_vec
+        ]
+    # Spark SQL arrays index from 0 (the oracle's DuckDB lists from 1).
+    terms = " + ".join(
+        f"cast(greatest(least(floor({vec_col}[{i}] / __s + 0.5), 127.0),"
+        f" -127.0) as bigint) * {q}L"
+        for i, q in enumerate(qint)
+    )
+    scale = (
+        f"array_max(transform({vec_col}, x -> abs(cast(x as double))))"
+        " / 127.0"
+    )
+    short = (
+        emb.select(id_col, vec_col)
+        .withColumn("__s", F.expr(scale))
+        .withColumn(
+            "__qdot",
+            F.expr(f"case when __s = 0.0 then 0L else {terms} end"),
+        )
+        .orderBy(F.desc("__qdot"), F.asc(id_col))
+        .limit(shortlist)
+    )
+    return (
+        short.withColumn(
+            "score",
+            F.round(cosine(F.col(vec_col), vector_literal(query_vec)), ROUND),
+        )
+        .select(id_col, "score")
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )

@@ -225,6 +225,18 @@ def main():
         ]
         record("binary_sign", {"bits_per_dim": 1, "shortlist": shortlist}, runs)
 
+    # ---- int8 symmetric quantization: shortlist sweep --------------------
+    # 8 bits/dim codes; shortlist by the exact BIGINT code dot product,
+    # exact rerank of the shortlist only. Like binary-sign this is fully
+    # deterministic (value oracle in the registry); the curve shows how
+    # much the 8-bit dot preserves of the exact ranking per shortlist.
+    for shortlist in (10, 25, 50, 100):
+        runs = [
+            timed_ids(SIM.ann_int8(emb, qv, k=K, shortlist=shortlist))
+            for qv in queries
+        ]
+        record("int8", {"bits_per_dim": 8, "shortlist": shortlist}, runs)
+
     payload = {
         "sf_dir": sf_dir,
         "n_vectors": n,

@@ -898,3 +898,16 @@ def test_global_index_single_materialized_range_exchange(q):
     plan = executed_plan(df)
     assert "rangepartitioning" not in plan
     assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
+
+
+def test_ann_int8_is_two_heaps_no_shuffle(q):
+    """Int8 ANN must compile exactly like the vote form: two stacked
+    TakeOrderedAndProject heaps (shortlist by the BIGINT code dot,
+    then k by exact cosine) over a codegen'd quantization projection —
+    zero shuffles, 2-column scan."""
+    df = q("ann_int8_rerank")
+    plan = executed_plan(df)
+    assert plan.count("TakeOrderedAndProject") == 2
+    assert num_shuffles(df) == 0
+    s = scan_for(df, "embeddings")
+    assert set(s["columns"]) <= {"vec_id", "embedding"}

@@ -477,6 +477,21 @@ def tfidf_cosine_pairs(
     )
 
 
+def int8_query_codes(query_vec: list[float]) -> list[int]:
+    """The quantize_int8_stats code rule (clamp(floor(x/s + 0.5), ±127))
+    applied driver-side — shared by the scan form, the stored form, and
+    the registry oracle so all three inline the same BIGINT literals."""
+    import math  # noqa: PLC0415
+
+    qscale = max(abs(x) for x in query_vec) / 127.0
+    if qscale == 0.0:
+        return [0] * len(query_vec)
+    return [
+        int(min(max(math.floor(x / qscale + 0.5), -127.0), 127.0))
+        for x in query_vec
+    ]
+
+
 def ann_int8(
     emb: DataFrame,
     query_vec: list[float],
@@ -493,24 +508,23 @@ def ann_int8(
     vector, code = clamp(floor(x/scale + 0.5), ±127) so the tie rule is
     bit-identical across engines — and the shortlist score is pure
     BIGINT arithmetic, so like binary-sign (and unlike trained IVF/PQ)
-    this quantization carries a full VALUE oracle. At rest, store the
-    codes + scale as columns: the shortlist pass then reads dim bytes +
-    8 per row, never the f64 embedding (the lsh_store/ivf_store layout
-    discipline; compute-on-scan here keeps the oracle self-contained).
+    this quantization carries a full VALUE oracle. At rest the codes +
+    scale are stored as columns and the shortlist pass reads ~dim bytes
+    + 8 per row, never the f64 embedding — exercised code in
+    sources/int8_store (frame equality with this scan form and both
+    column-pruning pins in tests/test_int8_store.py); compute-on-scan
+    here keeps the oracle self-contained.
 
-    Zero vectors (scale 0) score 0. Two stacked TakeOrdered heaps —
-    zero shuffles, the ann_lsh_vote plan shape.
+    The shortlist ranks by ``code_dot * scale`` — the approximate dot
+    product up to the constant query scale — not the raw code dot:
+    per-vector scales differ, so the raw integer dot of a large-scale
+    vector is not comparable to a small-scale one's. The product of an
+    exact BIGINT and the exact scale double is still a single IEEE
+    multiply, engine-identical. Zero vectors (scale 0) score 0. Two
+    stacked TakeOrdered heaps — zero shuffles, the ann_lsh_vote plan
+    shape.
     """
-    import math  # noqa: PLC0415
-
-    qscale = max(abs(x) for x in query_vec) / 127.0
-    if qscale == 0.0:
-        qint = [0] * len(query_vec)
-    else:
-        qint = [
-            int(min(max(math.floor(x / qscale + 0.5), -127.0), 127.0))
-            for x in query_vec
-        ]
+    qint = int8_query_codes(query_vec)
     # Spark SQL arrays index from 0 (the oracle's DuckDB lists from 1).
     terms = " + ".join(
         f"cast(greatest(least(floor({vec_col}[{i}] / __s + 0.5), 127.0),"
@@ -526,7 +540,10 @@ def ann_int8(
         .withColumn("__s", F.expr(scale))
         .withColumn(
             "__qdot",
-            F.expr(f"case when __s = 0.0 then 0L else {terms} end"),
+            F.expr(
+                f"case when __s = 0.0 then cast(0.0 as double)"
+                f" else cast({terms} as double) * __s end"
+            ),
         )
         .orderBy(F.desc("__qdot"), F.asc(id_col))
         .limit(shortlist)

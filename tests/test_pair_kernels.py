@@ -245,3 +245,40 @@ def test_knn_graph_k_exceeding_corpus(spark):
     for r in rows:
         per_src.setdefault(r["src_id"], []).append(r["rk"])
     assert all(sorted(v) == [1, 2, 3] for v in per_src.values())
+
+
+def test_mutual_knn_filter_strips_asymmetric_edges(spark):
+    """Mutual-kNN keeps (a, b) only when each is in the other's top-k:
+    with k=1 and two clusters, the outlier whose nearest neighbor does
+    not reciprocate gets no edge and joins no component."""
+    from pyspark.sql import functions as F
+
+    from gistdex_spark.operators.dedup import connected_components, knn_graph
+
+    vecs = {
+        1: [1.0, 0.0], 2: [0.99, 0.01],          # tight pair
+        10: [0.0, 1.0], 11: [0.01, 0.99],        # tight pair
+        12: [0.2, 0.8],                           # points at 11; 11 points at 10
+    }
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()],
+        schema="vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    g = knn_graph(df, k=1, n_blocks=3).select("src_id", "nbr_id")
+    rev = g.select(
+        F.col("nbr_id").alias("src_id"), F.col("src_id").alias("nbr_id")
+    )
+    mutual = (
+        g.join(rev, ["src_id", "nbr_id"])
+        .filter(F.col("src_id") < F.col("nbr_id"))
+        .select(
+            F.col("src_id").alias("doc_id_a"), F.col("nbr_id").alias("doc_id_b")
+        )
+    )
+    pairs = {(r.doc_id_a, r.doc_id_b) for r in mutual.collect()}
+    assert pairs == {(1, 2), (10, 11)}
+    comp = {
+        r.node: r.component
+        for r in connected_components(mutual).collect()
+    }
+    assert comp == {1: 1, 2: 1, 10: 10, 11: 10}  # 12 joins nothing

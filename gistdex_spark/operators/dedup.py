@@ -1096,6 +1096,25 @@ def dedup_survivors(
     ).drop("component")
 
 
+def _default_n_blocks(spark, n: int, block_rows: int) -> int:
+    """Block count for the block-cartesian kernels. Two pressures:
+    every block must fit the per-task memory bound (B >= ceil(n /
+    block_rows)), and the B(B+1)/2 block-pair tasks should roughly
+    saturate the cores (B ~ sqrt(2P)) — but never by shattering a small
+    corpus into near-empty blocks: the old max(parallelism, ...) rule
+    gave a 500-row corpus 32 blocks of ~16 rows, and its 528
+    scheduling-dominated tasks cost more than the matrix work. Blocks
+    are floored at ~64 rows (below that the numpy outer products no
+    longer amortize the per-row Arrow/iterrows overhead)."""
+    import math  # noqa: PLC0415
+
+    p = spark.sparkContext.defaultParallelism
+    saturate = math.isqrt(2 * p) + 1
+    memory_floor = -(-n // max(block_rows, 1))
+    useful_cap = max(1, -(-n // 64))
+    return max(1, min(n, max(memory_floor, min(saturate, useful_cap))))
+
+
 def embedding_neardup_pairs(
     emb: DataFrame,
     threshold: float = 0.8,
@@ -1148,11 +1167,7 @@ def embedding_neardup_pairs(
         )
     else:
         if n_blocks is None:
-            n = emb.count()
-            n_blocks = max(
-                spark.sparkContext.defaultParallelism,
-                -(-n // max(block_rows, 1)),
-            )
+            n_blocks = _default_n_blocks(spark, emb.count(), block_rows)
         blocked = emb.select(
             F.col(id_col).alias("id"),
             F.col("embedding"),
@@ -1301,11 +1316,7 @@ def knn_graph(
 
     spark = emb.sparkSession
     if n_blocks is None:
-        n = emb.count()
-        n_blocks = max(
-            spark.sparkContext.defaultParallelism,
-            -(-n // max(block_rows, 1)),
-        )
+        n_blocks = _default_n_blocks(spark, emb.count(), block_rows)
     blocked = emb.select(
         F.col(id_col).alias("id"),
         F.col("embedding"),

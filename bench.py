@@ -198,6 +198,8 @@ BENCH_QUERIES = [
     "heaps_law_audit",
     "embedding_dim_stats",
     "ann_int8_rerank",
+    "oov_rate_audit",
+    "pmi_cooccurrence",
 ]
 
 

@@ -1128,3 +1128,155 @@ def vocab_growth(
             6,
         ),
     )
+
+
+def oov_rate(
+    df: DataFrame, text_col: str = "text", top_k: int = 16
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus top-K
+    vocabulary — the coverage check a fixed-vocab tokenizer runs before
+    committing to a vocab size (documents with high OOV rates degrade
+    to byte/unk fallback at train time).
+
+    The vocabulary cut is a PARAMETER-BOUNDED collect (top_k rows from
+    a map-combined hash agg + TakeOrdered heap, ties broken word-asc)
+    inlined as a literal array; the per-doc pass is then map-only
+    array arithmetic — the broadcast-dimension shape.
+    """
+    words = df.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    top = [
+        r["word"]
+        for r in counts.orderBy(F.desc("n"), "word").limit(top_k).collect()
+    ]
+    vocab = F.lit(sorted(top))
+    staged = df.withColumn(
+        "__toks",
+        F.filter(F.split(F.col(text_col), " "), lambda w: w != ""),
+    )
+    t = F.col("__toks")
+    n_oov = F.size(
+        F.filter(t, lambda w: ~F.array_contains(vocab, w))
+    )
+    return staged.select(
+        "doc_id",
+        F.size(t).cast("bigint").alias("n_tokens"),
+        n_oov.cast("bigint").alias("n_oov"),
+        F.round(
+            F.when(
+                F.size(t) > 0, n_oov.cast("double") / F.size(t)
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("oov_rate"),
+    )
+
+
+def pmi_cooccurrence(
+    df: DataFrame,
+    text_col: str = "text",
+    window_tokens: int = 7,
+    min_pair_count: int = 5,
+    top_k: int = 20,
+) -> DataFrame:
+    """Pointwise mutual information over word co-occurrence windows —
+    the association-mining pass behind collocation extraction and
+    static-embedding pipelines. Windows are the deterministic
+    fixed-size token slices (the line_quality_gate derivation); a pair
+    counts once per window it co-occurs in (distinct words per window).
+
+    Scale shape: the (window, word) stream is narrow; pair expansion is
+    a per-window ARRAY comprehension (≤ C(window_tokens, 2) pairs per
+    window, never a self-join on a corpus-sized frame); c_a / c_ab are
+    map-combined hash aggs; the marginals join back by word (vocab-
+    bounded, broadcast); the top-k cut is a TakeOrdered heap on
+    (pmi, pair). PMI = log2(c_ab · N / (c_a · c_b)) on exact BIGINT
+    counts — one double expression, engine-identical.
+    """
+    staged = df.select(
+        "doc_id",
+        F.filter(
+            F.split(F.col(text_col), " "), lambda w: w != ""
+        ).alias("__toks"),
+    )
+    t = F.col("__toks")
+    n_win = F.ceil(F.size(t) / F.lit(float(window_tokens))).cast("int")
+    wins = staged.select(
+        "doc_id",
+        F.posexplode(
+            F.when(
+                F.size(t) == F.lit(0),
+                F.lit([]).cast("array<array<string>>"),
+            ).otherwise(
+                F.transform(
+                    F.sequence(F.lit(0), n_win - 1),
+                    lambda i: F.array_sort(
+                        F.array_distinct(
+                            F.slice(t, i * window_tokens + 1, window_tokens)
+                        )
+                    ),
+                )
+            )
+        ).alias("win_idx", "ws"),
+    )
+    n_windows = wins.agg(F.count(F.lit(1)).alias("n_windows"))
+    singles = (
+        wins.select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # Pair expansion stays inside the row: an array comprehension over
+    # the sorted distinct window words (i < j), then one explode.
+    pairs_col = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size("ws") - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, F.size("ws")),
+                lambda j: F.array(
+                    F.element_at("ws", i), F.element_at("ws", j)
+                ),
+            ),
+        )
+    )
+    pair_counts = (
+        wins.filter(F.size("ws") >= 2)
+        .select(F.explode(pairs_col).alias("p"))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= min_pair_count)
+        .select(
+            F.element_at("p", 1).alias("word_a"),
+            F.element_at("p", 2).alias("word_b"),
+            "c_ab",
+        )
+    )
+    ca = singles.select(F.col("w").alias("word_a"), F.col("c").alias("c_a"))
+    cb = singles.select(F.col("w").alias("word_b"), F.col("c").alias("c_b"))
+    scored = (
+        pair_counts.join(F.broadcast(ca), "word_a")
+        .join(F.broadcast(cb), "word_b")
+        .crossJoin(F.broadcast(n_windows))
+        .withColumn(
+            "pmi",
+            F.round(
+                F.log2(
+                    F.col("c_ab").cast("double")
+                    * F.col("n_windows")
+                    / (F.col("c_a").cast("double") * F.col("c_b"))
+                ),
+                6,
+            ),
+        )
+    )
+    return (
+        scored.select(
+            "word_a", "word_b",
+            F.col("c_ab").cast("bigint").alias("c_ab"),
+            F.col("c_a").cast("bigint").alias("c_a"),
+            F.col("c_b").cast("bigint").alias("c_b"),
+            "pmi",
+        )
+        .orderBy(F.desc("pmi"), "word_a", "word_b")
+        .limit(top_k)
+    )

@@ -590,3 +590,50 @@ def test_line_quality_gate_partial_line_can_pass(spark):
     assert r.clean_text == " ".join(f"a{i}" for i in range(7)) + "\n" + " ".join(
         f"a{i}" for i in range(7, 12)
     )
+
+
+def test_oov_rate_against_known_vocab(spark):
+    from gistdex_spark.operators.pipeline import oov_rate
+
+    rows = [
+        (1, "a a a b"),      # 'a' dominates the corpus
+        (2, "a b z q"),      # two OOV tokens with top_k=2
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in oov_rate(df, top_k=2).collect()}
+    # vocab = {a, b} (counts 4 and 2; z/q are singletons)
+    assert (got[1].n_tokens, got[1].n_oov, got[1].oov_rate) == (4, 0, 0.0)
+    assert (got[2].n_tokens, got[2].n_oov, got[2].oov_rate) == (4, 2, 0.5)
+    assert (got[3].n_tokens, got[3].n_oov, got[3].oov_rate) == (0, 0, 0.0)
+
+
+def test_pmi_counts_and_score(spark):
+    """Hand-checkable PMI: 4 single-window docs, pair (x, y) co-occurs
+    in 3 of 4 windows, x in 3, y in 4 -> pmi = log2(3*4/(3*4)) = 0."""
+    import math
+
+    from gistdex_spark.operators.pipeline import pmi_cooccurrence
+
+    rows = [
+        (1, "x y"),
+        (2, "x y"),
+        (3, "x y"),
+        (4, "y z"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        (r.word_a, r.word_b): r
+        for r in pmi_cooccurrence(df, min_pair_count=2, top_k=10).collect()
+    }
+    assert set(out) == {("x", "y")}
+    r = out[("x", "y")]
+    assert (r.c_ab, r.c_a, r.c_b) == (3, 3, 4)
+    assert abs(r.pmi - round(math.log2(3 * 4 / (3 * 4)), 6)) < 1e-12
+    # a pair is counted once per window even when a word repeats
+    df2 = spark.createDataFrame([(1, "x x y"), (2, "x y")], ["doc_id", "text"])
+    out2 = {
+        (r.word_a, r.word_b): r.c_ab
+        for r in pmi_cooccurrence(df2, min_pair_count=1, top_k=10).collect()
+    }
+    assert out2 == {("x", "y"): 2}

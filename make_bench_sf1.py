@@ -73,6 +73,15 @@ HEAVY = [
     "dedup_ngram_containment",
     "gram_novelty",
     "neardup_triangles",
+    # Session-2 additions: the int8 full-scan quantization expression,
+    # the block-kernel kNN graph + mutual clustering (quadratic compute,
+    # the honest scale probe for the kernel), the PMI window/pair aggs,
+    # and the two scan-shaped per-row folds.
+    "ann_int8_rerank",
+    "mutual_knn_clusters",
+    "pmi_cooccurrence",
+    "token_entropy_gate",
+    "heaps_law_audit",
 ]
 
 

@@ -200,6 +200,10 @@ BENCH_QUERIES = [
     "ann_int8_rerank",
     "oov_rate_audit",
     "pmi_cooccurrence",
+    # Bounded-candidate kNN-graph scale paths (the exact graph and the
+    # funnel stay in the full lap with the other quadratic kernels).
+    "knn_graph_blocked",
+    "knn_graph_multitable",
 ]
 
 

@@ -282,3 +282,66 @@ def test_mutual_knn_filter_strips_asymmetric_edges(spark):
         for r in connected_components(mutual).collect()
     }
     assert comp == {1: 1, 2: 1, 10: 10, 11: 10}  # 12 joins nothing
+
+
+def test_knn_graph_blocked_equals_restricted_window_form(emb):
+    """The blocked graph must equal the naive window form computed over
+    same-bucket pairs only — the block kernel is a candidate
+    restriction, never a score change."""
+    from pyspark.sql import Window
+
+    from gistdex_spark.operators.dedup import knn_graph
+    from gistdex_spark.operators.similarity import sign_bucket
+
+    l = emb.select(
+        F.col("vec_id").alias("src_id"),
+        F.col("embedding").alias("emb_a"),
+        sign_bucket("embedding", 3).alias("ba"),
+    )
+    r = emb.select(
+        F.col("vec_id").alias("nbr_id"),
+        F.col("embedding").alias("emb_b"),
+        sign_bucket("embedding", 3).alias("bb"),
+    )
+    w = Window.partitionBy("src_id").orderBy(F.desc("sim"), F.asc("nbr_id"))
+    want = {
+        (x["src_id"], x["nbr_id"], x["sim"], x["rk"])
+        for x in l.join(
+            r, (F.col("src_id") != F.col("nbr_id")) & (F.col("ba") == F.col("bb"))
+        )
+        .withColumn("sim", F.round(cosine("emb_a", "emb_b"), ROUND))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .collect()
+    }
+    got = {
+        (x["src_id"], x["nbr_id"], x["sim"], x["rk"])
+        for x in knn_graph(emb, k=3, block=sign_bucket("embedding", 3)).collect()
+    }
+    assert got == want
+
+
+def test_knn_graph_multitable_guard_and_union_semantics(spark):
+    import pytest as _pytest
+
+    from gistdex_spark.operators.dedup import knn_graph, knn_graph_multitable
+
+    df = spark.createDataFrame(
+        [(i, [float((i * 7) % 5 - 2), float(i % 3 - 1)]) for i in range(12)],
+        schema="vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    with _pytest.raises(ValueError):
+        knn_graph_multitable(df, nbits=6, n_tables=10)  # needs 60 dims
+    # With every dimension covered by one 2-bit table, the union over
+    # 1 table must equal the plain blocked graph.
+    from gistdex_spark.operators.similarity import sign_bucket
+
+    mt = {
+        (r.src_id, r.nbr_id, r.sim, r.rk)
+        for r in knn_graph_multitable(df, k=3, nbits=2, n_tables=1).collect()
+    }
+    single = {
+        (r.src_id, r.nbr_id, r.sim, r.rk)
+        for r in knn_graph(df, k=3, block=sign_bucket("embedding", 2)).collect()
+    }
+    assert mt == single

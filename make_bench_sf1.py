@@ -82,6 +82,8 @@ HEAVY = [
     "pmi_cooccurrence",
     "token_entropy_gate",
     "heaps_law_audit",
+    "knn_graph_multitable",
+    "corpus_curation_funnel",
 ]
 
 

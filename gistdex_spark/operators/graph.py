@@ -195,9 +195,15 @@ def triangle_counts(
         .join(e3, (e1.a == e3.a3) & (e2.c == e3.c3))
         .select("a", "b", "c")
     )
-    nodes = (
-        tri.select(F.col("a").alias("node"))
-        .unionAll(tri.select(F.col("b").alias("node")))
-        .unionAll(tri.select(F.col("c").alias("node")))
+    # ONE reference to tri: the old union-of-three-projections form
+    # re-executed the entire wedge join pipeline three times (three
+    # branches, three different projections — no cross-branch CSE and
+    # no exchange reuse once pruning differentiates the schemas; the
+    # same class as the edge-list cut above, one level further down).
+    # Exploding the three roles in a single projection is
+    # value-identical and evaluates the wedge join once: sf1
+    # (2.1M edges, 215M wedges) measured 59-80 s -> ~25 s.
+    nodes = tri.select(
+        F.explode(F.array("a", "b", "c")).alias("node")
     )
     return nodes.groupBy("node").agg(F.count("*").alias("n_triangles"))

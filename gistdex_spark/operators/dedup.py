@@ -1115,6 +1115,26 @@ def _default_n_blocks(spark, n: int, block_rows: int) -> int:
     return max(1, min(n, max(memory_floor, min(saturate, useful_cap))))
 
 
+_MAX_PAIR_BLOCKS = 4096
+
+
+def _check_pair_blocks(n_blocks: int) -> None:
+    """The unordered block-pair frame is a DRIVER-built literal of
+    B(B+1)/2 rows. 4096 blocks (≈8.4M pair rows, ≈8M vectors at the
+    default block size) is the ceiling at which that literal stays a
+    driver triviality — and beyond which exact all-pairs is ~10^13+
+    scored pairs and the answer is a bounded path (blocked / banded /
+    LSH / SemDeDup), not a bigger literal. Raising loudly beats
+    building a multi-billion-row python list."""
+    if n_blocks > _MAX_PAIR_BLOCKS:
+        raise ValueError(
+            f"n_blocks={n_blocks} exceeds {_MAX_PAIR_BLOCKS}: the exact "
+            "all-pairs kernel would need a driver-side "
+            "B(B+1)/2-row pair frame; use the blocked/banded/LSH scale "
+            "paths at this corpus size"
+        )
+
+
 def embedding_neardup_pairs(
     emb: DataFrame,
     threshold: float = 0.8,
@@ -1193,6 +1213,7 @@ def embedding_neardup_pairs(
         # embedding). Equality joins hash-partition on blk; the ~B/2x
         # replication of each pack is the inherent data movement of
         # all-pairs, paid as shuffle, never as a driver broadcast.
+        _check_pair_blocks(n_blocks)
         pair_idx = spark.createDataFrame(
             [
                 (i, j)
@@ -1358,6 +1379,7 @@ def knn_graph(
         # Literal pair frame + equality joins, NOT a theta join — same
         # rationale as embedding_neardup_pairs (a blk_a <= blk_b condition
         # compiles to BroadcastNestedLoopJoin over the packed corpus).
+        _check_pair_blocks(n_blocks)
         pair_idx = spark.createDataFrame(
             [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
             schema="blk_a int, blk_b int",

@@ -1179,6 +1179,7 @@ def pmi_cooccurrence(
     window_tokens: int = 7,
     min_pair_count: int = 5,
     top_k: int = 20,
+    materialize=None,
 ) -> DataFrame:
     """Pointwise mutual information over word co-occurrence windows —
     the association-mining pass behind collocation extraction and
@@ -1226,6 +1227,17 @@ def pmi_cooccurrence(
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    # Both marginal branches (c_a, c_b) read `singles`; without a cut
+    # the corpus-sized explode+agg pipeline would run once per branch
+    # (no cross-branch CSE). The frame is vocabulary-bounded, so the
+    # cut is cheap; `materialize` follows the vocab_growth contract
+    # (registry callers route through the tag-scoped _ckpt LRU;
+    # default eager localCheckpoint). The window count and the pair agg
+    # still each pass the corpus once — 3 passes total, not 4.
+    if materialize is None:
+        singles = singles.localCheckpoint(eager=True)
+    else:
+        singles = materialize(singles)
     # Pair expansion stays inside the row: an array comprehension over
     # the sorted distinct window words (i < j), then one explode.
     pairs_col = F.flatten(

@@ -84,10 +84,21 @@ def search_stored_int8(
     from gistdex_spark.functions.vectors import cosine
 
     qint = int8_query_codes(query_vec)
+    store = spark.read.parquet(path)
+    # Dim guard (the lsh_store write-guard class): codes[i] past the
+    # stored dimension is NULL in Catalyst, which would silently
+    # NULL-poison every __qdot and rank the corpus by the id tie-break
+    # alone — fail loudly instead. One small eager job.
+    first = store.select("codes").first()
+    if first is not None and first[0] is not None:
+        if len(query_vec) != len(first[0]):
+            raise ValueError(
+                f"query dim {len(query_vec)} != stored code dim "
+                f"{len(first[0])} at {path}"
+            )
     terms = " + ".join(
         f"cast(codes[{i}] as bigint) * {q}L" for i, q in enumerate(qint)
     )
-    store = spark.read.parquet(path)
     short = (
         store.select(
             id_col,

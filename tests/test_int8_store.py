@@ -105,3 +105,10 @@ def test_zero_vector_roundtrip(spark, tmp_path_factory):
     got = search_stored_int8(spark, path, [1.0, 0.0], k=2, shortlist=2)
     ids = [r["vec_id"] for r in got.collect()]
     assert ids[0] == 2  # the real vector outranks the zero vector
+
+
+def test_search_stored_dim_mismatch_raises(spark, store):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="stored code dim"):
+        search_stored_int8(spark, store, [1.0, 0.0], k=2, shortlist=2)

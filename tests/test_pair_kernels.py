@@ -345,3 +345,20 @@ def test_knn_graph_multitable_guard_and_union_semantics(spark):
         for r in knn_graph(df, k=3, block=sign_bucket("embedding", 2)).collect()
     }
     assert mt == single
+
+
+def test_pair_block_guard_rejects_driver_blowup(spark, emb):
+    """The unordered block-pair frame is driver-built: block counts past
+    the ceiling must fail loudly, pointing at the bounded scale paths,
+    instead of materializing a multi-billion-row literal."""
+    import pytest as _pytest
+
+    from gistdex_spark.operators.dedup import (
+        embedding_neardup_pairs,
+        knn_graph,
+    )
+
+    with _pytest.raises(ValueError, match="scale paths"):
+        knn_graph(emb, k=2, n_blocks=5000)
+    with _pytest.raises(ValueError, match="scale paths"):
+        embedding_neardup_pairs(emb, threshold=0.5, n_blocks=5000)

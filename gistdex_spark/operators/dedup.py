@@ -1298,6 +1298,75 @@ def embedding_neardup_pairs(
     )
 
 
+def _bucket_pair_packs(blocked: DataFrame, block_rows: int) -> DataFrame:
+    """Pack a bucketed corpus ``(id, embedding, blk)`` into within-bucket
+    kernel-task rows ``(blk_a, blk_b, m_a, m_b)``, capping every task at
+    ~2·block_rows member rows.
+
+    Buckets larger than ``block_rows`` are hash-split into
+    ``ceil(size/block_rows)`` sub-blocks and every within-bucket
+    sub-block pair becomes its own task — the block-cartesian
+    discipline applied *inside* a bucket, so a hot bucket on a
+    clustered corpus never becomes one multi-GB collect_list row owned
+    by a single straggler task. The candidate set (all within-bucket
+    pairs) is unchanged; only task boundaries move.
+
+    Built as ONE scan + ONE hash exchange: the per-bucket size agg is
+    tiny (bucket cardinality bounded, e.g. 2^nbits) and broadcast back;
+    each row then explodes to the sub-pairs it participates in — side A
+    for pairs (sub, j ≥ sub), side B for pairs (i < sub, sub). The
+    diagonal pair carries only side A (m_b is recovered as m_a in the
+    final select), so the un-split common case n_sub = 1 emits exactly
+    one entry per row: the same shuffle bytes as an uncapped pack.
+    """
+    sizes = blocked.groupBy("blk").agg(F.count(F.lit(1)).alias("cnt"))
+    n_sub_c = F.greatest(
+        F.lit(1), F.ceil(F.col("cnt") / F.lit(max(block_rows, 1)))
+    ).cast("int")
+    keyed = blocked.join(
+        F.broadcast(sizes.select("blk", n_sub_c.alias("n_sub"))), "blk"
+    ).withColumn("sub", F.pmod(F.hash("id"), F.col("n_sub")))
+    a_parts = F.transform(
+        F.sequence(F.col("sub"), F.col("n_sub") - F.lit(1)),
+        lambda j: F.struct(
+            F.col("sub").alias("sub_a"),
+            j.alias("sub_b"),
+            F.lit(True).alias("is_a"),
+        ),
+    )
+    b_parts = F.when(
+        F.col("sub") > 0,
+        F.transform(
+            F.sequence(F.lit(0), F.col("sub") - F.lit(1)),
+            lambda i: F.struct(
+                i.alias("sub_a"),
+                F.col("sub").alias("sub_b"),
+                F.lit(False).alias("is_a"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<sub_a:int,sub_b:int,is_a:boolean>>"))
+    exploded = keyed.select(
+        "blk", "id", "embedding", F.explode(F.concat(a_parts, b_parts)).alias("p")
+    )
+    member = F.struct("id", "embedding")
+    packs = exploded.groupBy("blk", "p.sub_a", "p.sub_b").agg(
+        F.collect_list(F.when(F.col("p.is_a"), member)).alias("m_a"),
+        F.collect_list(F.when(~F.col("p.is_a"), member)).alias("m_b"),
+    )
+    return packs.select(
+        F.concat_ws(
+            "#", F.col("blk").cast("string"), F.col("sub_a").cast("string")
+        ).alias("blk_a"),
+        F.concat_ws(
+            "#", F.col("blk").cast("string"), F.col("sub_b").cast("string")
+        ).alias("blk_b"),
+        "m_a",
+        F.when(F.col("sub_a") == F.col("sub_b"), F.col("m_a"))
+        .otherwise(F.col("m_b"))
+        .alias("m_b"),
+    )
+
+
 def knn_graph(
     emb: DataFrame,
     k: int = 5,
@@ -1334,31 +1403,36 @@ def knn_graph(
 
     ``block=<Column>`` (e.g. similarity.sign_bucket) switches to the
     BLOCKED approximate graph — the linear-cost 100 TB path: neighbors
-    are sought only among same-block rows (one diagonal block-pair task
-    per block value), so candidate work is sum of block sizes squared,
-    not n². Sign buckets are deterministic arithmetic, so the blocked
-    graph still carries a full value oracle; rows whose block holds no
-    other member emit nothing, and rows with < k block-mates emit
-    fewer than k neighbors (rk stays dense 1..).
-    """
-    import numpy as np  # noqa: PLC0415
-    import pandas as pd  # noqa: PLC0415
-    from pyspark.sql import Window  # noqa: PLC0415
+    are sought only among same-block rows, so candidate work is sum of
+    block sizes squared, not n². Sign buckets are deterministic
+    arithmetic, so the blocked graph still carries a full value oracle;
+    rows whose block holds no other member emit nothing, and rows with
+    < k block-mates emit fewer than k neighbors (rk stays dense 1..).
 
+    **Bucket-size cap (straggler/OOM guard):** real embedding corpora
+    are clustered — that is *why* they are being deduped — so sign
+    buckets are NOT uniform and a hot bucket must never become one
+    multi-GB ``collect_list`` row owned by one task. Buckets larger
+    than ``block_rows`` are hash-split into ``ceil(size/block_rows)``
+    sub-blocks and every within-bucket sub-block pair becomes its own
+    kernel task (the block-cartesian discipline applied *inside* the
+    bucket). The candidate set is unchanged — all within-bucket pairs
+    are still enumerated exactly once — so the value oracle is
+    identical; only the task boundaries move, bounding per-task rows at
+    ~2·block_rows. The split is expressed as a single explode over a
+    per-row sub-pair list (rows in sub-block s carry side-A entries for
+    pairs (s, s..n_sub-1) and side-B entries for pairs (0..s-1, s)), so
+    the un-split common case (n_sub = 1) emits exactly one entry per
+    row — the same shuffle bytes as an uncapped pack — and the whole
+    path stays one scan + one hash exchange, no cross-branch lineage
+    re-execution.
+    """
     spark = emb.sparkSession
     if block is not None:
         blocked = emb.select(
             F.col(id_col).alias("id"), F.col("embedding"), block.alias("blk")
         )
-        packs = blocked.groupBy("blk").agg(
-            F.collect_list(F.struct("id", "embedding")).alias("m")
-        )
-        joined = packs.select(
-            F.col("blk").alias("blk_a"),
-            F.col("blk").alias("blk_b"),
-            F.col("m").alias("m_a"),
-            F.col("m").alias("m_b"),
-        )
+        joined = _bucket_pair_packs(blocked, block_rows)
     else:
         if n_blocks is None:
             n_blocks = _default_n_blocks(spark, emb.count(), block_rows)
@@ -1386,6 +1460,21 @@ def knn_graph(
         )
         joined = a.join(F.broadcast(pair_idx), "blk_a").join(b, "blk_b")
     id_type = emb.schema[id_col].dataType.simpleString()
+    cand = joined.mapInPandas(
+        _make_knn_kernel(k), schema=f"src {id_type}, nbr {id_type}, sim double"
+    )
+    return _knn_rank(cand, k)
+
+
+def _make_knn_kernel(k: int):
+    """The block-pair local-top-k kernel shared by :func:`knn_graph` and
+    :func:`knn_graph_multitable` — consumes (blk_a, blk_b, m_a, m_b)
+    task rows, emits (src, nbr, sim) candidates: the cross cosine
+    matrix as dimension-ordered numpy outer products, cut to each
+    source row's local top-k with the 2e-6 margin (see knn_graph's
+    docstring for the exactness argument)."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
 
     def run(batches):
         cols = ["src", "nbr", "sim"]
@@ -1407,6 +1496,10 @@ def knn_graph(
 
         for pdf in batches:
             for _, row in pdf.iterrows():
+                if len(row["m_a"]) == 0 or len(row["m_b"]) == 0:
+                    # A hash-empty sub-block can leave one side of an
+                    # off-diagonal within-bucket pair memberless.
+                    continue
                 ids_a = np.array([m["id"] for m in row["m_a"]])
                 ids_b = np.array([m["id"] for m in row["m_b"]])
                 X = np.array(
@@ -1444,9 +1537,15 @@ def knn_graph(
                     yield local_topk(dots, ids_a, ids_b)
                     yield local_topk(dots.T, ids_b, ids_a)
 
-    cand = joined.mapInPandas(
-        run, schema=f"src {id_type}, nbr {id_type}, sim double"
-    )
+    return run
+
+
+def _knn_rank(cand: DataFrame, k: int) -> DataFrame:
+    """Global resolution of the kernel's candidate stream: one hash
+    exchange on src + a per-src window, ordered (rounded sim desc,
+    nbr asc)."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
     w = Window.partitionBy("src").orderBy(F.desc("sim_r"), F.asc("nbr"))
     return (
         cand.withColumn("sim_r", F.round("sim", ROUND))
@@ -2090,6 +2189,7 @@ def knn_graph_multitable(
     nbits: int = 6,
     n_tables: int = 10,
     id_col: str = "vec_id",
+    block_rows: int = 2048,
 ) -> DataFrame:
     """Multi-table blocked kNN graph: the union-of-candidates fix for
     the single-table sign-block graph's recall ceiling (5% exact-edge
@@ -2098,44 +2198,72 @@ def knn_graph_multitable(
     tables over disjoint dimension slices; a true neighbor only needs
     to agree on ONE table's bits).
 
-    Per table this is exactly :func:`knn_graph` with ``block`` = that
-    table's sign bucket — local top-k inside each bucket is lossless
-    for the union result (an edge in the union's global top-k is in its
-    witnessing table's top-k a fortiori). The L per-table graphs union,
-    dedupe by pair (sims are identical by construction; max is the
-    deterministic pick), and one window re-ranks. Candidate work is
+    ONE unified plan, not L per-table graphs: a single scan of ``emb``
+    explodes each row to its L (table, sign-bucket) keys, packed by
+    :func:`_bucket_pair_packs` into capped kernel tasks (tables are
+    disjoint key spaces — ``blk = table·2^nbits + bucket`` — so
+    within-table semantics are preserved and hot buckets are sub-split
+    exactly like the single-table path), scored by the shared
+    local-top-k kernel, deduped by pair (a pair agreeing on several
+    tables scores bit-identically in each; max is the deterministic
+    pick), and re-ranked by one global window. The local cut stays
+    lossless for the union result: a candidate dropped in a task has
+    ≥ k same-task candidates strictly better by > 2e-6, all of them
+    union candidates for the same source. Candidate work is
     L · Σ(bucket²) per table — linear-ish in n at fixed bucket
-    population — versus the exact graph's n².
-    """
-    from pyspark.sql import Window  # noqa: PLC0415
+    population — versus the exact graph's n²; the input is scanned
+    ONCE, so composing over a derived/filtered frame costs one
+    evaluation of its lineage, not L.
 
+    The ``n_tables·nbits ≤ dim`` requirement is validated IN the plan
+    (a raise_error guard on every row, so ragged embedding arrays fail
+    loudly instead of NULL-poisoning sign buckets) — it surfaces on
+    action, not at call time, and costs no extra driver job.
+    """
     from gistdex_spark.operators.similarity import sign_bucket  # noqa: PLC0415
 
-    first = emb.select("embedding").first()
-    if first is not None and first[0] is not None:
-        if n_tables * nbits > len(first[0]):
-            raise ValueError(
-                f"{n_tables} tables x {nbits} bits need {n_tables * nbits} "
-                f"dims; embedding has {len(first[0])}"
+    need = n_tables * nbits
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                sign_bucket("embedding", nbits, offset=t * nbits).alias("b"),
             )
-    per_table = [
-        knn_graph(
-            emb,
-            k=k,
-            id_col=id_col,
-            block=sign_bucket("embedding", nbits, offset=t * nbits),
-        ).select("src_id", "nbr_id", "sim")
-        for t in range(n_tables)
-    ]
-    union = per_table[0]
-    for t in per_table[1:]:
-        union = union.unionByName(t)
-    deduped = union.groupBy("src_id", "nbr_id").agg(
-        F.max("sim").alias("sim")
+            for t in range(n_tables)
+        ]
     )
-    w = Window.partitionBy("src_id").orderBy(F.desc("sim"), F.asc("nbr_id"))
-    return (
-        deduped.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("src_id", "nbr_id", "sim", "rk")
+    # Dim guard wraps the WHOLE bucket array: the when-branch keeps the
+    # ANSI array indexes inside the valid range, and short/ragged rows
+    # hit raise_error with a precise message instead of Spark's generic
+    # INVALID_ARRAY_INDEX (or, with ANSI off, silent NULL buckets).
+    guarded_tables = F.when(F.size("embedding") >= need, tables).otherwise(
+        F.raise_error(
+            F.concat_ws(
+                "",
+                F.lit(
+                    f"knn_graph_multitable: {n_tables} tables x {nbits} bits "
+                    f"need {need} dims; embedding has "
+                ),
+                F.size("embedding").cast("string"),
+            )
+        ).cast("array<struct<t:int,b:int>>")
     )
+    blocked = (
+        emb.select(
+            F.col(id_col).alias("id"),
+            "embedding",
+            F.explode(guarded_tables).alias("e"),
+        )
+        .select(
+            "id",
+            "embedding",
+            (F.col("e.t") * F.lit(2**nbits) + F.col("e.b")).alias("blk"),
+        )
+    )
+    joined = _bucket_pair_packs(blocked, block_rows)
+    id_type = emb.schema[id_col].dataType.simpleString()
+    cand = joined.mapInPandas(
+        _make_knn_kernel(k), schema=f"src {id_type}, nbr {id_type}, sim double"
+    )
+    deduped = cand.groupBy("src", "nbr").agg(F.max("sim").alias("sim"))
+    return _knn_rank(deduped, k)

@@ -330,8 +330,11 @@ def test_knn_graph_multitable_guard_and_union_semantics(spark):
         [(i, [float((i * 7) % 5 - 2), float(i % 3 - 1)]) for i in range(12)],
         schema="vec_id BIGINT, embedding ARRAY<DOUBLE>",
     )
-    with _pytest.raises(ValueError):
-        knn_graph_multitable(df, nbits=6, n_tables=10)  # needs 60 dims
+    # The dim guard is IN the plan (raise_error on every row — it also
+    # catches ragged arrays past row 0, which an eager first() sample
+    # could not), so it surfaces on action, not at call time.
+    with _pytest.raises(Exception, match="need 60 dims"):
+        knn_graph_multitable(df, nbits=6, n_tables=10).collect()
     # With every dimension covered by one 2-bit table, the union over
     # 1 table must equal the plain blocked graph.
     from gistdex_spark.operators.similarity import sign_bucket
@@ -362,3 +365,65 @@ def test_pair_block_guard_rejects_driver_blowup(spark, emb):
         knn_graph(emb, k=2, n_blocks=5000)
     with _pytest.raises(ValueError, match="scale paths"):
         embedding_neardup_pairs(emb, threshold=0.5, n_blocks=5000)
+
+
+def test_hot_bucket_sub_split_bounds_tasks_and_preserves_values(spark):
+    """The bucket-size cap: a skewed corpus (one sign bucket holding
+    >50% of rows) must be sub-split into kernel tasks each bounded at
+    ~2*block_rows member rows, and the blocked graph's VALUES must be
+    identical to the un-split (huge block_rows) form — the candidate
+    set is all within-bucket pairs either way; only task boundaries
+    move."""
+    from pyspark.sql import functions as F
+
+    from gistdex_spark.operators.dedup import _bucket_pair_packs, knn_graph
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(300):
+        if i < 200:  # 2/3 of rows share the sign pattern of dims 0..2
+            v = [abs(rng.gauss(0, 1)) + 0.05 for _ in range(3)]
+            v += [rng.gauss(0, 1) for _ in range(5)]
+        else:
+            v = [rng.gauss(0, 1) for _ in range(8)]
+        rows.append((i, v))
+    df = spark.createDataFrame(
+        rows, schema="vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    )
+
+    split = {
+        tuple(r)
+        for r in knn_graph(
+            df, k=3, block=sign_bucket("embedding", 3), block_rows=40
+        ).collect()
+    }
+    unsplit = {
+        tuple(r)
+        for r in knn_graph(
+            df, k=3, block=sign_bucket("embedding", 3), block_rows=10**9
+        ).collect()
+    }
+    assert split == unsplit
+    assert len(split) > 0
+
+    # Per-task bound: no pack row (one kernel task) may hold more than
+    # ~2*block_rows members even though the hot bucket has 200.
+    blocked = df.select(
+        F.col("vec_id").alias("id"),
+        "embedding",
+        sign_bucket("embedding", 3).alias("blk"),
+    )
+    packs = _bucket_pair_packs(blocked, block_rows=40)
+    worst = packs.select(
+        (F.size("m_a") + F.size("m_b")).alias("n")
+    ).agg(F.max("n")).first()[0]
+    hot = blocked.groupBy("blk").count().agg(F.max("count")).first()[0]
+    assert hot >= 150  # the skew is real
+    # hash sub-split is uneven; 2x average + slack, far under the hot size
+    assert worst <= 4 * 40
+    # and the un-split form would have packed the hot bucket whole:
+    whole = _bucket_pair_packs(blocked, block_rows=10**9)
+    worst_whole = whole.select(
+        (F.size("m_a") + F.size("m_b")).alias("n")
+    ).agg(F.max("n")).first()[0]
+    assert worst_whole >= 2 * hot - 2

@@ -58,3 +58,38 @@ def compare(sdf, ddf) -> dict[str, Any]:
             for i, a, b in mismatches[:3]
         ],
     }
+
+
+def to_pinned(df) -> dict[str, Any]:
+    """Serializable expected-frame pin: the canon form (sorted columns,
+    rows sorted by 6-dp stringified values). Used for queries whose
+    semantics are deterministic but not SQL-expressible (seeded k-means
+    training), where a DuckDB oracle can't reproduce the frame but a
+    frozen one can."""
+    cols, rows = canon(df)
+    return {"cols": cols, "rows": [list(r) for r in rows]}
+
+
+def compare_pinned(sdf, pinned: dict[str, Any]) -> dict[str, Any]:
+    """compare() against a stored pin instead of a live oracle frame."""
+    s_cols, s_rows = canon(sdf)
+    p_cols = list(pinned["cols"])
+    p_rows = [tuple(r) for r in pinned["rows"]]
+    rows_match = len(s_rows) == len(p_rows)
+    schema_match = s_cols == p_cols
+    mismatches = (
+        [(i, a, b) for i, (a, b) in enumerate(zip(s_rows, p_rows)) if a != b]
+        if rows_match and schema_match
+        else []
+    )
+    return {
+        "rows_match": rows_match,
+        "schema_match": schema_match,
+        "values_match": rows_match and schema_match and not mismatches,
+        "spark_rows": len(s_rows),
+        "oracle_rows": len(p_rows),
+        "first_mismatches": [
+            {"row": i, "spark": list(a), "pinned": list(b)}
+            for i, a, b in mismatches[:3]
+        ],
+    }

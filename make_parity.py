@@ -46,7 +46,7 @@ def main() -> int:
     is_sf01 = os.path.basename(sf_dir.rstrip("/")) == "sf0.1"
     import duckdb
 
-    from gistdex_spark.parity import compare
+    from gistdex_spark.parity import compare, compare_pinned
     from gistdex_spark.queries import ORACLES, REGISTRY, QV_MAIN, QN_MAIN, sql_cos
     from gistdex_spark.session import get_spark
     from gistdex_spark.sources.tables import enable_scan_cache
@@ -86,6 +86,19 @@ def main() -> int:
         ),
     }
 
+    # Round 12: the three trained-ANN queries carry PINNED expected
+    # frames (fixtures/ann_expected_{sf}.json, frozen by
+    # make_ann_expected.py — training is seeded and cross-process
+    # byte-identical), compared at full VALUE level; the recall floor
+    # stays as a secondary gate so a pin regenerated against a broken
+    # trainer can't silently pass.
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    pin_path = f"fixtures/ann_expected_{sf_name}.json"
+    ann_pins: dict[str, dict] = {}
+    if os.path.exists(pin_path):
+        with open(pin_path) as f:
+            ann_pins = json.load(f)
+
     out: dict[str, dict] = {}
     t0 = time.time()
     for i, name in enumerate(REGISTRY, 1):
@@ -112,15 +125,20 @@ def main() -> int:
                 exact = set(duck.sql(sql).df()["vec_id"])
                 got = set(sdf["vec_id"])
                 recall = len(got & exact) / len(exact)
-                rec = {
-                    "rows_match": True,
-                    "schema_match": True,
-                    "values_match": recall >= floor,
-                    "check": "recall_at_10_vs_exact_knn",
-                    "recall": recall,
-                    "floor": floor,
-                    "spark_rows": len(sdf),
-                }
+                if name in ann_pins:
+                    rec = compare_pinned(sdf, ann_pins[name])
+                    rec["check"] = "values_pinned_plus_recall"
+                    rec["values_match"] = rec["values_match"] and recall >= floor
+                else:
+                    rec = {
+                        "rows_match": True,
+                        "schema_match": True,
+                        "values_match": recall >= floor,
+                        "check": "recall_at_10_vs_exact_knn",
+                        "spark_rows": len(sdf),
+                    }
+                rec["recall"] = recall
+                rec["floor"] = floor
             else:
                 rec = {
                     "rows_match": len(sdf) >= 0,

@@ -71,3 +71,32 @@ def test_parity(name, spark, duck):
         (i, a, b) for i, (a, b) in enumerate(zip(s_rows, d_rows)) if a != b
     ]
     assert not mismatches, f"{name}: {len(mismatches)} row mismatches; first 3: {mismatches[:3]}"
+
+
+def test_pinned_frame_compare_roundtrip_and_mismatch():
+    """to_pinned -> compare_pinned must round-trip green, and a single
+    perturbed value, a dropped row, or a renamed column must each flip
+    the corresponding boolean — the pin is a real value gate, not a
+    formality."""
+    import pandas as pd
+
+    from gistdex_spark.parity import compare_pinned, to_pinned
+
+    df = pd.DataFrame(
+        {"vec_id": [3, 1, 2], "score": [0.25, 1.0, float("nan")]}
+    )
+    pin = to_pinned(df)
+    assert compare_pinned(df, pin)["values_match"]
+    # order-insensitive
+    assert compare_pinned(df.iloc[::-1], pin)["values_match"]
+    # value perturbation beyond 6 dp
+    bad = df.copy()
+    bad.loc[0, "score"] = 0.2500011
+    rec = compare_pinned(bad, pin)
+    assert not rec["values_match"] and rec["first_mismatches"]
+    # dropped row
+    rec = compare_pinned(df.iloc[:2], pin)
+    assert not rec["rows_match"]
+    # renamed column
+    rec = compare_pinned(df.rename(columns={"score": "sim"}), pin)
+    assert not rec["schema_match"]

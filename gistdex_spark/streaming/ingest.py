@@ -166,3 +166,70 @@ def _neardup_admission(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def stream_graph_update(
+    emb: DataFrame,
+    store_path: str,
+    k: int = 5,
+    nbits: int = 6,
+    n_tables: int = 10,
+    id_col: str = "vec_id",
+    checkpoint_dir: str | None = None,
+    query_name: str = "stream_graph_update",
+):
+    """Streaming kNN-GRAPH maintenance: each micro-batch of incoming
+    (id, embedding) rows is merged into a ``sources/graph_store`` — new
+    rows probe the STORED bucket columns, score against bucket members
+    only, and the stored edge list re-ranks under the new candidates.
+    Old-vs-old is never rescored; each batch's work is
+    (batch × bucket-mates) + (batch × batch), not corpus².
+
+    ``foreachBatch`` because the merge is the batch operator
+    :func:`~gistdex_spark.sources.graph_store.update_graph_store`
+    verbatim — stream and batch maintenance produce identical stored
+    graphs by the store's frame-equality contract
+    (tests/test_graph_store.py). Redelivery guard: foreachBatch is
+    at-least-once, so the batch is anti-joined against the ids already
+    in ``members/`` before applying — a replayed batch becomes a no-op
+    instead of appending duplicate members and corrupting the graph.
+    """
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        spark = batch_df.sparkSession
+        from pyspark.errors import AnalysisException
+
+        fresh = batch_df
+        try:
+            existing = spark.read.parquet(f"{store_path}/members").select(
+                id_col
+            )
+            fresh = fresh.join(existing, id_col, "left_anti")
+        except AnalysisException:
+            # Store not initialized: the first batch bootstraps it.
+            from gistdex_spark.sources.graph_store import write_graph_store
+
+            write_graph_store(
+                fresh, store_path, k=k, nbits=nbits, n_tables=n_tables,
+                id_col=id_col,
+            )
+            return
+        if not fresh.head(1):
+            return
+        from gistdex_spark.sources.graph_store import update_graph_store
+
+        update_graph_store(
+            spark, store_path, fresh, k=k, nbits=nbits, n_tables=n_tables,
+            id_col=id_col,
+        )
+
+    writer = (
+        emb.writeStream.foreachBatch(handle)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

@@ -1241,37 +1241,38 @@ def embedding_neardup_pairs(
                     [list(m["embedding"]) for m in row["m_b"]],
                     dtype=np.float64,
                 )
-                dots = np.zeros((len(ids_a), len(ids_b)))
                 na = np.zeros(len(ids_a))
                 nb = np.zeros(len(ids_b))
                 for d in range(X.shape[1]):
-                    dots += X[:, d, None] * Y[None, :, d]
                     na += X[:, d] * X[:, d]
                     nb += Y[:, d] * Y[:, d]
                 na, nb = np.sqrt(na), np.sqrt(nb)
-                # Divide by the PRODUCT na*nb in place (sequential /na
-                # then /nb would change the IEEE result); zero-norm
-                # rows/cols forced to 0.0 afterwards, exactly the
-                # cosine() guard. Peak extra memory: one transient
-                # denominator matrix, freed before the index scan.
                 za, zb = na == 0.0, nb == 0.0
                 na[za], nb[zb] = 1.0, 1.0
-                denom = na[:, None] * nb[None, :]
-                dots /= denom
-                del denom
+                # FAST estimate: one BLAS GEMM over the cross matrix
+                # (the d-pass outer-product loop did the same flops with
+                # d full-matrix materializations — bandwidth-bound and
+                # several times slower); divide by the PRODUCT na*nb,
+                # zero-norm rows/cols forced to 0.0, the cosine() guard.
+                fast = X @ Y.T
+                fast /= na[:, None] * nb[None, :]
                 if za.any():
-                    dots[za, :] = 0.0
+                    fast[za, :] = 0.0
                 if zb.any():
-                    dots[:, zb] = 0.0
-                sim = dots
+                    fast[:, zb] = 0.0
                 # Conservative RAW pre-filter bounds the emitted rows to
-                # near-final size (a block pair emits its full sim matrix
-                # otherwise): round(sim, 6) >= t implies sim >= t - 5e-7,
-                # so a 1e-6 margin can never drop a pair the exact
-                # Catalyst-rounded filter downstream would keep — the
-                # rounding itself stays in F.round (numpy rounds
-                # half-even, the tie-break divergence class).
-                keep = sim >= threshold - 1e-6
+                # near-final size: round(exact, 6) >= t implies
+                # exact >= t - 5e-7, and |fast - exact| <= _GEMM_EPS
+                # (reordering bound, see _GEMM_EPS), so the widened
+                # margin can never drop a pair the exact
+                # Catalyst-rounded filter downstream would keep; margin-
+                # zone extras are removed by that same filter. Survivors
+                # are rescored with the EXACT dimension-ordered
+                # accumulation — emitted values are bit-identical to the
+                # full ordered kernel's, the rounding itself stays in
+                # F.round (numpy rounds half-even, the tie-break
+                # divergence class).
+                keep = fast >= threshold - 1e-6 - 2 * _GEMM_EPS
                 if row["blk_a"] == row["blk_b"]:
                     # diagonal block: each unordered pair appears once,
                     # oriented id_a < id_b by the mask
@@ -1284,9 +1285,14 @@ def embedding_neardup_pairs(
                     ia, ib = np.nonzero(keep)
                     lo = np.minimum(ids_a[ia], ids_b[ib])
                     hi = np.maximum(ids_a[ia], ids_b[ib])
-                yield pd.DataFrame(
-                    {"id_a": lo, "id_b": hi, "sim": sim[ia, ib]}
-                )
+                acc = np.zeros(len(ia))
+                for d in range(X.shape[1]):
+                    acc += X[ia, d] * Y[ib, d]
+                acc /= na[ia] * nb[ib]
+                dead = za[ia] | zb[ib]
+                if dead.any():
+                    acc[dead] = 0.0
+                yield pd.DataFrame({"id_a": lo, "id_b": hi, "sim": acc})
 
     pairs = joined.mapInPandas(
         run, schema=f"id_a {id_type}, id_b {id_type}, sim double"
@@ -1466,31 +1472,68 @@ def knn_graph(
     return _knn_rank(cand, k)
 
 
+# Reordering slack for the BLAS-GEMM pre-rank (see _make_knn_kernel):
+# a f64 GEMM and the dimension-ordered accumulation sum the SAME d
+# products in different orders, so they differ by at most
+# (d-1)·eps·Σ|x_i·y_i| ≤ d·2.2e-16·‖x‖‖y‖ — after the norm divide,
+# ≤ ~1e-12 relative even at d = 4096. 1e-9 is a 1000× cushion.
+_GEMM_EPS = 1e-9
+
+
 def _make_knn_kernel(k: int):
     """The block-pair local-top-k kernel shared by :func:`knn_graph` and
     :func:`knn_graph_multitable` — consumes (blk_a, blk_b, m_a, m_b)
-    task rows, emits (src, nbr, sim) candidates: the cross cosine
-    matrix as dimension-ordered numpy outer products, cut to each
-    source row's local top-k with the 2e-6 margin (see knn_graph's
-    docstring for the exactness argument)."""
+    task rows, emits (src, nbr, sim) candidates.
+
+    Two-phase scoring (the r12 rewrite): a single BLAS GEMM computes a
+    FAST cosine estimate for the whole cross matrix, each source row's
+    survivors are cut at its fast k-th best minus (2e-6 + 2·_GEMM_EPS),
+    and only the survivors — ~k + margin-ties per source, not the n_a·n_b
+    matrix — are rescored with the EXACT dimension-ordered accumulation
+    (the bit-parity discipline the oracle compare relies on). The d-pass
+    outer-product loop this replaces did the same flops as the GEMM but
+    with d full-matrix materializations — memory-bandwidth-bound and
+    several times slower.
+
+    Exactness: emitted values are bit-identical to the ordered kernel's
+    (same per-pair multiply-add sequence, same in-place product-
+    denominator divide, same zero-norm → 0.0). The emitted SET is a
+    superset of the previous margin cut's: |fast − exact| ≤ _GEMM_EPS
+    per pair, so exact ≥ kth(exact) − 2e-6 implies
+    fast ≥ kth(fast) − 2e-6 − 2·_GEMM_EPS (the k-th order statistics of
+    two ε-close vectors differ by ≤ ε). Every candidate the old cut
+    kept survives; extra margin-zone rows are resolved by the same
+    downstream global window, so the final frame is value-identical.
+    """
     import numpy as np  # noqa: PLC0415
     import pandas as pd  # noqa: PLC0415
 
     def run(batches):
         cols = ["src", "nbr", "sim"]
 
-        def local_topk(sim, src_ids, nbr_ids):
-            # Keep every candidate within 2e-6 of the row's k-th best
-            # raw sim (see docstring for why the margin makes the cut
-            # exact under rounding). Self-pairs arrive as -inf.
-            if sim.shape[1] > k:
-                kth = -np.partition(-sim, k - 1, axis=1)[:, k - 1]
+        def emit(fast, X, Y, na, nb, za, zb, src_ids, nbr_ids):
+            # fast: (n_src, n_nbr) GEMM estimate, self-pairs -inf.
+            if fast.shape[1] > k:
+                kth = -np.partition(-fast, k - 1, axis=1)[:, k - 1]
             else:
-                kth = np.full(sim.shape[0], -np.inf)
-            keep = (sim >= kth[:, None] - 2e-6) & (sim != -np.inf)
+                kth = np.full(fast.shape[0], -np.inf)
+            keep = (fast >= kth[:, None] - (2e-6 + 2 * _GEMM_EPS)) & (
+                fast != -np.inf
+            )
             ia, ib = np.nonzero(keep)
+            # EXACT rescore of survivors only: dimension-ordered
+            # multiply-add per pair (bitwise the old full-matrix loop
+            # restricted to (ia, ib); a·b == b·a bitwise, so one form
+            # serves both directions).
+            acc = np.zeros(len(ia))
+            for d in range(X.shape[1]):
+                acc += X[ia, d] * Y[ib, d]
+            acc /= na[ia] * nb[ib]
+            dead = za[ia] | zb[ib]
+            if dead.any():
+                acc[dead] = 0.0
             return pd.DataFrame(
-                {"src": src_ids[ia], "nbr": nbr_ids[ib], "sim": sim[ia, ib]},
+                {"src": src_ids[ia], "nbr": nbr_ids[ib], "sim": acc},
                 columns=cols,
             )
 
@@ -1510,32 +1553,39 @@ def _make_knn_kernel(k: int):
                     [list(m["embedding"]) for m in row["m_b"]],
                     dtype=np.float64,
                 )
-                dots = np.zeros((len(ids_a), len(ids_b)))
                 na = np.zeros(len(ids_a))
                 nb = np.zeros(len(ids_b))
                 for d in range(X.shape[1]):
-                    dots += X[:, d, None] * Y[None, :, d]
                     na += X[:, d] * X[:, d]
                     nb += Y[:, d] * Y[:, d]
                 na, nb = np.sqrt(na), np.sqrt(nb)
                 za, zb = na == 0.0, nb == 0.0
                 na[za], nb[zb] = 1.0, 1.0
-                denom = na[:, None] * nb[None, :]
-                dots /= denom
-                del denom
+                fast = X @ Y.T
+                fast /= na[:, None] * nb[None, :]
                 if za.any():
-                    dots[za, :] = 0.0
+                    fast[za, :] = 0.0
                 if zb.any():
-                    dots[:, zb] = 0.0
+                    fast[:, zb] = 0.0
                 if row["blk_a"] == row["blk_b"]:
                     # Diagonal: A == B, so A->B alone covers every
                     # directed pair inside the block; mask the self cell.
-                    dots[ids_a[:, None] == ids_b[None, :]] = -np.inf
-                    yield local_topk(dots, ids_a, ids_b)
+                    fast[ids_a[:, None] == ids_b[None, :]] = -np.inf
+                    yield emit(fast, X, Y, na, nb, za, zb, ids_a, ids_b)
                 else:
                     # Off-diagonal (blk_a < blk_b): both directions.
-                    yield local_topk(dots, ids_a, ids_b)
-                    yield local_topk(dots.T, ids_b, ids_a)
+                    yield emit(fast, X, Y, na, nb, za, zb, ids_a, ids_b)
+                    yield emit(
+                        fast.T,
+                        Y,
+                        X,
+                        nb,
+                        na,
+                        zb,
+                        za,
+                        ids_b,
+                        ids_a,
+                    )
 
     return run
 

@@ -204,6 +204,9 @@ BENCH_QUERIES = [
     # funnel stay in the full lap with the other quadratic kernels).
     "knn_graph_blocked",
     "knn_graph_multitable",
+    # Round 12: the funnel flagship on the multitable kernel — the
+    # bounded path belongs in the headline set like the other two.
+    "corpus_curation_funnel_blocked",
 ]
 
 

@@ -84,6 +84,12 @@ HEAVY = [
     "heaps_law_audit",
     "knn_graph_multitable",
     "corpus_curation_funnel",
+    # Round-12 additions: the bounded paths of the two exact graph
+    # entries above get the same scale series their references have —
+    # the single-table blocked graph (capped hot buckets) and the
+    # funnel flagship on the multitable kernel.
+    "knn_graph_blocked",
+    "corpus_curation_funnel_blocked",
 ]
 
 

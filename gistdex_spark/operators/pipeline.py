@@ -1151,7 +1151,11 @@ def oov_rate(
         r["word"]
         for r in counts.orderBy(F.desc("n"), "word").limit(top_k).collect()
     ]
-    vocab = F.lit(sorted(top))
+    # Explicit element type: an all-empty corpus gives top = [] and a
+    # bare F.lit([]) is a VOID-typed array literal — array_contains over
+    # it can fail analysis (or drift across Spark versions) instead of
+    # counting every token as OOV.
+    vocab = F.lit(sorted(top)).cast("array<string>")
     staged = df.withColumn(
         "__toks",
         F.filter(F.split(F.col(text_col), " "), lambda w: w != ""),

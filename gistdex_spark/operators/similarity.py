@@ -535,13 +535,25 @@ def ann_int8(
         f"array_max(transform({vec_col}, x -> abs(cast(x as double))))"
         " / 127.0"
     )
+    # Dim guard IN the plan (the search_stored_int8 guard class, without
+    # its eager job): vec_col[i] past the embedding's end is NULL with
+    # ANSI off — silently NULL-poisoning every __qdot so the shortlist
+    # degrades to the id tie-break — and a generic INVALID_ARRAY_INDEX
+    # with ANSI on. The leading CASE branch fails loudly per row with a
+    # precise message before the index expressions evaluate.
+    dim_guard = (
+        f"when size({vec_col}) < {len(qint)} then cast(raise_error("
+        f"concat('ann_int8: query dim {len(qint)} exceeds embedding dim ',"
+        f" cast(size({vec_col}) as string))) as double)"
+    )
     short = (
         emb.select(id_col, vec_col)
         .withColumn("__s", F.expr(scale))
         .withColumn(
             "__qdot",
             F.expr(
-                f"case when __s = 0.0 then cast(0.0 as double)"
+                f"case {dim_guard}"
+                f" when __s = 0.0 then cast(0.0 as double)"
                 f" else cast({terms} as double) * __s end"
             ),
         )

@@ -66,6 +66,14 @@ def write_int8_store(
         .write.mode(mode)
         .parquet(path)
     )
+    # Record the code dimension once at write time (one small job on an
+    # already-write-shaped call) so searches validate query dims with a
+    # sidecar read instead of a per-call eager first() job.
+    from gistdex_spark.sources.store_meta import write_store_meta
+
+    first = emb.select(embedding_col).first()
+    if first is not None and first[0] is not None:
+        write_store_meta(path, dim=len(first[0]))
 
 
 def search_stored_int8(
@@ -88,14 +96,26 @@ def search_stored_int8(
     # Dim guard (the lsh_store write-guard class): codes[i] past the
     # stored dimension is NULL in Catalyst, which would silently
     # NULL-poison every __qdot and rank the corpus by the id tie-break
-    # alone — fail loudly instead. One small eager job.
-    first = store.select("codes").first()
-    if first is not None and first[0] is not None:
-        if len(query_vec) != len(first[0]):
-            raise ValueError(
-                f"query dim {len(query_vec)} != stored code dim "
-                f"{len(first[0])} at {path}"
-            )
+    # alone — fail loudly instead. The dimension comes from the store's
+    # write-time sidecar (zero Spark jobs); pre-sidecar stores fall back
+    # to the one-row sampling job this guard used before round 12.
+    from gistdex_spark.sources.store_meta import read_store_meta
+
+    meta = read_store_meta(path)
+    if meta is not None and "dim" in meta:
+        dim = int(meta["dim"])
+    else:
+        first = store.select("codes").first()
+        dim = (
+            len(first[0])
+            if first is not None and first[0] is not None
+            else None
+        )
+    if dim is not None and len(query_vec) != dim:
+        raise ValueError(
+            f"query dim {len(query_vec)} != stored code dim "
+            f"{dim} at {path}"
+        )
     terms = " + ".join(
         f"cast(codes[{i}] as bigint) * {q}L" for i, q in enumerate(qint)
     )

@@ -94,6 +94,14 @@ def write_lsh_store(
         .partitionBy("b0")
         .parquet(path)
     )
+    # Geometry sidecar (store_meta): searches and future maintenance can
+    # validate dims/geometry without sampling a row.
+    if first is not None and first[0] is not None:
+        from gistdex_spark.sources.store_meta import write_store_meta
+
+        write_store_meta(
+            path, dim=len(first[0]), nbits=nbits, n_tables=n_tables
+        )
 
 
 def search_stored(

@@ -427,3 +427,16 @@ def test_hot_bucket_sub_split_bounds_tasks_and_preserves_values(spark):
         (F.size("m_a") + F.size("m_b")).alias("n")
     ).agg(F.max("n")).first()[0]
     assert worst_whole >= 2 * hot - 2
+
+
+def test_blocked_graph_plan_is_broadcast_capped(spark, emb):
+    """The capped blocked path must attach n_sub via a BROADCAST of the
+    tiny sizes agg (never a payload shuffle join) and keep the pair
+    meeting equality-keyed — no nested-loop/cartesian anywhere."""
+    from gistdex_spark.operators.dedup import knn_graph
+
+    df = knn_graph(emb, k=3, block=sign_bucket("embedding", 3))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan  # the sizes (n_sub) attach

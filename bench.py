@@ -205,8 +205,13 @@ BENCH_QUERIES = [
     "knn_graph_blocked",
     "knn_graph_multitable",
     # Round 12: the funnel flagship on the multitable kernel — the
-    # bounded path belongs in the headline set like the other two.
+    # bounded path belongs in the headline set like the other two —
+    # plus the packing audit (range-exchange prefix sum) and the
+    # unigram perplexity proxy (two equality exchanges). The
+    # hard-negative miner rides the exact quadratic graph → full lap.
     "corpus_curation_funnel_blocked",
+    "sequence_packing_stats",
+    "unigram_logprob_quality",
 ]
 
 

@@ -1055,6 +1055,158 @@ def global_row_index(
     )
 
 
+def global_prefix_sum(
+    df: DataFrame,
+    order_by: list,
+    value_col: str,
+    out_col: str = "prefix_sum",
+    partitions: int | None = None,
+    materialize=None,
+) -> DataFrame:
+    """EXCLUSIVE global prefix sum of ``value_col`` in ``order_by``
+    order (sum of all values strictly before the row) WITHOUT a
+    single-partition window over the data — :func:`global_row_index`'s
+    two-phase range-exchange discipline applied to a running SUM. This
+    is the primitive under sequence packing (where does each document's
+    token span start in the concatenated stream?), curriculum byte
+    budgeting, and shard manifest offsets.
+
+    Same materialization contract as global_row_index: the ranged frame
+    is evaluated ONCE (range boundaries are sample-seeded; two
+    independent evaluations under column pruning would disagree), the
+    only single-partition window runs over one row per partition, and
+    offsets join back as a broadcast. ``order_by`` must be a total
+    order.
+    """
+    from pyspark.sql import Column, Window  # noqa: PLC0415
+
+    cols = [c if isinstance(c, Column) else F.col(c) for c in order_by]
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n, *cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    if materialize is None:
+        ranged = ranged.localCheckpoint(eager=True)
+    else:
+        ranged = materialize(ranged)
+    local = ranged.withColumn(
+        "__lsum",
+        F.coalesce(
+            F.sum(value_col).over(
+                Window.partitionBy("__pid")
+                .orderBy(*cols)
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0).cast("bigint"),
+        ),
+    )
+    counts = ranged.groupBy("__pid").agg(
+        F.sum(value_col).alias("__psum")
+    )
+    offsets = counts.withColumn(
+        "__offset",
+        F.coalesce(
+            F.sum("__psum").over(
+                Window.orderBy("__pid").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0).cast("bigint"),
+        ),
+    ).select("__pid", "__offset")
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(
+            out_col, (F.col("__offset") + F.col("__lsum")).cast("bigint")
+        )
+        .drop("__pid", "__lsum", "__offset")
+    )
+
+
+def sequence_packing_stats(
+    df: DataFrame,
+    capacity: int = 512,
+    content_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Concat-and-chunk sequence-packing audit: documents are tokenized,
+    concatenated in doc_id order, and cut into fixed ``capacity`` chunks
+    (the GPT-style packing a pretraining writer applies); per source,
+    report how many documents STRADDLE a chunk boundary — the documents
+    whose loss is computed across an attention reset, the quantity a
+    packing-strategy decision (concat vs best-fit vs padded) is made on.
+
+    The document's span start is one :func:`global_prefix_sum` (range
+    exchange, no corpus-wide window); the straddle test is then pure
+    per-row arithmetic: a non-empty document starting at s with n tokens
+    straddles iff floor(s/C) != floor((s+n-1)/C).
+    """
+    from gistdex_spark.functions.text import tokens  # noqa: PLC0415
+
+    toks = df.select(
+        "doc_id",
+        F.col(source_col).alias("source"),
+        F.size(tokens(F.col(content_col))).cast("bigint").alias("n_tok"),
+    )
+    spans = global_prefix_sum(toks, ["doc_id"], "n_tok", out_col="start")
+    c = F.lit(capacity).cast("bigint")
+    straddles = F.when(
+        (F.col("n_tok") > 0)
+        & (
+            F.floor(F.col("start") / c)
+            != F.floor((F.col("start") + F.col("n_tok") - 1) / c)
+        ),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return (
+        spans.withColumn("__straddle", straddles)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.sum("__straddle").cast("bigint").alias("n_straddling"),
+            F.round(
+                F.sum("__straddle")
+                / F.sum(F.when(F.col("n_tok") > 0, 1).otherwise(0)),
+                6,
+            ).alias("straddle_rate"),
+        )
+    )
+
+
+def unigram_logprob(
+    df: DataFrame, content_col: str = "text"
+) -> DataFrame:
+    """Per-document mean unigram log2-probability against the corpus's
+    own unigram distribution — the perplexity-proxy quality filter
+    (CCNet-style: documents whose tokens are uniformly rare are noise;
+    boilerplate scores near the mode). No smoothing is needed: every
+    scored token is by construction in the corpus vocabulary
+    (p = count(w)/total > 0).
+
+    Scale shape: one hash agg builds the vocabulary frequencies
+    (map-side combined, V rows), one scalar total, then the exploded
+    (doc_id, word) stream hash-joins the vocabulary on word and
+    re-aggregates per document — two equality exchanges, no broadcast
+    of a possibly-corpus-sized vocab.
+    """
+    from gistdex_spark.functions.text import tokens  # noqa: PLC0415
+
+    words = df.select(
+        "doc_id",
+        F.explode(tokens(F.col(content_col))).alias("word"),
+    )
+    vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("__wn"))
+    total = words.count()
+    scored = words.join(vocab, "word").withColumn(
+        "__logp", F.log2(F.col("__wn") / F.lit(float(total)))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.round(F.avg("__logp"), 6).alias("avg_log2p"),
+    )
+
+
 def vocab_growth(
     df: DataFrame,
     content_col: str = "text",

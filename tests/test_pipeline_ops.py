@@ -637,3 +637,80 @@ def test_pmi_counts_and_score(spark):
         for r in pmi_cooccurrence(df2, min_pair_count=1, top_k=10).collect()
     }
     assert out2 == {("x", "y"): 2}
+
+
+def test_global_prefix_sum_matches_single_window(spark):
+    """Range-exchange prefix sum == the naive single-partition window,
+    including zero values, duplicate-free total order, and every
+    partition count (1, 3, 16 — more partitions than rows)."""
+    import random as _r
+
+    from pyspark.sql import Window
+
+    from gistdex_spark.operators.pipeline import global_prefix_sum
+
+    rng = _r.Random(5)
+    rows = [(i, rng.randint(0, 9)) for i in range(40)]
+    rows[7] = (7, 0)
+    df = spark.createDataFrame(rows, "doc_id bigint, v bigint")
+    want = {
+        (r.doc_id, r.ps)
+        for r in df.withColumn(
+            "ps",
+            F.coalesce(
+                F.sum("v").over(
+                    Window.orderBy("doc_id").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ).cast("bigint"),
+        ).collect()
+    }
+    for p in (1, 3, 16):
+        got = {
+            (r.doc_id, r.prefix_sum)
+            for r in global_prefix_sum(
+                df, ["doc_id"], "v", partitions=p
+            ).collect()
+        }
+        assert got == want, f"partitions={p}"
+
+
+def test_sequence_packing_straddle_arithmetic(spark):
+    """Hand-checked packing: capacity 10, docs of 4/8/3/10/0 tokens in
+    doc_id order start at 0/4/12/15/25 — doc 2 (4..11) and doc 4
+    (15..24) straddle; the empty doc never counts as straddling and is
+    excluded from the rate denominator."""
+    from gistdex_spark.operators.pipeline import sequence_packing_stats
+
+    mk = lambda n: " ".join(f"w{i}" for i in range(n))
+    rows = [
+        (1, mk(4), "s0"),
+        (2, mk(8), "s0"),
+        (3, mk(3), "s1"),
+        (4, mk(10), "s1"),
+        (5, "", "s1"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    got = {
+        r.source: (r.n_docs, r.n_tokens, r.n_straddling, r.straddle_rate)
+        for r in sequence_packing_stats(df, capacity=10).collect()
+    }
+    assert got["s0"] == (2, 12, 1, 0.5)
+    assert got["s1"] == (3, 13, 1, 0.5)
+
+
+def test_unigram_logprob_known_distribution(spark):
+    """3 'a' + 1 'b' tokens: p(a)=0.75, p(b)=0.25; doc scores are exact
+    log2 averages."""
+    import math
+
+    from gistdex_spark.operators.pipeline import unigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a a"), (2, "a b")], "doc_id bigint, text string"
+    )
+    got = {r.doc_id: (r.n_tokens, r.avg_log2p) for r in unigram_logprob(df).collect()}
+    assert got[1] == (2, round(math.log2(0.75), 6))
+    assert got[2] == (2, round((math.log2(0.75) + math.log2(0.25)) / 2, 6))

@@ -212,6 +212,7 @@ BENCH_QUERIES = [
     "corpus_curation_funnel_blocked",
     "sequence_packing_stats",
     "unigram_logprob_quality",
+    "hard_negative_mining_blocked",
 ]
 
 

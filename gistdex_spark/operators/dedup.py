@@ -1329,9 +1329,18 @@ def _bucket_pair_packs(blocked: DataFrame, block_rows: int) -> DataFrame:
     n_sub_c = F.greatest(
         F.lit(1), F.ceil(F.col("cnt") / F.lit(max(block_rows, 1)))
     ).cast("int")
-    keyed = blocked.join(
-        F.broadcast(sizes.select("blk", n_sub_c.alias("n_sub"))), "blk"
-    ).withColumn("sub", F.pmod(F.hash("id"), F.col("n_sub")))
+    # Null-SAFE join: a custom block column can evaluate to NULL, and
+    # groupBy forms a null-key bucket — an equality join would silently
+    # drop those rows from the graph (the join-free pre-cap pack kept
+    # them).
+    sz = sizes.select(F.col("blk").alias("__blk_s"), n_sub_c.alias("n_sub"))
+    keyed = (
+        blocked.join(
+            F.broadcast(sz), F.col("blk").eqNullSafe(F.col("__blk_s"))
+        )
+        .drop("__blk_s")
+        .withColumn("sub", F.pmod(F.hash("id"), F.col("n_sub")))
+    )
     a_parts = F.transform(
         F.sequence(F.col("sub"), F.col("n_sub") - F.lit(1)),
         lambda j: F.struct(

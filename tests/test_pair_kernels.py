@@ -440,3 +440,25 @@ def test_blocked_graph_plan_is_broadcast_capped(spark, emb):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastExchange" in plan  # the sizes (n_sub) attach
+
+
+def test_blocked_graph_null_bucket_participates(spark):
+    """A custom block column may evaluate to NULL; the null-key bucket
+    must still form (null-SAFE n_sub attach) — an equality join would
+    silently drop those rows from the graph."""
+    from gistdex_spark.operators.dedup import knn_graph
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], "a"),
+            (2, [0.9, 0.1], "a"),
+            (3, [0.0, 1.0], None),
+            (4, [0.1, 0.9], None),
+        ],
+        "vec_id bigint, embedding array<double>, grp string",
+    )
+    edges = sorted(
+        (r.src_id, r.nbr_id)
+        for r in knn_graph(df, k=2, block=F.col("grp")).collect()
+    )
+    assert edges == [(1, 2), (2, 1), (3, 4), (4, 3)]

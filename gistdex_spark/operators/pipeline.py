@@ -1192,14 +1192,23 @@ def unigram_logprob(
     """
     from gistdex_spark.functions.text import tokens  # noqa: PLC0415
 
+    from pyspark.sql import Window  # noqa: PLC0415
+
     words = df.select(
         "doc_id",
         F.explode(tokens(F.col(content_col))).alias("word"),
     )
     vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("__wn"))
-    total = words.count()
+    # Corpus token total as a window over the VOCAB frame (V rows
+    # through one partition — vocabulary-bounded, never the corpus),
+    # not a separate words.count() job: the exploded token stream's
+    # lineage is evaluated exactly twice (vocab branch + join probe),
+    # not three times — the no-cross-branch-CSE discipline.
+    vocab = vocab.withColumn(
+        "__tot", F.sum("__wn").over(Window.partitionBy())
+    )
     scored = words.join(vocab, "word").withColumn(
-        "__logp", F.log2(F.col("__wn") / F.lit(float(total)))
+        "__logp", F.log2(F.col("__wn") / F.col("__tot").cast("double"))
     )
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_tokens"),

@@ -1128,6 +1128,7 @@ def sequence_packing_stats(
     capacity: int = 512,
     content_col: str = "text",
     source_col: str = "source",
+    materialize=None,
 ) -> DataFrame:
     """Concat-and-chunk sequence-packing audit: documents are tokenized,
     concatenated in doc_id order, and cut into fixed ``capacity`` chunks
@@ -1148,7 +1149,9 @@ def sequence_packing_stats(
         F.col(source_col).alias("source"),
         F.size(tokens(F.col(content_col))).cast("bigint").alias("n_tok"),
     )
-    spans = global_prefix_sum(toks, ["doc_id"], "n_tok", out_col="start")
+    spans = global_prefix_sum(
+        toks, ["doc_id"], "n_tok", out_col="start", materialize=materialize
+    )
     c = F.lit(capacity).cast("bigint")
     straddles = F.when(
         (F.col("n_tok") > 0)

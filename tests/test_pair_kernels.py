@@ -462,3 +462,36 @@ def test_blocked_graph_null_bucket_participates(spark):
         for r in knn_graph(df, k=2, block=F.col("grp")).collect()
     )
     assert edges == [(1, 2), (2, 1), (3, 4), (4, 3)]
+
+
+def test_knn_graph_high_dim_gemm_margin(spark):
+    """The GEMM pre-rank's reordering bound grows with dimension
+    (≤ d·eps relative); real embedding corpora run d = 512-4096, not the
+    fixtures' 8-16. At d = 512 with clustered near-dup structure and
+    rounded-sim ties, the kernel must still equal the naive window form
+    exactly — the margin argument at two orders of magnitude more
+    accumulation."""
+    import random as _r
+
+    from gistdex_spark.operators.dedup import knn_graph
+
+    rng = _r.Random(13)
+    base = [[rng.gauss(0, 1) for _ in range(512)] for _ in range(8)]
+    rows = []
+    for i in range(96):
+        b = base[i % 8]
+        # near-dups of 8 anchors (tight clusters -> high-sim ties) plus
+        # an exact duplicate pair and a zero vector
+        v = [x * (1 + rng.uniform(-0.01, 0.01)) for x in b]
+        rows.append((i, v))
+    rows.append((96, list(rows[3][1])))
+    rows.append((97, [0.0] * 512))
+    df = spark.createDataFrame(
+        rows, schema="vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    )
+    want = _window_knn(df, 4)
+    got = {
+        (x["src_id"], x["nbr_id"], x["sim"], x["rk"])
+        for x in knn_graph(df, k=4, n_blocks=5).collect()
+    }
+    assert got == want

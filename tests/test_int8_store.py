@@ -112,3 +112,29 @@ def test_search_stored_dim_mismatch_raises(spark, store):
 
     with _pytest.raises(ValueError, match="stored code dim"):
         search_stored_int8(spark, store, [1.0, 0.0], k=2, shortlist=2)
+
+
+def test_dim_guard_sidecar_and_sampling_fallback(spark, emb, tmp_path_factory):
+    """The write pass records the code dim in a _meta.json sidecar, so
+    the search guard costs zero Spark jobs; a pre-sidecar store (sidecar
+    deleted) must fall back to the sampling guard with the SAME
+    ValueError — and valid searches must work through both paths."""
+    import os
+
+    from gistdex_spark.sources.store_meta import read_store_meta
+
+    path = str(tmp_path_factory.mktemp("int8meta") / "store")
+    write_int8_store(emb, path)
+    meta = read_store_meta(path)
+    dim = len(emb.select("embedding").first()[0])
+    assert meta == {"dim": dim}
+    ok = search_stored_int8(spark, path, [0.1] * dim, k=2, shortlist=4)
+    assert len(ok.collect()) == 2
+    with pytest.raises(ValueError, match="stored code dim"):
+        search_stored_int8(spark, path, [0.1] * (dim + 1), k=2)
+    os.remove(os.path.join(path, "_meta.json"))
+    assert read_store_meta(path) is None
+    ok2 = search_stored_int8(spark, path, [0.1] * dim, k=2, shortlist=4)
+    assert sorted(map(tuple, ok.collect())) == sorted(map(tuple, ok2.collect()))
+    with pytest.raises(ValueError, match="stored code dim"):
+        search_stored_int8(spark, path, [0.1] * (dim + 1), k=2)

@@ -174,3 +174,62 @@ def merge_upsert(
     survivors = base.join(updates.select(key), on=key, how="left_anti")
     merged = survivors.unionByName(updates)
     _atomic_swap(merged, path)
+
+
+def compact_partitioned_store(
+    spark: SparkSession,
+    path: str,
+    partition_col: str,
+    target_mb: int = 128,
+) -> dict[str, int]:
+    """:func:`compact_store` for hive-partitioned stores (lsh_store /
+    graph_store members partitioned by ``b0``, band_store by ``band0``):
+    incremental appends leave a sliver file per batch per directory, and
+    a round-robin rewrite would DESTROY the partition layout the probe
+    pruning pins depend on. This rewrite repartitions BY the partition
+    column (one task per directory — every directory gets coherent
+    files) and writes back with the same ``partitionBy``, so
+    PartitionFilters keep pruning after compaction. Sidecar files
+    (e.g. store_meta's _meta.json) are preserved across the swap.
+
+    On Delta this is the same OPTIMIZE metadata commit as compact_store
+    (partitioning is table metadata there).
+    """
+    dt = _delta_table(spark, path)
+    if dt is not None:
+        files_before = len(_parquet_files(path))
+        total = _dir_bytes(path)
+        dt.optimize().executeCompaction()
+        return {
+            "files_before": files_before,
+            "files_after": len(_parquet_files(path)),
+            "bytes": total,
+        }
+    _recover_store(path)
+    files_before = len(_parquet_files(path))
+    total = _dir_bytes(path)
+    sidecar = os.path.join(path, "_meta.json")
+    meta = None
+    if os.path.exists(sidecar):
+        with open(sidecar) as f:
+            meta = f.read()
+    df = spark.read.parquet(path)
+    tmp = f"{path}.__tmp-{uuid.uuid4().hex[:8]}"
+    bak = f"{path}.__bak-{uuid.uuid4().hex[:8]}"
+    (
+        df.repartition(partition_col)
+        .write.mode("overwrite")
+        .partitionBy(partition_col)
+        .parquet(tmp)
+    )
+    os.rename(path, bak)
+    os.rename(tmp, path)
+    shutil.rmtree(bak)
+    if meta is not None:
+        with open(os.path.join(path, "_meta.json"), "w") as f:
+            f.write(meta)
+    return {
+        "files_before": files_before,
+        "files_after": len(_parquet_files(path)),
+        "bytes": total,
+    }

@@ -171,3 +171,45 @@ def test_stream_graph_update_matches_batch_rebuild(spark, split, tmp_path):
         )
     )
     assert got == want
+
+
+def test_members_compaction_preserves_layout_and_increments(
+    spark, split, tmp_path_factory
+):
+    """After several appended batches, compact_partitioned_store must
+    shrink the members file count WITHOUT destroying the b0 hive layout
+    (partition directories + sidecar survive) — and the next increment
+    must still equal the batch rebuild."""
+    import os
+
+    from gistdex_spark.sources.maintenance import compact_partitioned_store
+
+    new, old = split
+    b1 = new.filter(F.col("vec_id") < 500)
+    b2 = new.filter(F.col("vec_id") >= 500)
+    path = str(tmp_path_factory.mktemp("graph_cmp") / "store")
+    write_graph_store(old, path, k=K, nbits=NBITS, n_tables=NT)
+    update_graph_store(spark, path, b1, k=K, nbits=NBITS, n_tables=NT)
+
+    members = f"{path}/members"
+    stats = compact_partitioned_store(spark, members, "b0")
+    assert stats["files_after"] <= stats["files_before"]
+    # layout: hive directories still present, sidecar preserved
+    assert any(d.startswith("b0=") for d in os.listdir(members))
+    assert os.path.exists(f"{members}/_meta.json")
+    # pruning still applies on the compacted store
+    probe = spark.read.parquet(members).filter(F.col("b0") == 0)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(b0" in plan or "b0#" in plan
+
+    got = _frame(
+        incremental_graph_stored(
+            spark, path, b2, k=K, nbits=NBITS, n_tables=NT
+        )
+    )
+    want = _frame(
+        knn_graph_multitable(
+            old.unionByName(b1).unionByName(b2), k=K, nbits=NBITS, n_tables=NT
+        )
+    )
+    assert got == want

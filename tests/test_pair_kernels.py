@@ -495,3 +495,41 @@ def test_knn_graph_high_dim_gemm_margin(spark):
         for x in knn_graph(df, k=4, n_blocks=5).collect()
     }
     assert got == want
+
+
+def test_bucket_pair_packs_cover_each_pair_exactly_once(spark):
+    """Structural exactness of the capped pack: across every task row,
+    each unordered within-bucket pair of ids must be coverable exactly
+    once — diagonal tasks cover their m_a×m_a pairs, off-diagonal tasks
+    their m_a×m_b cross pairs — for EVERY split granularity (block_rows
+    from forcing ~10 sub-blocks down to none)."""
+    import itertools
+    import random as _r
+
+    from gistdex_spark.operators.dedup import _bucket_pair_packs
+
+    rng = _r.Random(3)
+    rows = [(i, [float(rng.randint(0, 3))], i % 3) for i in range(57)]
+    df = spark.createDataFrame(rows, "id bigint, embedding array<double>, blk int")
+    by_bucket = {}
+    for i, _, b in rows:
+        by_bucket.setdefault(b, []).append(i)
+    want = {
+        frozenset(p)
+        for ids in by_bucket.values()
+        for p in itertools.combinations(ids, 2)
+    }
+    for block_rows in (2, 5, 19, 10**9):
+        got = []
+        for r in _bucket_pair_packs(df, block_rows).collect():
+            a = [m["id"] for m in r["m_a"]]
+            b = [m["id"] for m in r["m_b"]]
+            if r["blk_a"] == r["blk_b"]:
+                got.extend(frozenset(p) for p in itertools.combinations(a, 2))
+            else:
+                got.extend(
+                    frozenset((x, y)) for x in a for y in b
+                )
+        assert sorted(map(sorted, got)) == sorted(map(sorted, want)), (
+            f"block_rows={block_rows}"
+        )

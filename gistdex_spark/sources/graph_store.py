@@ -232,10 +232,31 @@ def update_graph_store(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Apply a daily batch: merge the graph incrementally, append the
-    new members, overwrite ``edges/`` with the merged graph. The merged
-    frame is materialized (localCheckpoint) BEFORE the overwrite so the
+    new members, replace ``edges/`` with the merged graph via the
+    maintenance module's write-beside-and-rename swap — a plain
+    ``mode("overwrite")`` deletes the old edge list before the new one
+    is durable, so a mid-write crash would lose the graph. The merged
+    frame is materialized (localCheckpoint) BEFORE the swap so the
     write never reads from the path it is replacing. Returns the merged
     edge frame."""
+    from gistdex_spark.sources.maintenance import _atomic_swap  # noqa: PLC0415
+
+    # Align the batch to the STORED member schema before both the merge
+    # and the append (a driver-side footer read, no job): appending a
+    # batch whose embedding arrived as array<double> into a members
+    # table written as array<float> leaves mixed parquet file schemas —
+    # later reads fail or flake on whichever footer the merge samples.
+    # The cast is lossless when the batch really carries the store's
+    # precision (the caller contract); the scoring kernels promote to
+    # f64 either way, so merge values are unchanged.
+    target = {
+        f.name: f.dataType
+        for f in spark.read.parquet(f"{path}/members").schema.fields
+    }
+    new = new.select(
+        F.col(id_col).cast(target[id_col]).alias(id_col),
+        F.col("embedding").cast(target["embedding"]).alias("embedding"),
+    )
     merged = incremental_graph_stored(
         spark, path, new, k=k, nbits=nbits, n_tables=n_tables, id_col=id_col
     ).localCheckpoint(eager=True)
@@ -243,5 +264,5 @@ def update_graph_store(
         new, f"{path}/members", nbits=nbits, n_tables=n_tables,
         id_col=id_col, mode="append",
     )
-    merged.write.mode("overwrite").parquet(f"{path}/edges")
+    _atomic_swap(merged, f"{path}/edges")
     return merged

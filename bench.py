@@ -216,6 +216,120 @@ BENCH_QUERIES = [
 ]
 
 
+def ab_main(argv: list[str]) -> None:
+    """Interleaved same-box A/B: ``bench.py --ab <ref_tree> --queries
+    a,b,c [--runs 3] [--out ab.json]``.
+
+    Every round since r10 has burned a session hand-adjudicating
+    whether a bench riser is code or ambient box noise (this VM's CPU
+    steal swings identical code up to 1.9× between windows — measured
+    by the r12 judge on byte-identical trees). This mode makes the
+    adjudication a harness feature: two long-lived workers (ab_worker
+    .py) — HEAD and a reference worktree — run the SAME query
+    alternately in the SAME minutes, with the A/B order flipped every
+    lap so slow drift cancels too. Paired mins + the head/ref ratio
+    per query are the artifact; a ratio near 1.0 on elevated absolute
+    numbers is the 'ambient' verdict, a ratio that survives pairing is
+    real.
+    """
+    import argparse
+    import subprocess
+
+    ap = argparse.ArgumentParser(prog="bench.py --ab")
+    ap.add_argument("ref_tree", help="path to the reference worktree")
+    ap.add_argument("--queries", required=True,
+                    help="comma-separated registry names")
+    ap.add_argument("--runs", type=int, default=3,
+                    help="timed laps per side (min is reported)")
+    ap.add_argument("--out", default=None, help="also write JSON here")
+    args = ap.parse_args(argv)
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    ref = os.path.abspath(args.ref_tree)
+    if not os.path.isdir(os.path.join(ref, "gistdex_spark")):
+        raise SystemExit(f"--ab: {ref} has no gistdex_spark package")
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    names = [n for n in args.queries.split(",") if n]
+
+    worker_py = os.path.join(here, "ab_worker.py")
+
+    def spawn(tree: str, label: str) -> subprocess.Popen:
+        env = dict(os.environ)
+        # Each worker must resolve gistdex_spark from ITS tree only.
+        env["PYTHONPATH"] = tree
+        p = subprocess.Popen(
+            [sys.executable, worker_py, tree],
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+            cwd=tree, env=env, text=True,
+        )
+        hello = json.loads(p.stdout.readline())
+        assert hello.get("ready") and hello["module"].startswith(tree), (
+            label, hello,
+        )
+        print(f"# {label}: ready ({hello['module']})",
+              file=sys.stderr, flush=True)
+        return p
+
+    def ask(p: subprocess.Popen, query: str) -> float:
+        p.stdin.write(json.dumps({"query": query, "sf_dir": sf_dir}) + "\n")
+        p.stdin.flush()
+        resp = json.loads(p.stdout.readline())
+        if "error" in resp:
+            raise RuntimeError(f"{query}: {resp['error']}")
+        return resp["sec"]
+
+    head = spawn(here, "head")
+    refw = spawn(ref, "ref")
+    try:
+        results: dict[str, dict] = {}
+        # per-side untimed warm-up of every query (JIT/footers), then
+        # interleaved timed laps with alternating order.
+        for q in names:
+            ask(head, q)
+            ask(refw, q)
+            results[q] = {"head": [], "ref": []}
+        for lap in range(args.runs):
+            for q in names:
+                order = (
+                    [("head", head), ("ref", refw)]
+                    if lap % 2 == 0
+                    else [("ref", refw), ("head", head)]
+                )
+                for label, p in order:
+                    sec = ask(p, q)
+                    results[q][label].append(round(sec, 3))
+                print(
+                    f"# lap{lap} {q}: head {results[q]['head'][-1]:.2f}s"
+                    f" ref {results[q]['ref'][-1]:.2f}s",
+                    file=sys.stderr, flush=True,
+                )
+        for p in (head, refw):
+            p.stdin.write(json.dumps({"cmd": "quit"}) + "\n")
+            p.stdin.flush()
+    finally:
+        for p in (head, refw):
+            if p.poll() is None:
+                p.terminate()
+
+    for q, r in results.items():
+        r["head_min"] = min(r["head"])
+        r["ref_min"] = min(r["ref"])
+        r["ratio_min"] = round(r["head_min"] / r["ref_min"], 3)
+    payload = {
+        "metric": "ab_paired_interleaved",
+        "sf_dir": sf_dir,
+        "ref_tree": ref,
+        "runs": args.runs,
+        "queries": results,
+        "unit": "sec",
+    }
+    out = json.dumps(payload)
+    print(out, flush=True)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(out + "\n")
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -354,4 +468,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--ab":
+        ab_main(sys.argv[2:])
+    else:
+        main()

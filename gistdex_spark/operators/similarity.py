@@ -539,12 +539,17 @@ def ann_int8(
     # its eager job): vec_col[i] past the embedding's end is NULL with
     # ANSI off — silently NULL-poisoning every __qdot so the shortlist
     # degrades to the id tie-break — and a generic INVALID_ARRAY_INDEX
-    # with ANSI on. The leading CASE branch fails loudly per row with a
-    # precise message before the index expressions evaluate.
+    # with ANSI on. The guard is `<>`, not `<`: a query SHORTER than the
+    # stored embeddings would otherwise silently score a prefix dot
+    # product, which is just as wrong as the overrun —
+    # search_stored_int8's sidecar guard already uses `!=`, and the two
+    # forms must fail on the same inputs. The leading CASE branch fails
+    # loudly per row with a precise message before the index
+    # expressions evaluate.
     dim_guard = (
-        f"when size({vec_col}) < {len(qint)} then cast(raise_error("
-        f"concat('ann_int8: query dim {len(qint)} exceeds embedding dim ',"
-        f" cast(size({vec_col}) as string))) as double)"
+        f"when size({vec_col}) <> {len(qint)} then cast(raise_error("
+        f"concat('ann_int8: dimension mismatch — query dim {len(qint)}"
+        f" vs embedding dim ', cast(size({vec_col}) as string))) as double)"
     )
     short = (
         emb.select(id_col, vec_col)

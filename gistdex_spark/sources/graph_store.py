@@ -37,9 +37,39 @@ top-k'd per src, lossless for the union a fortiori.
 Caller contract: ids are unique across store ∪ batch (re-ingesting an
 existing id is an upsert the caller must route through delete first,
 as with the other stores).
+
+Durability (round 13): the store is a two-table state (members +
+edges) that must change ATOMICALLY — r12's layout appended members and
+then swapped ``edges/``, so a crash between the two left members whose
+neighborhoods were silently missing from the next incremental merge
+(r12 verdict item 1 / ADVICE medium). The layout is now VERSIONED:
+
+    path/
+      _current          # text pointer: name of the live version dir
+      v-00000001-ab12cd34/
+        members/        # lsh_store layout (+ _meta.json sidecar)
+        edges/
+
+A batch writes a complete new version directory — old member files are
+HARDLINKED in (metadata-only, O(#files), the local-FS analog of a
+table-format snapshot reusing data files by manifest reference), the
+batch appends its member rows, the merged edges write fresh — and then
+ONE ``os.replace`` flips ``_current``. A crash anywhere before the
+flip leaves the old version fully live; orphaned version dirs are
+swept by the next WRITER (readers never mutate). On an object store
+the same commit is an Iceberg/Delta snapshot — the pointer file is the
+transaction log reduced to its essence. Pre-r13 flat stores
+(``path/members`` + ``path/edges`` at top level) are read
+transparently and migrated to the versioned layout by their first
+update.
 """
 
 from __future__ import annotations
+
+import glob as _glob
+import os
+import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -52,6 +82,106 @@ from gistdex_spark.sources.lsh_store import write_lsh_store
 # equality join alone is still exact (and still new×old only).
 _PREFILTER_CAP = 4096
 
+_CURRENT = "_current"
+_VPREFIX = "v-"
+
+
+def resolve_store_root(path: str) -> str | None:
+    """The directory whose ``members/`` and ``edges/`` are live: the
+    ``_current``-named version dir, or ``path`` itself for a pre-r13
+    flat store (running maintenance recovery on both tables first —
+    r12 ADVICE: a crash inside a legacy single-table swap otherwise
+    leaves the store unreadable until a maintenance entry point
+    happens to run), or None when uninitialized. Read-only — orphan
+    sweeping is writer-side (:func:`_sweep_orphans`), so a reader can
+    never delete a concurrent writer's in-progress version."""
+    cur = os.path.join(path, _CURRENT)
+    if os.path.exists(cur):
+        with open(cur) as f:
+            return os.path.join(path, f.read().strip())
+    from gistdex_spark.sources.maintenance import _recover_store
+
+    members, edges = os.path.join(path, "members"), os.path.join(path, "edges")
+    _recover_store(members)
+    _recover_store(edges)
+    if os.path.isdir(members) and os.path.isdir(edges):
+        return path
+    return None
+
+
+def members_path(path: str) -> str:
+    root = resolve_store_root(path)
+    if root is None:
+        raise FileNotFoundError(f"graph store at {path} is uninitialized")
+    return os.path.join(root, "members")
+
+
+def edges_path(path: str) -> str:
+    root = resolve_store_root(path)
+    if root is None:
+        raise FileNotFoundError(f"graph store at {path} is uninitialized")
+    return os.path.join(root, "edges")
+
+
+def _sweep_orphans(path: str) -> None:
+    """Writer-side GC: version dirs not named by ``_current`` are
+    either crash leftovers (flip never happened — their content is a
+    superseded attempt) or superseded versions a crashed GC missed."""
+    cur = os.path.join(path, _CURRENT)
+    live = None
+    if os.path.exists(cur):
+        with open(cur) as f:
+            live = f.read().strip()
+    for d in _glob.glob(os.path.join(path, _VPREFIX + "*")):
+        if os.path.basename(d) != live:
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def _next_version_name(path: str) -> str:
+    seq = 0
+    cur = os.path.join(path, _CURRENT)
+    if os.path.exists(cur):
+        with open(cur) as f:
+            name = f.read().strip()
+        try:
+            seq = int(name.split("-")[1])
+        except (IndexError, ValueError):
+            seq = 0
+    return f"{_VPREFIX}{seq + 1:08d}-{uuid.uuid4().hex[:8]}"
+
+
+def _flip_current(path: str, version_name: str) -> None:
+    """The commit: one atomic pointer replace."""
+    tmp = os.path.join(path, f"{_CURRENT}.tmp-{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as f:
+        f.write(version_name)
+    os.replace(tmp, os.path.join(path, _CURRENT))
+
+
+def _link_tree(src: str, dst: str) -> None:
+    """Recreate ``src``'s directory tree under ``dst``, hardlinking the
+    immutable parquet files (copy fallback for cross-device) and
+    COPYING everything else — sidecars like ``_meta.json`` are
+    rewritten in place by later appends, and a hardlinked sidecar
+    would couple that mutation back into the old version."""
+    for dirpath, _dirs, files in os.walk(src):
+        rel = os.path.relpath(dirpath, src)
+        out = dst if rel == "." else os.path.join(dst, rel)
+        os.makedirs(out, exist_ok=True)
+        for fname in files:
+            s, d = os.path.join(dirpath, fname), os.path.join(out, fname)
+            if fname.endswith(".parquet"):
+                try:
+                    os.link(s, d)
+                    continue
+                except OSError:
+                    pass
+            shutil.copy2(s, d)
+
+
+def _write_edges(edges: DataFrame, path: str) -> None:
+    edges.write.mode("overwrite").parquet(path)
+
 
 def write_graph_store(
     emb: DataFrame,
@@ -60,23 +190,36 @@ def write_graph_store(
     nbits: int = 6,
     n_tables: int = 10,
     id_col: str = "vec_id",
-    mode: str = "overwrite",
 ) -> None:
-    """Members (lsh_store layout, partitioned by b0) + the batch
-    multitable edge list."""
+    """Bootstrap: members (lsh_store layout, partitioned by b0) + the
+    batch multitable edge list, written under a fresh version dir and
+    committed by the pointer flip — a crash mid-bootstrap leaves the
+    store uninitialized (never half-written), so a streaming replay
+    simply bootstraps again."""
+    os.makedirs(path, exist_ok=True)
+    _sweep_orphans(path)
+    vname = _next_version_name(path)
+    vroot = os.path.join(path, vname)
     write_lsh_store(
-        emb, f"{path}/members", nbits=nbits, n_tables=n_tables,
-        id_col=id_col, mode=mode,
+        emb, os.path.join(vroot, "members"), nbits=nbits,
+        n_tables=n_tables, id_col=id_col,
     )
     edges = knn_graph_multitable(
         emb, k=k, nbits=nbits, n_tables=n_tables, id_col=id_col
     )
-    edges.write.mode(mode).parquet(f"{path}/edges")
+    _write_edges(edges, os.path.join(vroot, "edges"))
+    # Store-level sidecar: k is part of the stored state's meaning (the
+    # edge list is top-k-truncated), so updates must replay with the
+    # same k — the members sidecar already records nbits/n_tables.
+    from gistdex_spark.sources.store_meta import write_store_meta
+
+    write_store_meta(path, k=k)
+    _flip_current(path, vname)
 
 
 def _new_old_pairs(
     spark: SparkSession,
-    path: str,
+    members: str,
     new_sig: DataFrame,
     nbits: int,
     n_tables: int,
@@ -108,7 +251,7 @@ def _new_old_pairs(
             if not vals:
                 continue
             branches.append(
-                spark.read.parquet(f"{path}/members")
+                spark.read.parquet(members)
                 .filter(F.col(f"b{t}").isin(vals))
                 .select(
                     F.col(id_col).alias("old_id"),
@@ -121,7 +264,7 @@ def _new_old_pairs(
         if not branches:
             # Empty batch: an empty pair frame with the right id types.
             branches = [
-                spark.read.parquet(f"{path}/members")
+                spark.read.parquet(members)
                 .limit(0)
                 .select(
                     F.col(id_col).alias("old_id"),
@@ -135,7 +278,7 @@ def _new_old_pairs(
 
         o = reduce(lambda a, c: a.unionByName(c), branches)
     else:
-        o = spark.read.parquet(f"{path}/members").select(
+        o = spark.read.parquet(members).select(
             F.col(id_col).alias("old_id"),
             F.col("embedding").alias("emb_o"),
             bo.alias("bo"),
@@ -183,6 +326,10 @@ def incremental_graph_stored(
     dedup exchange is needed) into one global window."""
     from gistdex_spark.operators.similarity import sign_bucket
 
+    root = resolve_store_root(path)
+    if root is None:
+        raise FileNotFoundError(f"graph store at {path} is uninitialized")
+
     bn = F.array(
         *[
             sign_bucket("embedding", nbits, offset=t * nbits)
@@ -198,7 +345,9 @@ def incremental_graph_stored(
         bn.alias("bn"),
     ).localCheckpoint(eager=True)
 
-    no = _new_old_pairs(spark, path, new_sig, nbits, n_tables, id_col)
+    no = _new_old_pairs(
+        spark, os.path.join(root, "members"), new_sig, nbits, n_tables, id_col
+    )
     both_dirs = no.select(
         F.col("new_id").alias("src"), F.col("old_id").alias("nbr"), "sim"
     ).unionByName(
@@ -213,7 +362,7 @@ def incremental_graph_stored(
         F.col("src_id").alias("src"), F.col("nbr_id").alias("nbr"), "sim"
     )
     # ReadSchema pin (tests): the edges scan reads only (src,nbr,sim).
-    oo = spark.read.parquet(f"{path}/edges").select(
+    oo = spark.read.parquet(os.path.join(root, "edges")).select(
         F.col("src_id").alias("src"), F.col("nbr_id").alias("nbr"), "sim"
     )
     # Stored and batch-graph sims are already 6-dp rounded; the probe
@@ -231,15 +380,42 @@ def update_graph_store(
     n_tables: int = 10,
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Apply a daily batch: merge the graph incrementally, append the
-    new members, replace ``edges/`` with the merged graph via the
-    maintenance module's write-beside-and-rename swap — a plain
-    ``mode("overwrite")`` deletes the old edge list before the new one
-    is durable, so a mid-write crash would lose the graph. The merged
-    frame is materialized (localCheckpoint) BEFORE the swap so the
-    write never reads from the path it is replacing. Returns the merged
-    edge frame."""
-    from gistdex_spark.sources.maintenance import _atomic_swap  # noqa: PLC0415
+    """Apply a daily batch: merge the graph incrementally, then commit
+    members-append + edges-replace as ONE atomic version flip (module
+    docstring) — r12's append-then-swap had a crash window that left
+    members whose neighborhoods were silently missing from every later
+    merge. The merged frame is materialized (localCheckpoint) BEFORE
+    any write so nothing reads from a path being replaced. Returns the
+    merged edge frame. A pre-r13 flat store is migrated to the
+    versioned layout by this call."""
+    root = resolve_store_root(path)
+    if root is None:
+        raise FileNotFoundError(f"graph store at {path} is uninitialized")
+    _sweep_orphans(path)
+    members_src = os.path.join(root, "members")
+
+    # Geometry guard (r12 ADVICE): the members sidecar records the
+    # nbits/n_tables the store was written with; a mismatched call
+    # would append members with incompatible bucket columns and merge
+    # against wrong probes. Pre-sidecar stores fall back to the
+    # caller's values (the only record there is).
+    from gistdex_spark.sources.store_meta import read_store_meta
+
+    meta = read_store_meta(members_src)
+    if meta is not None and (
+        meta.get("nbits") != nbits or meta.get("n_tables") != n_tables
+    ):
+        raise ValueError(
+            f"graph store geometry mismatch: store has nbits="
+            f"{meta.get('nbits')}, n_tables={meta.get('n_tables')}; "
+            f"caller passed nbits={nbits}, n_tables={n_tables}"
+        )
+    root_meta = read_store_meta(path)
+    if root_meta is not None and root_meta.get("k") != k:
+        raise ValueError(
+            f"graph store k mismatch: stored edges are top-"
+            f"{root_meta.get('k')} truncated; caller passed k={k}"
+        )
 
     # Align the batch to the STORED member schema before both the merge
     # and the append (a driver-side footer read, no job): appending a
@@ -251,7 +427,7 @@ def update_graph_store(
     # f64 either way, so merge values are unchanged.
     target = {
         f.name: f.dataType
-        for f in spark.read.parquet(f"{path}/members").schema.fields
+        for f in spark.read.parquet(members_src).schema.fields
     }
     new = new.select(
         F.col(id_col).cast(target[id_col]).alias(id_col),
@@ -260,9 +436,27 @@ def update_graph_store(
     merged = incremental_graph_stored(
         spark, path, new, k=k, nbits=nbits, n_tables=n_tables, id_col=id_col
     ).localCheckpoint(eager=True)
+
+    # Build the new version: hardlink the old member files (metadata-
+    # only), append the batch's member rows, write the merged edges —
+    # then commit with one pointer replace. Any crash before the flip
+    # leaves the old version live and the next writer sweeps the
+    # orphan; a replayed batch then redoes the whole merge against
+    # unchanged state, which is exactly the batch build again.
+    vname = _next_version_name(path)
+    vroot = os.path.join(path, vname)
+    _link_tree(members_src, os.path.join(vroot, "members"))
     write_lsh_store(
-        new, f"{path}/members", nbits=nbits, n_tables=n_tables,
-        id_col=id_col, mode="append",
+        new, os.path.join(vroot, "members"), nbits=nbits,
+        n_tables=n_tables, id_col=id_col, mode="append",
     )
-    _atomic_swap(merged, f"{path}/edges")
+    _write_edges(merged, os.path.join(vroot, "edges"))
+    _flip_current(path, vname)
+    # GC the superseded state: the old version dir, or — when this call
+    # migrated a flat store — the legacy top-level tables.
+    if root == path:
+        shutil.rmtree(members_src, ignore_errors=True)
+        shutil.rmtree(os.path.join(path, "edges"), ignore_errors=True)
+    else:
+        shutil.rmtree(root, ignore_errors=True)
     return merged

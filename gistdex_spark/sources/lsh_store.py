@@ -68,15 +68,36 @@ def write_lsh_store(
     so without the guard higher tables' bits would silently write as 0
     and the degenerate store would only fail at search time.
     """
+    from gistdex_spark.sources.store_meta import (
+        read_store_meta,
+        write_store_meta,
+    )
+
     first = emb.select(embedding_col).first()
+    facts = None
     if first is not None and first[0] is not None:
         if n_tables * nbits > len(first[0]):
             raise ValueError(
                 f"{n_tables} tables x {nbits} bits need {n_tables * nbits} "
                 f"dims; embedding has {len(first[0])}"
             )
-    # The guard inspects the first non-degenerate row (one small eager
-    # job; write is an action anyway). Ragged corpora — later rows
+        facts = {"dim": len(first[0]), "nbits": nbits, "n_tables": n_tables}
+    # On APPEND the existing sidecar is the store's recorded geometry —
+    # an append with a different dim/nbits/n_tables must FAIL *before*
+    # any rows land, not silently replace the sidecar (r12 ADVICE:
+    # overwriting after the write both defeated the validation purpose
+    # and would have appended incompatible bucket columns first). A
+    # pre-sidecar store gains the sidecar from its first append, which
+    # can only record what that batch actually wrote.
+    if mode == "append" and facts is not None:
+        existing = read_store_meta(path)
+        if existing is not None and existing != facts:
+            raise ValueError(
+                f"lsh_store geometry mismatch on append: store has "
+                f"{existing}, batch writes {facts}"
+            )
+    # The dim guard inspects the first non-degenerate row (one small
+    # eager job; write is an action anyway). Ragged corpora — later rows
     # shorter than the first — are caller error the array type cannot
     # encode; their out-of-range bits write as 0, same as every scan
     # form computes for them.
@@ -96,12 +117,8 @@ def write_lsh_store(
     )
     # Geometry sidecar (store_meta): searches and future maintenance can
     # validate dims/geometry without sampling a row.
-    if first is not None and first[0] is not None:
-        from gistdex_spark.sources.store_meta import write_store_meta
-
-        write_store_meta(
-            path, dim=len(first[0]), nbits=nbits, n_tables=n_tables
-        )
+    if facts is not None:
+        write_store_meta(path, **facts)
 
 
 def search_stored(

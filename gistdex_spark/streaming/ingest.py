@@ -191,35 +191,44 @@ def stream_graph_update(
     graphs by the store's frame-equality contract
     (tests/test_graph_store.py). Redelivery guard: foreachBatch is
     at-least-once, so the batch is anti-joined against the ids already
-    in ``members/`` before applying — a replayed batch becomes a no-op
-    instead of appending duplicate members and corrupting the graph.
+    in the store's members before applying — a replayed batch becomes
+    a no-op instead of appending duplicate members and corrupting the
+    graph. The guard is SOUND because the store commits members and
+    edges with one atomic version flip (r13; the r12 layout appended
+    members before the edge swap, so a crash in that window made the
+    replay a no-op while the members' edges were never built — the
+    graph silently diverged). Post-flip the batch's members imply its
+    edges; pre-flip (including a crash mid-bootstrap, which now leaves
+    the store UNINITIALIZED rather than half-written) the replay
+    redoes the whole merge against unchanged state.
     """
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.head(1):
             return
         spark = batch_df.sparkSession
-        from pyspark.errors import AnalysisException
+        from gistdex_spark.sources.graph_store import (
+            resolve_store_root,
+            update_graph_store,
+            write_graph_store,
+        )
 
-        fresh = batch_df
-        try:
-            existing = spark.read.parquet(f"{store_path}/members").select(
-                id_col
-            )
-            fresh = fresh.join(existing, id_col, "left_anti")
-        except AnalysisException:
+        root = resolve_store_root(store_path)
+        if root is None:
             # Store not initialized: the first batch bootstraps it.
-            from gistdex_spark.sources.graph_store import write_graph_store
-
             write_graph_store(
-                fresh, store_path, k=k, nbits=nbits, n_tables=n_tables,
+                batch_df, store_path, k=k, nbits=nbits, n_tables=n_tables,
                 id_col=id_col,
             )
             return
+        import os
+
+        existing = spark.read.parquet(os.path.join(root, "members")).select(
+            id_col
+        )
+        fresh = batch_df.join(existing, id_col, "left_anti")
         if not fresh.head(1):
             return
-        from gistdex_spark.sources.graph_store import update_graph_store
-
         update_graph_store(
             spark, store_path, fresh, k=k, nbits=nbits, n_tables=n_tables,
             id_col=id_col,

@@ -114,6 +114,17 @@ def test_search_stored_dim_mismatch_raises(spark, store):
         search_stored_int8(spark, store, [1.0, 0.0], k=2, shortlist=2)
 
 
+def test_scan_form_dim_guard_fires_both_directions(spark, emb):
+    """ann_int8's in-plan guard must fail loudly when the query is
+    LONGER *or* SHORTER than the embeddings — a short query would
+    otherwise silently score a prefix dot product (r12 ADVICE), which
+    search_stored_int8's `!=` sidecar guard already rejects."""
+    dim = len(emb.select("embedding").first()[0])
+    for bad in ([0.1] * (dim + 1), [0.1] * (dim - 1)):
+        with pytest.raises(Exception, match="dimension mismatch"):
+            ann_int8(emb, bad, k=2, shortlist=4).collect()
+
+
 def test_dim_guard_sidecar_and_sampling_fallback(spark, emb, tmp_path_factory):
     """The write pass records the code dim in a _meta.json sidecar, so
     the search guard costs zero Spark jobs; a pre-sidecar store (sidecar

@@ -101,6 +101,31 @@ def test_write_rejects_overlong_projection(spark, emb, tmp_path):
         )
 
 
+def test_append_rejects_geometry_mismatch(spark, emb, tmp_path):
+    """An append with a different dim / nbits / n_tables must fail
+    BEFORE any rows land — and must not overwrite the store's recorded
+    geometry sidecar (r12 ADVICE: the old behavior rewrote _meta.json
+    from the append batch, silently replacing the validation facts)."""
+    import pytest
+
+    from gistdex_spark.sources.lsh_store import write_lsh_store
+    from gistdex_spark.sources.store_meta import read_store_meta
+
+    path = str(tmp_path / "geo")
+    write_lsh_store(emb, path, nbits=4, n_tables=3)
+    before = read_store_meta(path)
+    rows_before = spark.read.parquet(path).count()
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        write_lsh_store(emb, path, nbits=3, n_tables=3, mode="append")
+    # wrong-geometry batch left neither rows nor a rewritten sidecar
+    assert read_store_meta(path) == before
+    assert spark.read.parquet(path).count() == rows_before
+    # a matching-geometry append still works
+    write_lsh_store(emb, path, nbits=4, n_tables=3, mode="append")
+    assert read_store_meta(path) == before
+    assert spark.read.parquet(path).count() == 2 * rows_before
+
+
 def test_stored_vote_matches_scan_form_exactly(spark, emb, store):
     """The at-rest vote search must be frame-equal to the scan-form
     ann_lsh_vote — graded (default) AND 0/1 indicator — closing the r10

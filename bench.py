@@ -213,6 +213,10 @@ BENCH_QUERIES = [
     "sequence_packing_stats",
     "unigram_logprob_quality",
     "hard_negative_mining_blocked",
+    # Round 13: tokenizer-aware token accounting (frozen-merges BPE,
+    # Arrow-batched UDF — map-only) and its packing audit.
+    "token_count_bpe",
+    "sequence_packing_stats_bpe",
 ]
 
 

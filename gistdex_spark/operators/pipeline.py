@@ -1129,6 +1129,7 @@ def sequence_packing_stats(
     content_col: str = "text",
     source_col: str = "source",
     materialize=None,
+    token_count_col=None,
 ) -> DataFrame:
     """Concat-and-chunk sequence-packing audit: documents are tokenized,
     concatenated in doc_id order, and cut into fixed ``capacity`` chunks
@@ -1141,13 +1142,28 @@ def sequence_packing_stats(
     exchange, no corpus-wide window); the straddle test is then pure
     per-row arithmetic: a non-empty document starting at s with n tokens
     straddles iff floor(s/C) != floor((s+n-1)/C).
+
+    ``token_count_col``: the TOKEN UNIT — a Column mapping each row to
+    its token count. Default is the whitespace word count (the
+    reference's estimation unit); pass
+    ``functions.bpe.bpe_token_count(...)`` for tokenizer-aware
+    accounting (a pretraining budget counts subword tokens — straddle
+    rates shift when the unit shifts, which is why the registry
+    carries both `sequence_packing_stats` and `_bpe`). Everything
+    downstream of the count — the range-exchange prefix sum, the
+    straddle test — is unit-agnostic.
     """
     from gistdex_spark.functions.text import tokens  # noqa: PLC0415
 
+    n_tok = (
+        token_count_col
+        if token_count_col is not None
+        else F.size(tokens(F.col(content_col)))
+    )
     toks = df.select(
         "doc_id",
         F.col(source_col).alias("source"),
-        F.size(tokens(F.col(content_col))).cast("bigint").alias("n_tok"),
+        n_tok.cast("bigint").alias("n_tok"),
     )
     spans = global_prefix_sum(
         toks, ["doc_id"], "n_tok", out_col="start", materialize=materialize

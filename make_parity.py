@@ -99,6 +99,17 @@ def main() -> int:
         with open(pin_path) as f:
             ann_pins = json.load(f)
 
+    # Round 13: the ANN pattern generalized — queries whose semantics
+    # are deterministic but not SQL-expressible (the BPE-token family:
+    # an iterative merge loop over the frozen fixtures/bpe_merges.json)
+    # carry frozen canon frames (make_pinned_expected.py) compared at
+    # full value level instead of falling through to rows_only.
+    gen_pin_path = f"fixtures/pinned_expected_{sf_name}.json"
+    gen_pins: dict[str, dict] = {}
+    if os.path.exists(gen_pin_path):
+        with open(gen_pin_path) as f:
+            gen_pins = json.load(f)
+
     out: dict[str, dict] = {}
     t0 = time.time()
     for i, name in enumerate(REGISTRY, 1):
@@ -139,6 +150,9 @@ def main() -> int:
                     }
                 rec["recall"] = recall
                 rec["floor"] = floor
+            elif name in gen_pins:
+                rec = compare_pinned(sdf, gen_pins[name])
+                rec["check"] = "values_pinned"
             else:
                 rec = {
                     "rows_match": len(sdf) >= 0,

@@ -1,0 +1,152 @@
+"""Deterministic BPE (functions/bpe.py): training must reproduce a
+hand-computed merge sequence, apply must be the standard greedy
+lowest-rank loop, the Arrow-batched UDF must equal the driver-side
+reference, and the pinned registry frames must round-trip."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from gistdex_spark.functions.bpe import (
+    EOW,
+    _ranks,
+    apply_bpe,
+    bpe_token_count,
+    load_merges,
+    pretokenize,
+    token_count,
+    train_bpe,
+)
+
+FIXTURE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "fixtures",
+    "bpe_merges.json",
+)
+SF = "/root/testdata/sf0.01"
+
+
+def test_train_matches_hand_computed_merge_sequence():
+    """Corpus 'low low lower', worked by hand:
+    pairs round 1: (l,o)=3, (o,w</w>)=2, (o,w)=1, (w,e)=1, (e,r</w>)=1
+      -> merge (l,o)
+    round 2: (lo,w</w>)=2 beats the count-1 rest -> merge (lo,w</w>)
+    round 3: every remaining pair has count 1 (< 2 compression cutoff)
+      -> stop."""
+    merges = train_bpe(["low low lower"], n_merges=10)
+    assert merges == [["l", "o"], ["lo", "w" + EOW]]
+
+
+def test_train_tie_breaks_lexicographically():
+    """'ab ab cd cd': both (a,b</w>) and (c,d</w>) have count 2 — the
+    lexicographically smaller pair must merge first, every time."""
+    merges = train_bpe(["ab ab cd cd"], n_merges=2)
+    assert merges == [["a", "b" + EOW], ["c", "d" + EOW]]
+
+
+def test_apply_is_greedy_lowest_rank():
+    ranks = _ranks([["l", "o"], ["lo", "w" + EOW]])
+    # learned word collapses fully; 'lowest' reuses only the (l,o) rule
+    # — rule 2 needs a word-FINAL w, so mid-word 'w' stays split.
+    assert apply_bpe("low", ranks) == ["low" + EOW]
+    assert apply_bpe("lowest", ranks) == ["lo", "w", "e", "s", "t" + EOW]
+    # unseen characters fall back to character-level + EOW marker
+    assert apply_bpe("zq", ranks) == ["z", "q" + EOW]
+    assert apply_bpe("", ranks) == []
+
+
+def test_token_count_driver_reference():
+    merges = [["l", "o"], ["lo", "w" + EOW]]
+    # 'low lowest zq' -> 1 + 5 + 2 tokens; None/empty count 0
+    assert token_count("low lowest zq", merges) == 8
+    assert token_count(None, merges) == 0
+    assert token_count("", merges) == 0
+
+
+def test_training_is_deterministic():
+    import duckdb
+
+    texts = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT text FROM '{SF}/documents.parquet' ORDER BY doc_id"
+        ).fetchall()
+    ]
+    assert train_bpe(texts, 48) == train_bpe(texts, 48)
+
+
+def test_fixture_is_regenerable_and_not_saturated():
+    """The committed fixture must be exactly what make_bpe_merges.py
+    produces from the frozen corpus (tokenizer drift = silent pin
+    invalidation), and must leave subword structure (fertility > 1 —
+    a saturated table would make the BPE family vacuous)."""
+    import duckdb
+
+    with open(FIXTURE) as f:
+        fx = json.load(f)
+    texts = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT text FROM '{fx['corpus']}' ORDER BY doc_id"
+        ).fetchall()
+    ]
+    assert train_bpe(texts, fx["n_merges_requested"]) == fx["merges"]
+    ws = sum(len(pretokenize(t)) for t in texts)
+    bpe = sum(token_count(t, fx["merges"]) for t in texts)
+    assert bpe > ws * 1.2, "fixture saturated: BPE ~= whitespace counts"
+
+
+def test_udf_equals_driver_reference(spark):
+    from gistdex_spark.sources.tables import load_table
+
+    merges = load_merges(FIXTURE)
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    got = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id", bpe_token_count("text", merges).alias("n")
+        ).collect()
+    }
+    rows = docs.collect()
+    assert len(got) == len(rows) > 0
+    for r in rows:
+        assert got[r["doc_id"]] == token_count(r["text"], merges), r["doc_id"]
+
+
+def test_pinned_frames_roundtrip(spark):
+    """The frozen expected frames (make_pinned_expected.py) must match
+    a live run at sf0.01 — the same value gate make_parity applies."""
+    from gistdex_spark.parity import compare_pinned
+    from gistdex_spark.queries import REGISTRY
+
+    pin_path = os.path.join(
+        os.path.dirname(FIXTURE), "pinned_expected_sf0.01.json"
+    )
+    with open(pin_path) as f:
+        pins = json.load(f)
+    for name in ("token_count_bpe", "sequence_packing_stats_bpe"):
+        pdf = REGISTRY[name](spark, SF).toPandas()
+        rec = compare_pinned(pdf, pins[name])
+        assert rec["values_match"], (name, rec["first_mismatches"])
+
+
+def test_packing_bpe_unit_actually_differs(spark):
+    """The BPE packing audit must not be the whitespace audit in
+    disguise: with fertility ~1.9 the per-source token totals must
+    differ from the whitespace form's."""
+    from gistdex_spark.queries import REGISTRY
+
+    ws = {
+        r["source"]: r["n_tokens"]
+        for r in REGISTRY["sequence_packing_stats"](spark, SF).collect()
+    }
+    bpe = {
+        r["source"]: r["n_tokens"]
+        for r in REGISTRY["sequence_packing_stats_bpe"](spark, SF).collect()
+    }
+    assert set(ws) == set(bpe)
+    assert all(bpe[s] > ws[s] for s in ws)

@@ -128,6 +128,27 @@ def _auto_bucket_partitions(
     return banded.sparkSession.sparkContext.defaultParallelism * 2
 
 
+def minhash_band_keys(sig_col: str, num_hashes: int, bands: int) -> list:
+    """The LSH band keys of a minhash signature column: md5 over each
+    band's row slice. ONE definition shared by the batch pair operator
+    (:func:`minhash_lsh_pairs`) and the at-rest signature store
+    (``sources/minhash_store``) — the store's frame-equality contract
+    depends on both sides banding identically."""
+    rpb = num_hashes // bands
+    return [
+        F.md5(
+            F.concat_ws(
+                "-",
+                *[
+                    F.col(sig_col)[b * rpb + r].cast("string")
+                    for r in range(rpb)
+                ],
+            )
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     content_col: str = "text",
@@ -154,18 +175,7 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, content_col, num_hashes, n)
-    band_key = [
-        F.md5(
-            F.concat_ws(
-                "-",
-                *[
-                    F.col("sig")[b * rows_per_band + r].cast("string")
-                    for r in range(rows_per_band)
-                ],
-            )
-        ).alias(f"band{b}")
-        for b in range(bands)
-    ]
+    band_key = minhash_band_keys("sig", num_hashes, bands)
     banded = sig.select("doc_id", "sig", *band_key).select(
         "doc_id",
         "sig",

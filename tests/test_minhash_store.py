@@ -1,0 +1,135 @@
+"""MinHash store at rest: yesterday's pair set + the incremental frame
+must equal the batch minhash_lsh_pairs on (old ∪ new) exactly, the
+store probe must prune partitions (p0 prefix) and push band IN-lists,
+the prefilter cap must only ever disable an optimization, and geometry
+mismatches must fail loudly."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from gistdex_spark.operators.dedup import minhash_lsh_pairs
+from gistdex_spark.sources import minhash_store
+from gistdex_spark.sources.minhash_store import (
+    incremental_pairs_full,
+    incremental_pairs_stored,
+    write_minhash_store,
+)
+from gistdex_spark.sources.tables import load_table
+from tests.conftest import SF_CORRECTNESS
+
+# A loose threshold so the synthetic corpus yields a non-vacuous pair
+# set across all three (old×old / new×old / new×new) categories.
+TH = 0.25
+
+
+@pytest.fixture(scope="module")
+def split(spark):
+    docs = load_table(spark, SF_CORRECTNESS, "documents")
+    # % 4 == 0 keeps the new slice large enough to carry WITHIN-slice
+    # near-dups (the new×new category must be non-vacuous below).
+    new = docs.filter(F.col("doc_id") % 4 == 0)
+    old = docs.filter(F.col("doc_id") % 4 != 0)
+    return new, old
+
+
+@pytest.fixture(scope="module")
+def store_path(spark, split, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("minhash") / "store")
+    write_minhash_store(split[1], path)
+    return path
+
+
+def _frame(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_union_decomposition_equals_batch_rebuild(spark, split, store_path):
+    """The daily-ingest contract: pairs(old) ∪ incremental_full(new)
+    == minhash_lsh_pairs(old ∪ new). Old text is never re-shingled —
+    the old side of the incremental frame is the stored signature
+    read."""
+    new, old = split
+    want = _frame(minhash_lsh_pairs(old.unionByName(new), threshold=TH))
+    old_pairs = _frame(minhash_lsh_pairs(old, threshold=TH))
+    incr = _frame(
+        incremental_pairs_full(spark, store_path, new, threshold=TH)
+    )
+    assert sorted(old_pairs + incr) == want
+    # non-vacuous on every category
+    assert len(old_pairs) > 0
+    new_ids = {r[0] for r in new.select("doc_id").collect()}
+    cross = [p for p in incr if (p[0] in new_ids) != (p[1] in new_ids)]
+    nn = [p for p in incr if p[0] in new_ids and p[1] in new_ids]
+    assert len(cross) > 0 and len(nn) > 0
+
+
+def test_store_probe_prunes_partitions_and_pushes_bands(
+    spark, split, store_path
+):
+    new, _ = split
+    df = incremental_pairs_stored(spark, store_path, new, threshold=TH)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # band0's derived prefix list prunes directories before IO; every
+    # band's string IN-list is a pushed parquet filter.
+    assert re.search(r"PartitionFilters: \[p0#\d+ INSET", plan)
+    for b in range(4):
+        assert f"In(band{b}" in plan
+    # the stored signatures are read, never recomputed: no shingling
+    # (md5-of-substring minhash arithmetic) on the store branches —
+    # conv() appears only in the batch side's signature build.
+    n_conv = plan.count("conv(substring(md5(")
+    assert n_conv == 0, "store branch re-shingles text"
+
+
+def test_prefilter_cap_disables_not_corrupts(
+    spark, split, store_path, monkeypatch
+):
+    new, old = split
+    want = _frame(
+        incremental_pairs_stored(spark, store_path, new, threshold=TH)
+    )
+    monkeypatch.setattr(minhash_store, "_PREFILTER_CAP", 0)
+    got = _frame(
+        incremental_pairs_stored(spark, store_path, new, threshold=TH)
+    )
+    assert got == want and len(got) > 0
+
+
+def test_geometry_guards(spark, split, store_path, tmp_path):
+    new, old = split
+    # probe with mismatched shingle width / band count fails loudly
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        incremental_pairs_stored(spark, store_path, new, n=4)
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        incremental_pairs_stored(spark, store_path, new, bands=2)
+    # append with mismatched geometry fails before any rows land
+    n_before = spark.read.parquet(store_path).count()
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        write_minhash_store(new, store_path, num_hashes=8, mode="append")
+    assert spark.read.parquet(store_path).count() == n_before
+    with pytest.raises(ValueError, match="divisible"):
+        write_minhash_store(new, str(tmp_path / "bad"), num_hashes=10, bands=4)
+
+
+def test_append_then_probe_still_exact(spark, split, tmp_path_factory):
+    """Growing the store by appending a batch (signatures only) must
+    leave the next batch's incremental frame equal to the batch rebuild
+    over all three slices."""
+    new, old = split
+    b1 = new.filter(F.col("doc_id") < 250)
+    b2 = new.filter(F.col("doc_id") >= 250)
+    path = str(tmp_path_factory.mktemp("minhash_app") / "store")
+    write_minhash_store(old, path)
+    write_minhash_store(b1, path, mode="append")
+    want = _frame(
+        minhash_lsh_pairs(
+            old.unionByName(b1).unionByName(b2), threshold=TH
+        )
+    )
+    base = _frame(minhash_lsh_pairs(old.unionByName(b1), threshold=TH))
+    incr = _frame(incremental_pairs_full(spark, path, b2, threshold=TH))
+    assert sorted(base + incr) == want

@@ -214,9 +214,11 @@ BENCH_QUERIES = [
     "unigram_logprob_quality",
     "hard_negative_mining_blocked",
     # Round 13: tokenizer-aware token accounting (frozen-merges BPE,
-    # Arrow-batched UDF — map-only) and its packing audit.
+    # Arrow-batched UDF — map-only), its packing audit, and the
+    # fixed-token-budget shard manifest (range exchange + hash agg).
     "token_count_bpe",
     "sequence_packing_stats_bpe",
+    "shard_manifest_census",
 ]
 
 

@@ -1193,6 +1193,73 @@ def sequence_packing_stats(
     )
 
 
+def shard_manifest(
+    df: DataFrame,
+    shard_tokens: int = 2048,
+    content_col: str = "text",
+    materialize=None,
+    token_count_col=None,
+) -> DataFrame:
+    """Assign documents to fixed-token-budget output shards and emit
+    the manifest — the piece between the packing audit
+    (:func:`sequence_packing_stats`) and an actual pretraining-data
+    writer: a writer consumes these rows to know exactly which doc span
+    and token span each shard file carries.
+
+    Assignment rule: concatenate documents in doc_id order (the same
+    stream the packing audit cuts) and place each document in the shard
+    its FIRST token lands in — shard_id = floor(start / shard_tokens),
+    with ``start`` from one :func:`global_prefix_sum` (range exchange,
+    no corpus-wide window). The rule is a pure function of (doc_id
+    order, token counts), so it is stable under reshard/re-ingest and
+    replayable in ANSI SQL as the same prefix-sum CTE — the census
+    oracle the registry pins. A straddling document belongs to its
+    starting shard; shards therefore carry slightly more than
+    ``shard_tokens`` tokens on average (bounded by one document), which
+    is the standard concat-writer behavior — a bin-packing writer that
+    must cap hard pads instead, and decides that from
+    sequence_packing_stats.
+
+    Manifest row per shard: (shard_id, n_docs, doc_from, doc_to,
+    n_tokens, token_start, token_end) — doc spans are contiguous by
+    construction (assignment is monotone in doc_id). One range exchange
+    + one hash agg on shard_id; at 100 TB the manifest is ~corpus_tokens
+    / shard_tokens rows, trivially collectable by the writer.
+
+    ``token_count_col``: the token unit seam, as in
+    :func:`sequence_packing_stats` — whitespace words by default, a BPE
+    count column for tokenizer-aware budgets.
+    """
+    from gistdex_spark.functions.text import tokens  # noqa: PLC0415
+
+    n_tok = (
+        token_count_col
+        if token_count_col is not None
+        else F.size(tokens(F.col(content_col)))
+    )
+    toks = df.select("doc_id", n_tok.cast("bigint").alias("n_tok"))
+    spans = global_prefix_sum(
+        toks, ["doc_id"], "n_tok", out_col="start", materialize=materialize
+    )
+    b = F.lit(shard_tokens).cast("bigint")
+    return (
+        spans.withColumn(
+            "shard_id", F.floor(F.col("start") / b).cast("bigint")
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("doc_from"),
+            F.max("doc_id").cast("bigint").alias("doc_to"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.min("start").cast("bigint").alias("token_start"),
+            F.max(F.col("start") + F.col("n_tok"))
+            .cast("bigint")
+            .alias("token_end"),
+        )
+    )
+
+
 def unigram_logprob(
     df: DataFrame, content_col: str = "text"
 ) -> DataFrame:

@@ -714,3 +714,46 @@ def test_unigram_logprob_known_distribution(spark):
     got = {r.doc_id: (r.n_tokens, r.avg_log2p) for r in unigram_logprob(df).collect()}
     assert got[1] == (2, round(math.log2(0.75), 6))
     assert got[2] == (2, round((math.log2(0.75) + math.log2(0.25)) / 2, 6))
+
+
+def test_shard_manifest_hand_computed_and_invariants(spark):
+    """Hand-worked assignment at budget 10 over token counts
+    4,8,3,10,0: starts are 0,4,12,15,25 -> shards 0,0,1,1,2. Shard 0
+    carries docs 1-2 (12 tokens, span 0..12), shard 1 docs 3-4
+    (13 tokens, span 12..25), shard 2 the empty doc 5 (0 tokens,
+    span 25..25). Invariants: doc spans are contiguous and token spans
+    tile the stream end to end."""
+    from gistdex_spark.operators.pipeline import shard_manifest
+
+    mk = lambda n: " ".join(f"w{i}" for i in range(n))
+    rows = [
+        (1, mk(4)), (2, mk(8)), (3, mk(3)), (4, mk(10)), (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r.shard_id: (
+            r.n_docs, r.doc_from, r.doc_to, r.n_tokens,
+            r.token_start, r.token_end,
+        )
+        for r in shard_manifest(df, shard_tokens=10).collect()
+    }
+    assert got == {
+        0: (2, 1, 2, 12, 0, 12),
+        1: (2, 3, 4, 13, 12, 25),
+        2: (1, 5, 5, 0, 25, 25),
+    }
+    # invariants on a larger frame: contiguous doc spans, tiling token
+    # spans (each shard starts where the previous ended)
+    big = spark.createDataFrame(
+        [(i, mk((i * 7) % 13)) for i in range(100)],
+        "doc_id bigint, text string",
+    )
+    man = sorted(
+        shard_manifest(big, shard_tokens=37).collect(),
+        key=lambda r: r.shard_id,
+    )
+    for a, b in zip(man, man[1:]):
+        assert b.doc_from == a.doc_to + 1
+        assert b.token_start >= a.shard_id * 37
+    total = sum(r.n_tokens for r in man)
+    assert man[-1].token_end == total

@@ -1499,6 +1499,89 @@ def knn_graph(
 _GEMM_EPS = 1e-9
 
 
+def _bipartite_packs(
+    a_blocked: DataFrame, b_blocked: DataFrame, block_rows: int = 2048
+) -> DataFrame:
+    """:func:`_bucket_pair_packs` for a BIPARTITE candidate set: two
+    bucketed frames ``(id, embedding, blk)`` — every cross pair (a, b)
+    sharing ``blk`` lands in exactly one kernel task, both sides capped
+    at ~``block_rows`` rows (hot buckets hash-split per side, the same
+    discipline). Emitted ``blk_a``/``blk_b`` labels are always distinct
+    (``#a``/``#b`` suffixes), so :func:`_make_knn_kernel` takes its
+    off-diagonal branch and scores BOTH directions of every pair — the
+    shape the graph store's new×old probe needs.
+
+    Consumer contract: a pair present in several buckets scores
+    bit-identically in each (the kernel's exact rescore is a pure
+    function of the two embeddings); resolve with a
+    ``groupBy(src, nbr).max(sim)`` like the multitable graph does.
+
+    One scan of each side + one hash exchange: bucket sizes are
+    bucket-cardinality-bounded aggs broadcast back; the inner size join
+    drops buckets present on only one side (they contribute no cross
+    pairs). ``blk`` must be non-null (sign buckets are; a custom block
+    column with NULLs belongs in the self-pack's null-safe path).
+    """
+    sa = a_blocked.groupBy("blk").agg(F.count(F.lit(1)).alias("cnt_a"))
+    sb = b_blocked.groupBy("blk").agg(F.count(F.lit(1)).alias("cnt_b"))
+    nsub = lambda c: F.greatest(  # noqa: E731
+        F.lit(1), F.ceil(F.col(c) / F.lit(max(block_rows, 1)))
+    ).cast("int")
+    sz = (
+        sa.join(sb, "blk")
+        .select(
+            F.col("blk").alias("__blk_s"),
+            nsub("cnt_a").alias("n_sub_a"),
+            nsub("cnt_b").alias("n_sub_b"),
+        )
+    )
+    a = (
+        a_blocked.join(F.broadcast(sz), F.col("blk") == F.col("__blk_s"))
+        .drop("__blk_s")
+        .withColumn("sub", F.pmod(F.hash("id"), F.col("n_sub_a")))
+        .select(
+            "blk",
+            "id",
+            "embedding",
+            F.col("sub").alias("oa"),
+            F.explode(
+                F.sequence(F.lit(0), F.col("n_sub_b") - F.lit(1))
+            ).alias("ob"),
+            F.lit(True).alias("is_a"),
+        )
+    )
+    b = (
+        b_blocked.join(F.broadcast(sz), F.col("blk") == F.col("__blk_s"))
+        .drop("__blk_s")
+        .withColumn("sub", F.pmod(F.hash("id"), F.col("n_sub_b")))
+        .select(
+            "blk",
+            "id",
+            "embedding",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n_sub_a") - F.lit(1))
+            ).alias("oa"),
+            F.col("sub").alias("ob"),
+            F.lit(False).alias("is_a"),
+        )
+    )
+    member = F.struct("id", "embedding")
+    packs = a.unionByName(b).groupBy("blk", "oa", "ob").agg(
+        F.collect_list(F.when(F.col("is_a"), member)).alias("m_a"),
+        F.collect_list(F.when(~F.col("is_a"), member)).alias("m_b"),
+    )
+    return packs.select(
+        F.concat_ws(
+            "#a", F.col("blk").cast("string"), F.col("oa").cast("string")
+        ).alias("blk_a"),
+        F.concat_ws(
+            "#b", F.col("blk").cast("string"), F.col("ob").cast("string")
+        ).alias("blk_b"),
+        "m_a",
+        "m_b",
+    )
+
+
 def _make_knn_kernel(k: int):
     """The block-pair local-top-k kernel shared by :func:`knn_graph` and
     :func:`knn_graph_multitable` — consumes (blk_a, blk_b, m_a, m_b)

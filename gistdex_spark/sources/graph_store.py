@@ -27,12 +27,14 @@ per-src top-k of the old×old candidate mass; any old×old candidate they
 dropped had ≥ k strictly-better same-bucket candidates for that src, so
 it can never re-enter the merged top-k (the same a-fortiori argument
 that makes the kernel's task-local cut lossless). new×old pairs are
-enumerated completely (per-table probe union + first-agreeing-table
-dedup, the band_store discipline), scored by the Catalyst cosine fold —
-bit-identical to the numpy kernel by the shared accumulation-order
-discipline (tests/test_pair_kernels.py proves the two forms equal) —
-and emitted in both directions. new×new comes from the batch graph,
-top-k'd per src, lossless for the union a fortiori.
+enumerated completely (per-table probe union, the band_store
+discipline) and scored by the SAME GEMM kernel as the batch graph
+(``_bipartite_packs`` + ``_make_knn_kernel`` — bit-identity with the
+rebuild is by shared code, and the r12 Catalyst-fold probe this
+replaces measured ~9× a full rebuild at sf1), both directions, pair
+duplicates across agreeing tables resolved by max exactly as the batch
+graph resolves them. new×new comes from the batch graph, top-k'd per
+src, lossless for the union a fortiori.
 
 Caller contract: ids are unique across store ∪ batch (re-ingesting an
 existing id is an upsert the caller must route through delete first,
@@ -81,6 +83,12 @@ from gistdex_spark.sources.lsh_store import write_lsh_store
 # bucket values the IN-list prefilter stops paying for itself; the
 # equality join alone is still exact (and still new×old only).
 _PREFILTER_CAP = 4096
+
+# Past this fraction of the (table × bucket) key space observed in the
+# batch, per-table IN-list branch scans prune almost nothing and their
+# L separate reads dominate — switch to one exploded scan filtered
+# post-explode (see _new_old_candidates).
+_BRANCH_COVERAGE_MAX = 0.5
 
 _CURRENT = "_current"
 _VPREFIX = "v-"
@@ -217,25 +225,125 @@ def write_graph_store(
     _flip_current(path, vname)
 
 
-def _new_old_pairs(
+def _probe_side(
     spark: SparkSession,
     members: str,
-    new_sig: DataFrame,
+    table_sets: list[list[int]],
     nbits: int,
     n_tables: int,
     id_col: str,
 ) -> DataFrame:
-    """All (new_id, old_id, sim) pairs agreeing on ANY table, each
-    scored exactly once (first-agreeing-table dedup), with the members
-    scan prefiltered to the batch's observed per-table bucket values —
-    b0's IN-list prunes partitions, b1+'s push to parquet row groups.
+    """The stored-member side of the new×old probe, bucketed as
+    ``(id, embedding, blk)`` — every stored row that could pair with
+    the batch on some table, once per agreeing table. Two shapes,
+    picked by the batch's bucket coverage:
 
-    A pair's first-agreeing table t has equal bucket values there, so
-    the stored row's b_t is in the batch's table-t set and branch t
-    emits exactly that posting; postings a branch drops could never
-    have joined. Past the cap, fall back to one unfiltered exploded
-    members scan — still new×old only.
+    - Sparse coverage (small batch — the daily-ingest case): L narrow
+      scans whose per-table IN-lists genuinely prune (b0 partitions,
+      b1+ row groups), unioned.
+    - Dense coverage or past ``_PREFILTER_CAP``: the observed sets
+      cover most of the key space, so per-table IN-lists prune almost
+      nothing while paying L separate scans — profiled at sf1 as the
+      dominant cost of the whole update (a 5% batch covers ~50/64
+      buckets per table). ONE scan + one explode, filtered post-explode
+      to the observed values (a table-t row survives iff its b_t is in
+      the batch's table-t set — exactly what branch t would have
+      emitted; unfiltered past the cap).
     """
+    width = 2**nbits
+    total = sum(len(s) for s in table_sets)
+    coverage = total / float(n_tables * width)
+
+    def branch(t: int, vals):
+        scan = spark.read.parquet(members)
+        if vals is not None:
+            scan = scan.filter(F.col(f"b{t}").isin(vals))
+        return scan.select(
+            F.col(id_col).alias("id"),
+            "embedding",
+            (F.lit(t * width) + F.col(f"b{t}")).cast("int").alias("blk"),
+        )
+
+    if total <= _PREFILTER_CAP and coverage <= _BRANCH_COVERAGE_MAX:
+        branches = [
+            branch(t, vals) for t, vals in enumerate(table_sets) if vals
+        ]
+        if not branches:
+            branches = [branch(0, None).limit(0)]
+        from functools import reduce
+
+        return reduce(lambda a, c: a.unionByName(c), branches)
+
+    o = spark.read.parquet(members).select(
+        F.col(id_col).alias("id"),
+        "embedding",
+        F.posexplode(
+            F.array(*[F.col(f"b{t}") for t in range(n_tables)])
+        ).alias("t", "bval"),
+    )
+    if total <= _PREFILTER_CAP:
+        sets_lit = F.array(
+            *[
+                F.array(*[F.lit(int(v)) for v in s]).cast("array<int>")
+                for s in table_sets
+            ]
+        )
+        o = o.filter(
+            F.array_contains(
+                F.element_at(sets_lit, F.col("t") + 1), F.col("bval")
+            )
+        )
+    return o.select(
+        "id",
+        "embedding",
+        (F.col("t") * width + F.col("bval")).cast("int").alias("blk"),
+    )
+
+
+def _new_old_candidates(
+    spark: SparkSession,
+    members: str,
+    new_sig: DataFrame,
+    k: int,
+    nbits: int,
+    n_tables: int,
+    id_col: str,
+    block_rows: int = 2048,
+) -> DataFrame:
+    """(src, nbr, sim) candidates covering every new×old pair agreeing
+    on ANY table, BOTH directions, scored by the SAME GEMM kernel as
+    the batch graph — the r13 rewrite. The r12 probe scored pairs with
+    the per-row Catalyst cosine fold, which the graph-store timing
+    artifact measured at ~9× a full GEMM rebuild at sf1 (update 27.7 s
+    vs rebuild 3.2 s on 20k×64-dim) — the probe enumerated the right
+    candidates and then scored them the slow way. Routing the same
+    candidates through :func:`~gistdex_spark.operators.dedup.
+    _bipartite_packs` + the kernel makes the incremental path share the
+    rebuild's compute engine, so its advantage is purely the smaller
+    candidate set.
+
+    Enumeration is unchanged: the members scan is prefiltered per table
+    to the batch's observed bucket values (b0's IN-list prunes
+    partitions, b1+'s push to parquet row groups), each branch now
+    reading ONLY (id, embedding, b_t) — the r12 form also materialized
+    the full b0..b{L-1} array per branch for its first-agreeing-table
+    filter. A stored row agreeing with some batch row on table t
+    carries one of the batch's table-t values, so branch t emits it;
+    rows a branch drops could never pair. Past the cap, one unfiltered
+    exploded scan — still new×old only. A pair agreeing on several
+    tables scores bit-identically in each task (the kernel's exact
+    rescore is a pure function of the two embeddings); the
+    ``groupBy(src, nbr).max`` resolves duplicates exactly as
+    ``knn_graph_multitable`` does. The kernel's task-local top-k cut is
+    lossless here by the same a-fortiori argument: a dropped candidate
+    has ≥ k strictly-better same-task candidates for that src, all of
+    them present in the merged window's stream.
+    """
+    from gistdex_spark.operators.dedup import (  # noqa: PLC0415
+        _bipartite_packs,
+        _make_knn_kernel,
+    )
+
     sets_row = new_sig.select(
         *[
             F.collect_set(F.col("bn").getItem(t)).alias(f"s{t}")
@@ -243,70 +351,29 @@ def _new_old_pairs(
         ]
     ).first()
     table_sets = [sorted(sets_row[f"s{t}"]) for t in range(n_tables)]
+    width = 2**nbits
+    # Materialize the probe side ONCE: the pack references it twice
+    # (size agg + member join), and re-evaluating L parquet scans per
+    # reference was half the profiled cost of the whole update.
+    o = _probe_side(
+        spark, members, table_sets, nbits, n_tables, id_col
+    ).localCheckpoint(eager=True)
 
-    bo = F.array(*[F.col(f"b{t}") for t in range(n_tables)])
-    if sum(len(s) for s in table_sets) <= _PREFILTER_CAP:
-        branches = []
-        for t, vals in enumerate(table_sets):
-            if not vals:
-                continue
-            branches.append(
-                spark.read.parquet(members)
-                .filter(F.col(f"b{t}").isin(vals))
-                .select(
-                    F.col(id_col).alias("old_id"),
-                    F.col("embedding").alias("emb_o"),
-                    bo.alias("bo"),
-                    F.lit(t).cast("int").alias("t"),
-                    F.col(f"b{t}").cast("int").alias("bval"),
-                )
-            )
-        if not branches:
-            # Empty batch: an empty pair frame with the right id types.
-            branches = [
-                spark.read.parquet(members)
-                .limit(0)
-                .select(
-                    F.col(id_col).alias("old_id"),
-                    F.col("embedding").alias("emb_o"),
-                    bo.alias("bo"),
-                    F.lit(0).cast("int").alias("t"),
-                    F.lit(0).cast("int").alias("bval"),
-                )
-            ]
-        from functools import reduce
-
-        o = reduce(lambda a, c: a.unionByName(c), branches)
-    else:
-        o = spark.read.parquet(members).select(
-            F.col(id_col).alias("old_id"),
-            F.col("embedding").alias("emb_o"),
-            bo.alias("bo"),
-            F.posexplode(bo).alias("t", "bval"),
-        )
-
-    n = new_sig.select(
-        F.col("new_id"),
-        F.col("emb_n"),
-        F.col("bn"),
+    a = new_sig.select(
+        F.col("new_id").alias("id"),
+        F.col("emb_n").alias("embedding"),
         F.posexplode("bn").alias("t", "bval"),
+    ).select(
+        "id",
+        "embedding",
+        (F.col("t") * width + F.col("bval")).cast("int").alias("blk"),
     )
-    # First-agreeing-table dedup (band_store's first_band, on bucket
-    # arrays): a pair exits the join exactly once.
-    first_table = F.expr(
-        "t = 0 or not exists(sequence(0, t - 1), u -> bn[u] = bo[u])"
+    packs = _bipartite_packs(a, o, block_rows)
+    id_type = new_sig.schema["new_id"].dataType.simpleString()
+    cand = packs.mapInPandas(
+        _make_knn_kernel(k), schema=f"src {id_type}, nbr {id_type}, sim double"
     )
-    from gistdex_spark.functions.vectors import cosine
-
-    return (
-        n.join(o, ["t", "bval"])
-        .filter(first_table)
-        .select(
-            "new_id",
-            "old_id",
-            cosine("emb_n", "emb_o").alias("sim"),
-        )
-    )
+    return cand.groupBy("src", "nbr").agg(F.max("sim").alias("sim"))
 
 
 def incremental_graph_stored(
@@ -321,8 +388,9 @@ def incremental_graph_stored(
     """The merged multitable kNN graph over (stored corpus ∪ ``new``) —
     value-equal to ``knn_graph_multitable`` on the union, with old×old
     replaced by the stored edge read. Three disjoint candidate parts
-    (old×old from ``edges/``, new×old scored both directions, new×new
-    from the batch graph — each pair appears in exactly one part, so no
+    (old×old from ``edges/``, new×old from the kernel-scored bipartite
+    probe — internally deduped, both directions — and new×new from the
+    batch graph; a pair appears in exactly one part, so no cross-part
     dedup exchange is needed) into one global window."""
     from gistdex_spark.operators.similarity import sign_bucket
 
@@ -345,15 +413,9 @@ def incremental_graph_stored(
         bn.alias("bn"),
     ).localCheckpoint(eager=True)
 
-    no = _new_old_pairs(
-        spark, os.path.join(root, "members"), new_sig, nbits, n_tables, id_col
-    )
-    both_dirs = no.select(
-        F.col("new_id").alias("src"), F.col("old_id").alias("nbr"), "sim"
-    ).unionByName(
-        no.select(
-            F.col("old_id").alias("src"), F.col("new_id").alias("nbr"), "sim"
-        )
+    both_dirs = _new_old_candidates(
+        spark, os.path.join(root, "members"), new_sig, k, nbits, n_tables,
+        id_col,
     )
     nn = knn_graph_multitable(
         new_sig.select(F.col("new_id").alias(id_col), F.col("emb_n").alias("embedding")),

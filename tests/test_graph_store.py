@@ -61,16 +61,37 @@ def test_incremental_merge_equals_batch_rebuild(spark, split, store_path):
     assert len(got) > 0
 
 
-def test_members_probe_prunes_and_edges_scan_is_narrow(spark, split, store_path):
+def test_members_probe_plan_shapes(spark, split, store_path):
+    """The probe side's two shapes (r13): a SPARSE batch gets L pruned
+    branch scans — b0's IN-list a partition predicate, b1+'s pushed
+    parquet filters; a DENSE batch gets ONE exploded scan (per-table
+    IN-lists would prune nothing while paying L reads — the profiled
+    dominant cost of the r13 timing artifact's first run)."""
+    members = graph_store.members_path(store_path)
+    # two values per table: a single value would fold to EqualTo
+    # instead of INSET/In and dodge the pin regexes
+    sparse = [[1, 2] for _ in range(NT)]
+    df = graph_store._probe_side(spark, members, sparse, NBITS, NT, "vec_id")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # small lists render as `IN (...)`, big ones as `INSET` — both are
+    # partition predicates
+    assert re.search(r"PartitionFilters: \[b0#\d+ IN", plan)
+    for t in range(1, NT):
+        assert f"In(b{t}" in plan
+
+    dense = [list(range(2 ** NBITS)) for _ in range(NT)]
+    df = graph_store._probe_side(spark, members, dense, NBITS, NT, "vec_id")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+    assert "posexplode" in plan or "PosExplode" in plan
+
+
+def test_edges_scan_is_narrow(spark, split, store_path):
     new, _ = split
     df = incremental_graph_stored(
         spark, store_path, new, k=K, nbits=NBITS, n_tables=NT
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
-    # b0's IN-list is a partition predicate; b1+'s are pushed filters.
-    assert re.search(r"PartitionFilters: \[b0#\d+ INSET", plan)
-    for t in range(1, NT):
-        assert f"In(b{t}" in plan
     # The stored-edge scan must read only the three edge columns — the
     # old×old mass is a narrow read, never a rescore.
     m = re.search(

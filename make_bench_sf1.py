@@ -90,6 +90,13 @@ HEAVY = [
     # funnel flagship on the multitable kernel.
     "knn_graph_blocked",
     "corpus_curation_funnel_blocked",
+    # Round-13 additions: the BPE token family (the merge-loop UDF's
+    # cost is corpus-proportional Python/Arrow work — the honest scale
+    # probe for tokenizer-in-a-UDF) and the shard manifest (range
+    # exchange + hash agg over every document).
+    "token_count_bpe",
+    "sequence_packing_stats_bpe",
+    "shard_manifest_census",
 ]
 
 

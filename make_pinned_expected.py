@@ -26,6 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 PINNED_QUERIES = [
     "token_count_bpe",
     "sequence_packing_stats_bpe",
+    "shard_manifest_bpe",
 ]
 
 

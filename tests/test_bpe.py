@@ -128,7 +128,11 @@ def test_pinned_frames_roundtrip(spark):
     )
     with open(pin_path) as f:
         pins = json.load(f)
-    for name in ("token_count_bpe", "sequence_packing_stats_bpe"):
+    for name in (
+        "token_count_bpe",
+        "sequence_packing_stats_bpe",
+        "shard_manifest_bpe",
+    ):
         pdf = REGISTRY[name](spark, SF).toPandas()
         rec = compare_pinned(pdf, pins[name])
         assert rec["values_match"], (name, rec["first_mismatches"])

@@ -94,7 +94,7 @@ _CURRENT = "_current"
 _VPREFIX = "v-"
 
 
-def resolve_store_root(path: str) -> str | None:
+def resolve_store_root(path: str, version: str | None = None) -> str | None:
     """The directory whose ``members/`` and ``edges/`` are live: the
     ``_current``-named version dir, or ``path`` itself for a pre-r13
     flat store (running maintenance recovery on both tables first —
@@ -102,7 +102,21 @@ def resolve_store_root(path: str) -> str | None:
     leaves the store unreadable until a maintenance entry point
     happens to run), or None when uninitialized. Read-only — orphan
     sweeping is writer-side (:func:`_sweep_orphans`), so a reader can
-    never delete a concurrent writer's in-progress version."""
+    never delete a concurrent writer's in-progress version.
+
+    ``version``: time-travel — read a RETAINED superseded version (a
+    name from :func:`list_versions`; updates retain them under their
+    ``keep_versions`` knob). The table-format snapshot-read analog:
+    audit yesterday's graph, or diff a batch's effect, without any
+    rebuild."""
+    if version is not None:
+        root = os.path.join(path, version)
+        if not os.path.isdir(root):
+            raise FileNotFoundError(
+                f"graph store version {version!r} not found under {path} "
+                f"(retained: {list_versions(path)})"
+            )
+        return root
     cur = os.path.join(path, _CURRENT)
     if os.path.exists(cur):
         with open(cur) as f:
@@ -115,6 +129,33 @@ def resolve_store_root(path: str) -> str | None:
     if os.path.isdir(members) and os.path.isdir(edges):
         return path
     return None
+
+
+def _seq_of(name: str) -> int:
+    try:
+        return int(name.split("-")[1])
+    except (IndexError, ValueError):
+        return -1
+
+
+def list_versions(path: str) -> list[str]:
+    """Version dir names on disk, oldest first, COMMITTED ones only
+    (committed = seq ≤ the current pointer's seq; a higher-seq dir is a
+    crashed attempt awaiting writer-side sweep)."""
+    cur = os.path.join(path, _CURRENT)
+    if not os.path.exists(cur):
+        return []
+    with open(cur) as f:
+        cur_name = f.read().strip()
+    cur_seq = _seq_of(cur_name)
+    names = [
+        os.path.basename(d)
+        for d in _glob.glob(os.path.join(path, _VPREFIX + "*"))
+    ]
+    committed = [
+        n for n in names if n == cur_name or _seq_of(n) < cur_seq
+    ]
+    return sorted(committed, key=_seq_of)
 
 
 def members_path(path: str) -> str:
@@ -131,18 +172,30 @@ def edges_path(path: str) -> str:
     return os.path.join(root, "edges")
 
 
-def _sweep_orphans(path: str) -> None:
-    """Writer-side GC: version dirs not named by ``_current`` are
-    either crash leftovers (flip never happened — their content is a
-    superseded attempt) or superseded versions a crashed GC missed."""
+def _sweep_orphans(path: str, keep_versions: int = 1) -> None:
+    """Writer-side GC. Always swept: crashed attempts (seq ≥ current's
+    with a different name — a flip that never happened). Superseded
+    COMMITTED versions (seq < current's) are kept newest-first up to
+    ``keep_versions - 1`` (hardlinked member files make retention
+    nearly free in bytes); the rest are removed."""
     cur = os.path.join(path, _CURRENT)
     live = None
     if os.path.exists(cur):
         with open(cur) as f:
             live = f.read().strip()
+    live_seq = _seq_of(live) if live else -1
+    old_committed = []
     for d in _glob.glob(os.path.join(path, _VPREFIX + "*")):
-        if os.path.basename(d) != live:
+        name = os.path.basename(d)
+        if name == live:
+            continue
+        if live is not None and _seq_of(name) < live_seq:
+            old_committed.append(d)
+        else:
             shutil.rmtree(d, ignore_errors=True)
+    old_committed.sort(key=lambda d: _seq_of(os.path.basename(d)))
+    for d in old_committed[: max(0, len(old_committed) - (keep_versions - 1))]:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def _next_version_name(path: str) -> str:
@@ -441,6 +494,7 @@ def update_graph_store(
     nbits: int = 6,
     n_tables: int = 10,
     id_col: str = "vec_id",
+    keep_versions: int = 1,
 ) -> DataFrame:
     """Apply a daily batch: merge the graph incrementally, then commit
     members-append + edges-replace as ONE atomic version flip (module
@@ -449,11 +503,20 @@ def update_graph_store(
     merge. The merged frame is materialized (localCheckpoint) BEFORE
     any write so nothing reads from a path being replaced. Returns the
     merged edge frame. A pre-r13 flat store is migrated to the
-    versioned layout by this call."""
+    versioned layout by this call.
+
+    ``keep_versions``: how many committed versions to retain (≥ 1 —
+    the new one plus ``keep_versions - 1`` predecessors). Retained
+    versions cost almost no bytes (member parquet files are hardlinked
+    across versions; only each version's edge list is unique) and are
+    readable via ``resolve_store_root(path, version=...)`` /
+    :func:`list_versions` — rollback and yesterday-vs-today audits
+    without any rebuild, the table-format snapshot-retention analog.
+    """
     root = resolve_store_root(path)
     if root is None:
         raise FileNotFoundError(f"graph store at {path} is uninitialized")
-    _sweep_orphans(path)
+    _sweep_orphans(path, keep_versions)
     members_src = os.path.join(root, "members")
 
     # Geometry guard (r12 ADVICE): the members sidecar records the
@@ -514,11 +577,12 @@ def update_graph_store(
     )
     _write_edges(merged, os.path.join(vroot, "edges"))
     _flip_current(path, vname)
-    # GC the superseded state: the old version dir, or — when this call
-    # migrated a flat store — the legacy top-level tables.
+    # GC the superseded state under the retention knob — or, when this
+    # call migrated a flat store, the legacy top-level tables (a flat
+    # store has no version identity to retain).
     if root == path:
         shutil.rmtree(members_src, ignore_errors=True)
         shutil.rmtree(os.path.join(path, "edges"), ignore_errors=True)
     else:
-        shutil.rmtree(root, ignore_errors=True)
+        _sweep_orphans(path, keep_versions)
     return merged

@@ -330,6 +330,58 @@ def test_legacy_flat_store_reads_and_migrates(spark, split, tmp_path):
     )
 
 
+def test_version_retention_and_time_travel(spark, split, tmp_path):
+    """keep_versions=2 retains the superseded version (member files
+    hardlinked — near-zero extra bytes) readable via
+    resolve_store_root(version=...): the pre-update graph must read
+    back bit-for-bit, the crashed-attempt sweep must not touch retained
+    versions, and the next keep_versions=1 update must GC down to one."""
+    import os
+
+    new, old = split
+    b1 = new.filter(F.col("vec_id") < 500)
+    b2 = new.filter(F.col("vec_id") >= 500)
+    path = str(tmp_path / "store")
+    write_graph_store(old, path, k=K, nbits=NBITS, n_tables=NT)
+    v0 = graph_store.list_versions(path)
+    assert len(v0) == 1
+    edges_before = _frame(
+        spark.read.parquet(graph_store.edges_path(path)).select(
+            "src_id", "nbr_id", "sim", "rk"
+        )
+    )
+    update_graph_store(
+        spark, path, b1, k=K, nbits=NBITS, n_tables=NT, keep_versions=2
+    )
+    vs = graph_store.list_versions(path)
+    assert len(vs) == 2 and vs[0] == v0[0]
+    # time-travel read: the retained version is the pre-update graph
+    old_root = graph_store.resolve_store_root(path, version=vs[0])
+    got_prev = _frame(
+        spark.read.parquet(os.path.join(old_root, "edges")).select(
+            "src_id", "nbr_id", "sim", "rk"
+        )
+    )
+    assert got_prev == edges_before
+    with pytest.raises(FileNotFoundError, match="not found"):
+        graph_store.resolve_store_root(path, version="v-99999999-nope")
+    # next update with the default retention collapses to one version,
+    # and the current graph still serves increments correctly
+    update_graph_store(spark, path, b2, k=K, nbits=NBITS, n_tables=NT)
+    assert len(graph_store.list_versions(path)) == 1
+    want = _frame(
+        knn_graph_multitable(
+            old.unionByName(b1).unionByName(b2), k=K, nbits=NBITS, n_tables=NT
+        )
+    )
+    got = _frame(
+        spark.read.parquet(graph_store.edges_path(path)).select(
+            "src_id", "nbr_id", "sim", "rk"
+        )
+    )
+    assert got == want
+
+
 def test_update_rejects_geometry_and_k_mismatch(spark, split, tmp_path):
     """The members sidecar records nbits/n_tables and the store root
     records k; an update replaying with different values would append

@@ -49,10 +49,29 @@ def test_parity(name, spark, duck):
 
     sdf = REGISTRY[name](spark, SF_CORRECTNESS).toPandas()
     if name not in ORACLES:
+        # Deterministic-but-not-SQL-expressible queries (the BPE token
+        # family) carry frozen canon frames instead — the same full
+        # value gate make_parity applies (check: values_pinned).
+        import json
+        import os
+
+        pin_path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "fixtures",
+            "pinned_expected_sf0.01.json",
+        )
+        with open(pin_path) as f:
+            pins = json.load(f)
+        if name in pins:
+            from gistdex_spark.parity import compare_pinned
+
+            rec = compare_pinned(sdf, pins[name])
+            assert rec["values_match"], (name, rec["first_mismatches"])
+            return
         checks = _recall_checks()
         assert name in checks, (
-            f"{name} has neither a SQL oracle nor a recall check — every "
-            "registry query needs a value-level gate"
+            f"{name} has neither a SQL oracle, a pinned frame, nor a "
+            "recall check — every registry query needs a value-level gate"
         )
         sql, floor = checks[name]
         exact = set(duck.sql(sql).df()["vec_id"])

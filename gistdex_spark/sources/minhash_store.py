@@ -145,6 +145,29 @@ def incremental_pairs_stored(
     ``minhash_lsh_pairs(old ∪ new)``, with the old side's signatures
     read (never re-shingled) and the scan pre-filtered to the batch's
     observed band values."""
+    return _new_old_pairs(
+        spark, path, new, content_col, num_hashes, bands, n, threshold,
+        id_col,
+    ).select(
+        F.least("new_id", "old_id").alias("doc_id_a"),
+        F.greatest("new_id", "old_id").alias("doc_id_b"),
+        "est_jaccard",
+    )
+
+
+def _new_old_pairs(
+    spark: SparkSession,
+    path: str,
+    new: DataFrame,
+    content_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 5,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Directed form (new_id, old_id, est_jaccard) — the streaming
+    admission filter needs to know which BATCH document matched."""
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
     _validated_geometry(path, num_hashes, bands, n)
@@ -238,11 +261,7 @@ def incremental_pairs_stored(
         nw.join(o, ["band_idx", "band_val"])
         .withColumn("est_jaccard", est)
         .filter((F.col("est_jaccard") >= threshold) & first_band)
-        .select(
-            F.least("new_id", "old_id").alias("doc_id_a"),
-            F.greatest("new_id", "old_id").alias("doc_id_b"),
-            "est_jaccard",
-        )
+        .select("new_id", "old_id", "est_jaccard")
     )
 
 
@@ -274,3 +293,37 @@ def incremental_pairs_full(
         n=n, threshold=threshold,
     )
     return no.unionByName(nn)
+
+
+def update_minhash_store(
+    spark: SparkSession,
+    path: str,
+    new: DataFrame,
+    content_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 5,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a daily batch: compute :func:`incremental_pairs_full`
+    (materialized BEFORE the store changes), then append the batch's
+    signatures — with the batch anti-joined against the ids already in
+    the store first, so an at-least-once REPLAY cannot append duplicate
+    signature rows (duplicated members would make every later probe
+    emit duplicate pairs; the id-only guard scan is a narrow column
+    read). Returns the pair frame. Caller contract matches the other
+    stores: re-ingesting an id is an upsert the caller routes through
+    delete first."""
+    pairs = incremental_pairs_full(
+        spark, path, new, content_col=content_col, num_hashes=num_hashes,
+        bands=bands, n=n, threshold=threshold, id_col=id_col,
+    ).localCheckpoint(eager=True)
+    existing = spark.read.parquet(path).select(id_col)
+    fresh = new.join(existing, new["doc_id"] == existing[id_col], "left_anti")
+    if fresh.head(1):
+        write_minhash_store(
+            fresh, path, content_col=content_col, id_col=id_col,
+            num_hashes=num_hashes, bands=bands, n=n, mode="append",
+        )
+    return pairs

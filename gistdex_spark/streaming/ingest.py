@@ -123,6 +123,40 @@ def stream_neardup_filter_stored(
     )
 
 
+def stream_neardup_filter_minhash_stored(
+    docs: DataFrame,
+    store_path: str,
+    out_path: str,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 5,
+    checkpoint_dir: str | None = None,
+    query_name: str = "stream_neardup_filter_minhash_stored",
+):
+    """:func:`stream_neardup_filter_stored` for the MinHash/Jaccard
+    family: each micro-batch probes a ``sources/minhash_store``
+    signature store (band-prefix partition pruning + pushed band
+    filters; the corpus text is never re-shingled) and only documents
+    with NO stored near-dup at ``est_jaccard ≥ threshold`` are
+    admitted. Decisions are identical to recomputing both sides by the
+    store's frame-equality contract (tests/test_minhash_store.py);
+    within-batch self-duplicates are left to the offline pass, the
+    band_store admission design verbatim."""
+    from gistdex_spark.sources.minhash_store import _new_old_pairs
+
+    return _neardup_admission(
+        docs,
+        lambda batch: _new_old_pairs(
+            batch.sparkSession, store_path, batch,
+            num_hashes=num_hashes, bands=bands, n=n, threshold=threshold,
+        ),
+        out_path,
+        checkpoint_dir,
+        query_name,
+    )
+
+
 def _neardup_admission(
     docs: DataFrame,
     pairs_of_batch,

@@ -115,6 +115,96 @@ def test_geometry_guards(spark, split, store_path, tmp_path):
         write_minhash_store(new, str(tmp_path / "bad"), num_hashes=10, bands=4)
 
 
+def test_update_applies_batch_and_replay_is_idempotent(
+    spark, split, tmp_path_factory
+):
+    """update_minhash_store returns the incremental pair frame and
+    appends the batch's signatures; REPLAYING the same batch (the
+    at-least-once redelivery case) must not append duplicate signature
+    rows — duplicated members would make every later probe emit
+    duplicate pairs."""
+    from gistdex_spark.sources.minhash_store import update_minhash_store
+
+    new, old = split
+    b1 = new.filter(F.col("doc_id") < 250)
+    b2 = new.filter(F.col("doc_id") >= 250)
+    path = str(tmp_path_factory.mktemp("minhash_upd") / "store")
+    write_minhash_store(old, path)
+    update_minhash_store(spark, path, b1, threshold=TH)
+    n_rows = spark.read.parquet(path).count()
+    # replay: same batch again — no new signature rows
+    update_minhash_store(spark, path, b1, threshold=TH)
+    assert spark.read.parquet(path).count() == n_rows
+    # the next batch's pairs against the grown store stay exact
+    want = _frame(
+        minhash_lsh_pairs(
+            old.unionByName(b1).unionByName(b2), threshold=TH
+        )
+    )
+    base = _frame(minhash_lsh_pairs(old.unionByName(b1), threshold=TH))
+    incr = _frame(incremental_pairs_full(spark, path, b2, threshold=TH))
+    assert sorted(base + incr) == want
+
+
+def test_streaming_admission_matches_batch_decision(spark, tmp_path):
+    """The streaming mirror: micro-batches filtered through
+    stream_neardup_filter_minhash_stored must admit exactly the
+    documents with no stored near-dup at the threshold — the batch
+    operator's decision, with the corpus side read from signatures."""
+    import json as _json
+    import os
+
+    from gistdex_spark.streaming.ingest import (
+        stream_neardup_filter_minhash_stored,
+    )
+
+    static_docs = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog " * 10),
+            (101, "pack my box with five dozen liquor jugs today " * 10),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    store = str(tmp_path / "mh_store")
+    write_minhash_store(static_docs, store)
+
+    incoming = [
+        (1, "the quick brown fox jumps over the lazy dog " * 10 + "x"),
+        (2, "completely different content about spark streaming " * 10),
+        (3, "pack my box with five dozen liquor jugs today " * 10 + "y"),
+    ]
+    src = str(tmp_path / "mh_src")
+    os.makedirs(src, exist_ok=True)
+    with open(f"{src}/b0.json", "w") as f:
+        for i, t in incoming:
+            f.write(_json.dumps({"doc_id": i, "text": t}) + "\n")
+    stream = spark.readStream.schema("doc_id BIGINT, text STRING").json(src)
+    out = str(tmp_path / "mh_out")
+    q = stream_neardup_filter_minhash_stored(
+        stream, store, out, threshold=TH,
+        checkpoint_dir=str(tmp_path / "mh_ckpt"),
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+
+    batch = spark.createDataFrame(incoming, "doc_id BIGINT, text STRING")
+    rejected = {
+        r.doc_id_a
+        for r in incremental_pairs_stored(
+            spark, store, batch, threshold=TH
+        ).collect()
+        if r.doc_id_a in {1, 2, 3}
+    } | {
+        r.doc_id_b
+        for r in incremental_pairs_stored(
+            spark, store, batch, threshold=TH
+        ).collect()
+        if r.doc_id_b in {1, 2, 3}
+    }
+    assert got == {i for i, _ in incoming} - rejected
+    assert 2 in got  # the novel doc was admitted
+
+
 def test_append_then_probe_still_exact(spark, split, tmp_path_factory):
     """Growing the store by appending a batch (signatures only) must
     leave the next batch's incremental frame equal to the batch rebuild

@@ -219,6 +219,9 @@ BENCH_QUERIES = [
     "token_count_bpe",
     "sequence_packing_stats_bpe",
     "shard_manifest_census",
+    # MinHash benchmark decontamination: banded cross join, the scale
+    # shape of the hygiene pass (never a corpus×corpus product).
+    "eval_decontaminate_minhash",
 ]
 
 

@@ -241,6 +241,73 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_pairs_between(
+    new: DataFrame,
+    old: DataFrame,
+    content_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """(new_id, old_id, est_jaccard): CROSS near-dup pairs between two
+    corpora — the MinHash sibling of :func:`simhash_pairs_between`, and
+    the engine under benchmark DECONTAMINATION (flag training documents
+    whose estimated Jaccard against any eval/benchmark document clears
+    the threshold — the standard pretraining hygiene pass alongside the
+    n-gram form in `contamination_4gram`).
+
+    Shape: both sides band with :func:`minhash_band_keys` (the shared
+    expression — this operator, the batch self-pairs, and the at-rest
+    store cannot drift), the banded equality join enumerates agreeing
+    cross pairs only (never new×new or old×old), the first-agreeing-band
+    predicate emits each pair exactly once, and the threshold compares
+    the ROUNDED signature-agreement estimate exactly as the oracle
+    replays it. Map-only signatures + one equality exchange per side.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    rpb = num_hashes // bands
+
+    def side(df: DataFrame, id_alias: str, sig_alias: str) -> DataFrame:
+        return (
+            minhash_signatures(df, content_col, num_hashes, n)
+            .select(
+                "doc_id", "sig", *minhash_band_keys("sig", num_hashes, bands)
+            )
+            .select(
+                F.col("doc_id").alias(id_alias),
+                F.col("sig").alias(sig_alias),
+                F.posexplode(
+                    F.array(*[F.col(f"band{b}") for b in range(bands)])
+                ).alias("band_idx", "band_val"),
+            )
+        )
+
+    nw = side(new, "new_id", "sig_n")
+    o = side(old, "old_id", "sig_o")
+    first_band = F.expr(
+        f"band_idx = 0 or not exists(sequence(0, band_idx - 1), b -> "
+        f"forall(sequence(0, {rpb - 1}), r -> "
+        f"sig_n[b * {rpb} + r] = sig_o[b * {rpb} + r]))"
+    )
+    est = F.round(
+        F.size(
+            F.filter(
+                F.zip_with("sig_n", "sig_o", lambda x, y: x == y), lambda t: t
+            )
+        ).cast("double")
+        / F.lit(float(num_hashes)),
+        ROUND,
+    )
+    return (
+        nw.join(o, ["band_idx", "band_val"])
+        .withColumn("est_jaccard", est)
+        .filter((F.col("est_jaccard") >= threshold) & first_band)
+        .select("new_id", "old_id", "est_jaccard")
+    )
+
+
 def dedup_exact(df: DataFrame, content_col: str = "text") -> DataFrame:
     """Exact dedup by normalized-content fingerprint; survivor = min doc_id."""
     fp = fingerprint(df, content_col)

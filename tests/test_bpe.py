@@ -100,6 +100,43 @@ def test_fixture_is_regenerable_and_not_saturated():
     assert bpe > ws * 1.2, "fixture saturated: BPE ~= whitespace counts"
 
 
+def test_bpe_properties_hypothesis():
+    """Property pins for the tokenizer algebra: (1) apply is a fixpoint
+    — re-applying the merges to a tokenization's concatenation changes
+    nothing (greedy merging terminates at a stable form); (2) token
+    counts are additive over whitespace concatenation (documents
+    tokenize word-by-word, so packing/shard arithmetic can sum per-doc
+    counts); (3) the tokens always reassemble the word exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    merges = load_merges(FIXTURE)
+    ranks = _ranks(merges)
+    words = st.text(
+        alphabet=st.characters(whitelist_categories=("Ll",), max_codepoint=0x7F),
+        min_size=1, max_size=12,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(words, min_size=0, max_size=8))
+    def check(ws):
+        text = " ".join(ws)
+        # additivity over concatenation
+        assert token_count(text, ranks) == sum(
+            token_count(w, ranks) for w in ws
+        )
+        for w in ws:
+            toks = apply_bpe(w, ranks)
+            # reassembly: strip the EOW marker, concat == word
+            assert "".join(toks).replace(EOW, "") == w
+            # fixpoint: each emitted token is stable under re-apply
+            for t_i in range(len(toks) - 1):
+                r = ranks.get((toks[t_i], toks[t_i + 1]))
+                assert r is None, (w, toks, t_i)
+
+    check()
+
+
 def test_udf_equals_driver_reference(spark):
     from gistdex_spark.sources.tables import load_table
 

@@ -97,6 +97,7 @@ HEAVY = [
     "token_count_bpe",
     "sequence_packing_stats_bpe",
     "shard_manifest_census",
+    "eval_decontaminate_minhash",
 ]
 
 

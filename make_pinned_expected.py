@@ -4,12 +4,18 @@ registry queries (fixtures/pinned_expected_{sfname}.json).
 
 The r12 pattern (make_ann_expected.py for the trained-ANN trio),
 generalized: any query whose semantics are bit-deterministic but have
-no tractable DuckDB replay — currently the BPE-token family, whose
-value is an iterative merge loop over the frozen
-fixtures/bpe_merges.json table — gets a frozen canon frame per SF, and
+no tractable DuckDB replay — gets a frozen canon frame per SF, and
 make_parity compares live frames against it at full value level
-(check: values_pinned). Regenerating is an intentional, diff-visible
-act; do it ONLY when the tokenizer fixture or query semantics change:
+(check: values_pinned).
+
+Round 14: the BPE-token family gained REAL DuckDB oracles (the merge
+loop's output factors through the frozen word -> n_tokens dictionary,
+fixtures/bpe_word_tokens.json via make_bpe_dict.py — see
+queries._bpe_oracle_base), so make_parity and the driver now verify
+them through the ORACLES path; these pins remain as a SECONDARY
+bit-determinism gate (tests/test_bpe.py::test_pinned_frames_roundtrip).
+Regenerating is an intentional, diff-visible act; do it ONLY when the
+tokenizer fixture or query semantics change:
 
   python make_pinned_expected.py /root/testdata/sf0.01
   python make_pinned_expected.py /root/testdata/sf0.1

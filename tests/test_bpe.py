@@ -191,3 +191,39 @@ def test_packing_bpe_unit_actually_differs(spark):
     }
     assert set(ws) == set(bpe)
     assert all(bpe[s] > ws[s] for s in ws)
+
+
+def test_word_token_dictionary_fixture(duck):
+    """fixtures/bpe_word_tokens.json (make_bpe_dict.py) — the frozen
+    unit table behind the BPE queries' REAL DuckDB oracles — must (a)
+    be tied to the current merges fixture by checksum, (b) agree with
+    the reference apply loop for every word, and (c) cover every
+    distinct word the sf0.01 corpus tokenizes to, so the oracles'
+    strict inner join can never silently drop tokens."""
+    import hashlib
+
+    from gistdex_spark.functions.text import sql_tokens
+
+    dict_path = os.path.join(
+        os.path.dirname(FIXTURE), "bpe_word_tokens.json"
+    )
+    with open(dict_path) as f:
+        fx = json.load(f)
+    with open(FIXTURE, "rb") as f:
+        assert fx["merges_md5"] == hashlib.md5(f.read()).hexdigest(), (
+            "bpe_word_tokens.json is stale vs bpe_merges.json — rerun "
+            "make_bpe_dict.py"
+        )
+    ranks = _ranks(load_merges(FIXTURE))
+    wt = fx["word_tokens"]
+    for w, n in wt.items():
+        assert n == len(apply_bpe(w, ranks)), w
+    corpus_words = {
+        r[0]
+        for r in duck.sql(
+            f"SELECT DISTINCT unnest({sql_tokens('text')}) FROM documents"
+        ).fetchall()
+        if r[0]
+    }
+    missing = corpus_words - set(wt)
+    assert not missing, f"corpus words missing from dictionary: {missing}"

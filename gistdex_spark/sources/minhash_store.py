@@ -78,6 +78,18 @@ def _p0(band0_col):
     return F.substring(band0_col, 1, 2)
 
 
+def _with_doc_id(df: DataFrame, id_col: str) -> DataFrame:
+    """Normalize the caller's id column to the ``doc_id`` name
+    :func:`~gistdex_spark.operators.dedup.minhash_signatures` consumes —
+    the one place ``id_col`` is translated, so every public entry point
+    honors the knob identically (r13 ADVICE: the replay guard hardcoded
+    ``doc_id`` while write/probe renamed, so a non-default ``id_col``
+    batch hit an AnalysisException mid-update)."""
+    if id_col == "doc_id":
+        return df
+    return df.withColumnRenamed(id_col, "doc_id")
+
+
 def write_minhash_store(
     docs: DataFrame,
     path: str,
@@ -101,7 +113,9 @@ def write_minhash_store(
                 f"minhash_store geometry mismatch on append: store has "
                 f"{existing}, batch writes {facts}"
             )
-    sig = minhash_signatures(docs, content_col, num_hashes, n)
+    sig = minhash_signatures(
+        _with_doc_id(docs, id_col), content_col, num_hashes, n
+    )
     if id_col != "doc_id":
         sig = sig.select(F.col("doc_id").alias(id_col), "sig")
     banded = sig.select(
@@ -174,7 +188,7 @@ def _new_old_pairs(
     rpb = num_hashes // bands
 
     new_sig = (
-        minhash_signatures(new, content_col, num_hashes, n)
+        minhash_signatures(_with_doc_id(new, id_col), content_col, num_hashes, n)
         .select("doc_id", "sig", *minhash_band_keys("sig", num_hashes, bands))
         .localCheckpoint(eager=True)
     )
@@ -289,8 +303,8 @@ def incremental_pairs_full(
         bands=bands, n=n, threshold=threshold, id_col=id_col,
     )
     nn = minhash_lsh_pairs(
-        new, content_col=content_col, num_hashes=num_hashes, bands=bands,
-        n=n, threshold=threshold,
+        _with_doc_id(new, id_col), content_col=content_col,
+        num_hashes=num_hashes, bands=bands, n=n, threshold=threshold,
     )
     return no.unionByName(nn)
 
@@ -306,21 +320,34 @@ def update_minhash_store(
     threshold: float = 0.5,
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Apply a daily batch: compute :func:`incremental_pairs_full`
-    (materialized BEFORE the store changes), then append the batch's
-    signatures — with the batch anti-joined against the ids already in
-    the store first, so an at-least-once REPLAY cannot append duplicate
-    signature rows (duplicated members would make every later probe
-    emit duplicate pairs; the id-only guard scan is a narrow column
-    read). Returns the pair frame. Caller contract matches the other
-    stores: re-ingesting an id is an upsert the caller routes through
-    delete first."""
+    """Apply a daily batch: anti-join the batch against the ids already
+    in the store FIRST (narrow column read), compute
+    :func:`incremental_pairs_full` on the FRESH slice only
+    (materialized before the store changes), then append the fresh
+    signatures. Returns the pair frame.
+
+    The guard runs before the pair computation (r13 ADVICE medium): an
+    at-least-once REPLAY of an applied batch therefore returns an EMPTY
+    pair frame and appends nothing — replaying must not re-emit
+    yesterday's new×old pairs, and must never join a replayed document
+    against its own stored signature (a self-pair at est_jaccard 1.0),
+    or the 'yesterday's pair set + this frame = today's full set'
+    accumulation contract breaks. A partially-replayed batch (some ids
+    stored, some genuinely new) contributes exactly the fresh slice's
+    pairs: fresh×stored via the probe (which includes fresh×replayed —
+    those ARE stored), fresh×fresh via the batch operator. Caller
+    contract matches the other stores: re-ingesting an id is an upsert
+    the caller routes through delete first."""
+    stored_ids = spark.read.parquet(path).select(
+        F.col(id_col).alias("__stored_id")
+    )
+    fresh = new.join(
+        stored_ids, F.col(id_col) == F.col("__stored_id"), "left_anti"
+    )
     pairs = incremental_pairs_full(
-        spark, path, new, content_col=content_col, num_hashes=num_hashes,
+        spark, path, fresh, content_col=content_col, num_hashes=num_hashes,
         bands=bands, n=n, threshold=threshold, id_col=id_col,
     ).localCheckpoint(eager=True)
-    existing = spark.read.parquet(path).select(id_col)
-    fresh = new.join(existing, new["doc_id"] == existing[id_col], "left_anti")
     if fresh.head(1):
         write_minhash_store(
             fresh, path, content_col=content_col, id_col=id_col,

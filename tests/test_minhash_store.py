@@ -130,10 +130,17 @@ def test_update_applies_batch_and_replay_is_idempotent(
     b2 = new.filter(F.col("doc_id") >= 250)
     path = str(tmp_path_factory.mktemp("minhash_upd") / "store")
     write_minhash_store(old, path)
-    update_minhash_store(spark, path, b1, threshold=TH)
+    first = _frame(update_minhash_store(spark, path, b1, threshold=TH))
+    # the first application's returned frame IS the incremental frame
+    assert len(first) > 0
     n_rows = spark.read.parquet(path).count()
-    # replay: same batch again — no new signature rows
-    update_minhash_store(spark, path, b1, threshold=TH)
+    # replay: same batch again — no new signature rows AND an EMPTY
+    # returned pair frame (r13 ADVICE medium: the old code computed
+    # pairs before the id guard, so a replay returned self-pairs at
+    # est_jaccard 1.0 plus a re-emission of yesterday's new×old pairs,
+    # breaking the accumulation contract)
+    replay = _frame(update_minhash_store(spark, path, b1, threshold=TH))
+    assert replay == []
     assert spark.read.parquet(path).count() == n_rows
     # the next batch's pairs against the grown store stay exact
     want = _frame(
@@ -223,3 +230,64 @@ def test_append_then_probe_still_exact(spark, split, tmp_path_factory):
     base = _frame(minhash_lsh_pairs(old.unionByName(b1), threshold=TH))
     incr = _frame(incremental_pairs_full(spark, path, b2, threshold=TH))
     assert sorted(base + incr) == want
+
+
+def test_partial_replay_contributes_only_fresh_slice(
+    spark, split, tmp_path_factory
+):
+    """A batch mixing replayed (already-stored) ids with genuinely new
+    ones must contribute exactly the fresh slice's pairs — fresh×stored
+    (including fresh×replayed: those ARE stored) plus fresh×fresh — and
+    append only the fresh signatures. Accumulation stays frame-equal to
+    the batch rebuild."""
+    from gistdex_spark.sources.minhash_store import update_minhash_store
+
+    new, old = split
+    b1 = new.filter(F.col("doc_id") < 250)
+    b2 = new.filter(F.col("doc_id") >= 250)
+    path = str(tmp_path_factory.mktemp("minhash_partial") / "store")
+    write_minhash_store(old, path)
+    acc = _frame(minhash_lsh_pairs(old, threshold=TH))
+    acc += _frame(update_minhash_store(spark, path, b1, threshold=TH))
+    # partial replay: b1 (stored) ∪ b2 (fresh) in one batch
+    mixed = b1.unionByName(b2)
+    got = _frame(update_minhash_store(spark, path, mixed, threshold=TH))
+    b1_ids = {r[0] for r in b1.select("doc_id").collect()}
+    # no returned pair may be a self-pair or lie entirely inside b1
+    assert all(a != b for a, b, _ in got)
+    assert not [p for p in got if p[0] in b1_ids and p[1] in b1_ids]
+    acc += got
+    want = _frame(
+        minhash_lsh_pairs(old.unionByName(b1).unionByName(b2), threshold=TH)
+    )
+    assert sorted(acc) == want
+    # store rows: old + b1 + b2, each exactly once
+    n_docs = old.count() + b1.count() + b2.count()
+    assert spark.read.parquet(path).count() == n_docs
+
+
+def test_id_col_honored_end_to_end(spark, split, tmp_path_factory):
+    """id_col != 'doc_id' must work through write, probe, full, and
+    update (r13 ADVICE low: the replay guard hardcoded doc_id while the
+    other paths renamed, so this exact call raised AnalysisException).
+    The pair frames must be value-identical to the doc_id-shaped run."""
+    from gistdex_spark.sources.minhash_store import update_minhash_store
+
+    new, old = split
+    b1 = new.filter(F.col("doc_id") < 250)
+    old_r = old.withColumnRenamed("doc_id", "item_id")
+    b1_r = b1.withColumnRenamed("doc_id", "item_id")
+    path = str(tmp_path_factory.mktemp("minhash_idcol") / "store")
+    write_minhash_store(old_r, path, id_col="item_id")
+    assert "item_id" in spark.read.parquet(path).columns
+    got = _frame(
+        update_minhash_store(spark, path, b1_r, threshold=TH, id_col="item_id")
+    )
+    path_d = str(tmp_path_factory.mktemp("minhash_idcol_d") / "store")
+    write_minhash_store(old, path_d)
+    want = _frame(update_minhash_store(spark, path_d, b1, threshold=TH))
+    assert got == want and len(got) > 0
+    # replay under the custom id column is also a no-op
+    assert _frame(
+        update_minhash_store(spark, path, b1_r, threshold=TH, id_col="item_id")
+    ) == []

@@ -105,18 +105,21 @@ def resolve_store_root(path: str, version: str | None = None) -> str | None:
     never delete a concurrent writer's in-progress version.
 
     ``version``: time-travel — read a RETAINED superseded version (a
-    name from :func:`list_versions`; updates retain them under their
-    ``keep_versions`` knob). The table-format snapshot-read analog:
-    audit yesterday's graph, or diff a batch's effect, without any
-    rebuild."""
+    name from :func:`list_versions`; updates retain them under the
+    store's ``keep_versions`` policy). The table-format snapshot-read
+    analog: audit yesterday's graph, or diff a batch's effect, without
+    any rebuild. Validated against the COMMITTED set (r13 ADVICE): a
+    crashed uncommitted attempt's dir (seq ≥ current, never flipped)
+    exists on disk but holds a partially written members/edges tree —
+    time-traveling into it must raise, not read garbage."""
     if version is not None:
-        root = os.path.join(path, version)
-        if not os.path.isdir(root):
+        committed = list_versions(path)
+        if version not in committed:
             raise FileNotFoundError(
-                f"graph store version {version!r} not found under {path} "
-                f"(retained: {list_versions(path)})"
+                f"graph store version {version!r} is not a committed "
+                f"version of {path} (committed: {committed})"
             )
-        return root
+        return os.path.join(path, version)
     cur = os.path.join(path, _CURRENT)
     if os.path.exists(cur):
         with open(cur) as f:
@@ -251,12 +254,20 @@ def write_graph_store(
     nbits: int = 6,
     n_tables: int = 10,
     id_col: str = "vec_id",
+    keep_versions: int = 1,
 ) -> None:
     """Bootstrap: members (lsh_store layout, partitioned by b0) + the
     batch multitable edge list, written under a fresh version dir and
     committed by the pointer flip — a crash mid-bootstrap leaves the
     store uninitialized (never half-written), so a streaming replay
-    simply bootstraps again."""
+    simply bootstraps again.
+
+    ``keep_versions`` is recorded in the store-level sidecar as the
+    STORE's retention policy (r13 ADVICE: retention is a property of
+    the audit/rollback contract, not of whichever call happens to run
+    — a routine default update must not silently sweep versions a
+    ``keep_versions=N`` writer retained); later updates honor it
+    unless they explicitly override."""
     os.makedirs(path, exist_ok=True)
     _sweep_orphans(path)
     vname = _next_version_name(path)
@@ -272,9 +283,10 @@ def write_graph_store(
     # Store-level sidecar: k is part of the stored state's meaning (the
     # edge list is top-k-truncated), so updates must replay with the
     # same k — the members sidecar already records nbits/n_tables.
+    # keep_versions is the store's retention policy (see docstring).
     from gistdex_spark.sources.store_meta import write_store_meta
 
-    write_store_meta(path, k=k)
+    write_store_meta(path, k=k, keep_versions=int(keep_versions))
     _flip_current(path, vname)
 
 
@@ -494,7 +506,7 @@ def update_graph_store(
     nbits: int = 6,
     n_tables: int = 10,
     id_col: str = "vec_id",
-    keep_versions: int = 1,
+    keep_versions: int | None = None,
 ) -> DataFrame:
     """Apply a daily batch: merge the graph incrementally, then commit
     members-append + edges-replace as ONE atomic version flip (module
@@ -506,16 +518,37 @@ def update_graph_store(
     versioned layout by this call.
 
     ``keep_versions``: how many committed versions to retain (≥ 1 —
-    the new one plus ``keep_versions - 1`` predecessors). Retained
-    versions cost almost no bytes (member parquet files are hardlinked
-    across versions; only each version's edge list is unique) and are
-    readable via ``resolve_store_root(path, version=...)`` /
-    :func:`list_versions` — rollback and yesterday-vs-today audits
-    without any rebuild, the table-format snapshot-retention analog.
+    the new one plus ``keep_versions - 1`` predecessors). The policy is
+    a STORE property recorded in the ``_meta.json`` sidecar (r13
+    ADVICE: the r13 form applied each CALL's value, so a routine
+    default update silently deleted versions a previous
+    ``keep_versions=N`` call had retained — surprising for an
+    audit/rollback feature): ``None`` (the default) honors the stored
+    policy (1 for stores that predate it); an explicit value both
+    applies and PERSISTS the new policy. Retained versions cost almost
+    no bytes (member parquet files are hardlinked across versions; only
+    each version's edge list is unique) and are readable via
+    ``resolve_store_root(path, version=...)`` / :func:`list_versions`
+    — rollback and yesterday-vs-today audits without any rebuild, the
+    table-format snapshot-retention analog.
     """
     root = resolve_store_root(path)
     if root is None:
         raise FileNotFoundError(f"graph store at {path} is uninitialized")
+    from gistdex_spark.sources.store_meta import (  # noqa: PLC0415
+        read_store_meta,
+        write_store_meta,
+    )
+
+    root_meta = read_store_meta(path)
+    if keep_versions is None:
+        keep_versions = int((root_meta or {}).get("keep_versions", 1))
+    elif (root_meta or {}).get("keep_versions") != int(keep_versions):
+        keep_versions = int(keep_versions)
+        write_store_meta(
+            path, **{**(root_meta or {}), "keep_versions": keep_versions}
+        )
+        root_meta = read_store_meta(path)
     _sweep_orphans(path, keep_versions)
     members_src = os.path.join(root, "members")
 
@@ -524,8 +557,6 @@ def update_graph_store(
     # would append members with incompatible bucket columns and merge
     # against wrong probes. Pre-sidecar stores fall back to the
     # caller's values (the only record there is).
-    from gistdex_spark.sources.store_meta import read_store_meta
-
     meta = read_store_meta(members_src)
     if meta is not None and (
         meta.get("nbits") != nbits or meta.get("n_tables") != n_tables
@@ -535,8 +566,9 @@ def update_graph_store(
             f"{meta.get('nbits')}, n_tables={meta.get('n_tables')}; "
             f"caller passed nbits={nbits}, n_tables={n_tables}"
         )
-    root_meta = read_store_meta(path)
-    if root_meta is not None and root_meta.get("k") != k:
+    # Presence-checked: a sidecar created by a retention-policy update
+    # on a pre-r13 store records keep_versions without k.
+    if root_meta is not None and "k" in root_meta and root_meta["k"] != k:
         raise ValueError(
             f"graph store k mismatch: stored edges are top-"
             f"{root_meta.get('k')} truncated; caller passed k={k}"

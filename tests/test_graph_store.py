@@ -335,14 +335,21 @@ def test_version_retention_and_time_travel(spark, split, tmp_path):
     hardlinked — near-zero extra bytes) readable via
     resolve_store_root(version=...): the pre-update graph must read
     back bit-for-bit, the crashed-attempt sweep must not touch retained
-    versions, and the next keep_versions=1 update must GC down to one."""
+    versions, and — r14 — retention is a STORE policy: an explicit
+    keep_versions persists in the sidecar, a later DEFAULT update
+    honors it instead of silently sweeping to 1, and an explicit
+    keep_versions=1 collapses (and persists) again."""
     import os
 
+    from gistdex_spark.sources.store_meta import read_store_meta
+
     new, old = split
-    b1 = new.filter(F.col("vec_id") < 500)
-    b2 = new.filter(F.col("vec_id") >= 500)
+    b1 = new.filter(F.col("vec_id") < 400)
+    b2 = new.filter((F.col("vec_id") >= 400) & (F.col("vec_id") < 700))
+    b3 = new.filter(F.col("vec_id") >= 700)
     path = str(tmp_path / "store")
     write_graph_store(old, path, k=K, nbits=NBITS, n_tables=NT)
+    assert read_store_meta(path).get("keep_versions") == 1
     v0 = graph_store.list_versions(path)
     assert len(v0) == 1
     edges_before = _frame(
@@ -353,6 +360,8 @@ def test_version_retention_and_time_travel(spark, split, tmp_path):
     update_graph_store(
         spark, path, b1, k=K, nbits=NBITS, n_tables=NT, keep_versions=2
     )
+    # the explicit override persisted as the store's policy
+    assert read_store_meta(path).get("keep_versions") == 2
     vs = graph_store.list_versions(path)
     assert len(vs) == 2 and vs[0] == v0[0]
     # time-travel read: the retained version is the pre-update graph
@@ -363,15 +372,22 @@ def test_version_retention_and_time_travel(spark, split, tmp_path):
         )
     )
     assert got_prev == edges_before
-    with pytest.raises(FileNotFoundError, match="not found"):
+    with pytest.raises(FileNotFoundError, match="not a committed"):
         graph_store.resolve_store_root(path, version="v-99999999-nope")
-    # next update with the default retention collapses to one version,
-    # and the current graph still serves increments correctly
+    # a routine DEFAULT update honors the stored policy — 2 versions
+    # survive (the r13 form would have swept to 1 here)
     update_graph_store(spark, path, b2, k=K, nbits=NBITS, n_tables=NT)
+    assert len(graph_store.list_versions(path)) == 2
+    # explicit keep_versions=1 collapses and persists
+    update_graph_store(
+        spark, path, b3, k=K, nbits=NBITS, n_tables=NT, keep_versions=1
+    )
     assert len(graph_store.list_versions(path)) == 1
+    assert read_store_meta(path).get("keep_versions") == 1
     want = _frame(
         knn_graph_multitable(
-            old.unionByName(b1).unionByName(b2), k=K, nbits=NBITS, n_tables=NT
+            old.unionByName(b1).unionByName(b2).unionByName(b3),
+            k=K, nbits=NBITS, n_tables=NT,
         )
     )
     got = _frame(
@@ -441,3 +457,26 @@ def test_members_compaction_preserves_layout_and_increments(
         )
     )
     assert got == want
+
+
+def test_time_travel_rejects_uncommitted_attempt(spark, split, tmp_path):
+    """A crashed attempt's version dir (seq ≥ current, pointer never
+    flipped) exists on disk with a partially written tree;
+    resolve_store_root(version=...) must refuse it — list_versions
+    already excludes it, and time travel must honor the same committed
+    set (r13 ADVICE)."""
+    import os
+
+    new, old = split
+    path = str(tmp_path / "store")
+    write_graph_store(old, path, k=K, nbits=NBITS, n_tables=NT)
+    cur = graph_store.list_versions(path)[0]
+    crashed = f"v-{graph_store._seq_of(cur) + 1:08d}-deadbeef"
+    os.makedirs(os.path.join(path, crashed, "members"), exist_ok=True)
+    assert crashed not in graph_store.list_versions(path)
+    with pytest.raises(FileNotFoundError, match="not a committed"):
+        graph_store.resolve_store_root(path, version=crashed)
+    # the committed current version still resolves by name
+    assert graph_store.resolve_store_root(path, version=cur) == os.path.join(
+        path, cur
+    )

@@ -222,6 +222,12 @@ BENCH_QUERIES = [
     # MinHash benchmark decontamination: banded cross join, the scale
     # shape of the hygiene pass (never a corpus×corpus product).
     "eval_decontaminate_minhash",
+    # Round 14: the BPE unit threaded through the per-token operators
+    # (subword unigram log-prob, subword vocab coverage, subword OOV)
+    # — UDF + explode + the whitespace forms' exchange shapes.
+    "unigram_logprob_bpe",
+    "vocab_coverage_bpe",
+    "oov_rate_bpe",
 ]
 
 

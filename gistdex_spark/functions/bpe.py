@@ -168,6 +168,60 @@ def token_count(text: str | None, ranks) -> int:
     return n
 
 
+def tokenize(text: str | None, ranks) -> list[str]:
+    """Driver-side reference: the document's full BPE token sequence
+    (concatenation of each word's merge-loop output, in word order) —
+    the per-TOKEN analog of :func:`token_count`, for operators that
+    need the subword stream itself (unigram log-prob, vocab coverage,
+    OOV) rather than per-document totals."""
+    if isinstance(ranks, list):
+        ranks = _ranks(ranks)
+    memo: dict[str, list[str]] = {}
+    out: list[str] = []
+    for w in pretokenize(text):
+        toks = memo.get(w)
+        if toks is None:
+            toks = apply_bpe(w, ranks)
+            memo[w] = toks
+        out.extend(toks)
+    return out
+
+
+def bpe_tokens_udf(merges: list[list[str]]):
+    """Arrow-batched pandas UDF: the BPE token ARRAY per document —
+    same closure/memo shape as :func:`bpe_token_count_udf`, returning
+    the sequence instead of its length. Map-only; the downstream
+    explode is the same shape as the whitespace-token explodes the
+    registry already carries."""
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    frozen = [tuple(m) for m in merges]
+
+    @pandas_udf("array<string>")
+    def _toks(texts: pd.Series) -> pd.Series:
+        ranks = {p: i for i, p in enumerate(frozen)}
+        memo: dict[str, list[str]] = {}
+
+        def one(t) -> list[str]:
+            out: list[str] = []
+            for w in pretokenize(t):
+                toks = memo.get(w)
+                if toks is None:
+                    toks = apply_bpe(w, ranks)
+                    memo[w] = toks
+                out.extend(toks)
+            return out
+
+        return texts.map(one)
+
+    return _toks
+
+
+def bpe_tokens(col: Column | str, merges: list[list[str]]) -> Column:
+    col = F.col(col) if isinstance(col, str) else col
+    return bpe_tokens_udf(merges)(col)
+
+
 def bpe_token_count_udf(merges: list[list[str]]):
     """Arrow-batched pandas UDF: BPE token count per document. The
     ranks table is rebuilt lazily on each executor from the closure's

@@ -305,6 +305,7 @@ def build_vocab(
     df: DataFrame,
     text_col: str = "text",
     top_k: int = 20,
+    tokens_col=None,
 ) -> DataFrame:
     """Tokenizer-precursor vocabulary builder: corpus word frequencies
     ranked with cumulative token coverage, cut to the top-``top_k`` types.
@@ -318,12 +319,22 @@ def build_vocab(
     data — with the corpus token total folded in as a broadcast scalar.
     Output is identical to ranking the full vocabulary and filtering:
     the (n DESC, word) total order is unique, so the first k rows of the
-    full ranking ARE the top-k cut."""
+    full ranking ARE the top-k cut.
+
+    ``tokens_col``: the token-STREAM unit seam (an array<string> Column
+    per row) — default is the whitespace split; pass
+    ``functions.bpe.bpe_tokens(...)`` to rank SUBWORD types, the
+    coverage table a tokenizer-aware vocab decision reads."""
     from pyspark.sql import Window
 
-    words = df.select(
-        F.explode(F.split(F.col(text_col), " ")).alias("word")
-    ).filter(F.col("word") != "")
+    stream = (
+        tokens_col
+        if tokens_col is not None
+        else F.split(F.col(text_col), " ")
+    )
+    words = df.select(F.explode(stream).alias("word")).filter(
+        F.col("word") != ""
+    )
     counts = words.groupBy("word").agg(F.count("*").alias("n"))
     total = counts.agg(F.sum("n").alias("total_tokens"))
     topk = counts.orderBy(F.desc("n"), "word").limit(top_k)
@@ -1261,7 +1272,7 @@ def shard_manifest(
 
 
 def unigram_logprob(
-    df: DataFrame, content_col: str = "text"
+    df: DataFrame, content_col: str = "text", tokens_col=None
 ) -> DataFrame:
     """Per-document mean unigram log2-probability against the corpus's
     own unigram distribution — the perplexity-proxy quality filter
@@ -1275,15 +1286,20 @@ def unigram_logprob(
     (doc_id, word) stream hash-joins the vocabulary on word and
     re-aggregates per document — two equality exchanges, no broadcast
     of a possibly-corpus-sized vocab.
+
+    ``tokens_col``: the token-STREAM unit seam (array<string> per row)
+    — default is `functions.text.tokens`; a BPE token array scores
+    documents under the SUBWORD unigram distribution, the unit an
+    actual LM's perplexity proxy lives in.
     """
     from gistdex_spark.functions.text import tokens  # noqa: PLC0415
 
     from pyspark.sql import Window  # noqa: PLC0415
 
-    words = df.select(
-        "doc_id",
-        F.explode(tokens(F.col(content_col))).alias("word"),
+    stream = (
+        tokens_col if tokens_col is not None else tokens(F.col(content_col))
     )
+    words = df.select("doc_id", F.explode(stream).alias("word"))
     vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("__wn"))
     # Corpus token total as a window over the VOCAB frame (V rows
     # through one partition — vocabulary-bounded, never the corpus),
@@ -1378,7 +1394,7 @@ def vocab_growth(
 
 
 def oov_rate(
-    df: DataFrame, text_col: str = "text", top_k: int = 16
+    df: DataFrame, text_col: str = "text", top_k: int = 16, tokens_col=None
 ) -> DataFrame:
     """Per-document out-of-vocabulary rate against the corpus top-K
     vocabulary — the coverage check a fixed-vocab tokenizer runs before
@@ -1389,10 +1405,20 @@ def oov_rate(
     a map-combined hash agg + TakeOrdered heap, ties broken word-asc)
     inlined as a literal array; the per-doc pass is then map-only
     array arithmetic — the broadcast-dimension shape.
+
+    ``tokens_col``: the token-STREAM unit seam, as in
+    :func:`build_vocab` — whitespace split by default, a BPE token
+    array for tokenizer-aware coverage (where OOV-against-top-K is the
+    actual byte/unk-fallback question).
     """
-    words = df.select(
-        F.explode(F.split(F.col(text_col), " ")).alias("word")
-    ).filter(F.col("word") != "")
+    stream = (
+        tokens_col
+        if tokens_col is not None
+        else F.split(F.col(text_col), " ")
+    )
+    words = df.select(F.explode(stream).alias("word")).filter(
+        F.col("word") != ""
+    )
     counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
     top = [
         r["word"]
@@ -1403,10 +1429,7 @@ def oov_rate(
     # it can fail analysis (or drift across Spark versions) instead of
     # counting every token as OOV.
     vocab = F.lit(sorted(top)).cast("array<string>")
-    staged = df.withColumn(
-        "__toks",
-        F.filter(F.split(F.col(text_col), " "), lambda w: w != ""),
-    )
+    staged = df.withColumn("__toks", F.filter(stream, lambda w: w != ""))
     t = F.col("__toks")
     n_oov = F.size(
         F.filter(t, lambda w: ~F.array_contains(vocab, w))

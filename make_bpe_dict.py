@@ -62,8 +62,16 @@ def main() -> int:
         words.update(r[0] for r in rows if r[0])
         print(f"{sf}: vocab union now {len(words)}", file=sys.stderr)
 
-    counts = {w: len(apply_bpe(w, ranks)) for w in sorted(words)}
-    out = {"merges_md5": merges_md5, "word_tokens": counts}
+    pieces = {w: apply_bpe(w, ranks) for w in sorted(words)}
+    counts = {w: len(p) for w, p in pieces.items()}
+    # word_pieces (the token LISTS) lets oracle SQL replay per-TOKEN
+    # operators too (unigram log-prob, vocab coverage, OOV): unnest the
+    # joined piece list and the full BPE token stream exists in DuckDB.
+    out = {
+        "merges_md5": merges_md5,
+        "word_tokens": counts,
+        "word_pieces": pieces,
+    }
     path = "fixtures/bpe_word_tokens.json"
     with open(path, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)

@@ -227,3 +227,40 @@ def test_word_token_dictionary_fixture(duck):
     }
     missing = corpus_words - set(wt)
     assert not missing, f"corpus words missing from dictionary: {missing}"
+
+
+def test_tokens_udf_equals_driver_reference(spark):
+    """bpe_tokens (the sequence UDF behind the per-token registry
+    queries) must emit exactly the driver-side tokenize() stream, and
+    its lengths must agree with token_count."""
+    from gistdex_spark.functions.bpe import bpe_tokens, tokenize
+    from gistdex_spark.sources.tables import load_table
+
+    merges = load_merges(FIXTURE)
+    docs = load_table(spark, SF, "documents").limit(80)
+    got = {
+        r["doc_id"]: list(r["toks"])
+        for r in docs.select(
+            "doc_id", bpe_tokens("text", merges).alias("toks")
+        ).collect()
+    }
+    for r in docs.select("doc_id", "text").collect():
+        want = tokenize(r["text"], merges)
+        assert got[r["doc_id"]] == want, r["doc_id"]
+        assert len(want) == token_count(r["text"], merges)
+
+
+def test_word_pieces_fixture_consistent():
+    """word_pieces (the list form behind the per-token oracles) must be
+    the apply loop's exact output for every word, and word_tokens must
+    be its lengths — one dictionary, two derived views."""
+    dict_path = os.path.join(
+        os.path.dirname(FIXTURE), "bpe_word_tokens.json"
+    )
+    with open(dict_path) as f:
+        fx = json.load(f)
+    ranks = _ranks(load_merges(FIXTURE))
+    assert set(fx["word_pieces"]) == set(fx["word_tokens"])
+    for w, pieces in fx["word_pieces"].items():
+        assert pieces == apply_bpe(w, ranks), w
+        assert fx["word_tokens"][w] == len(pieces), w

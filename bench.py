@@ -228,6 +228,10 @@ BENCH_QUERIES = [
     "unigram_logprob_bpe",
     "vocab_coverage_bpe",
     "oov_rate_bpe",
+    # The shard WRITER (manifest consumer): each lap really writes the
+    # packed shards and re-censuses the written bytes — the honest cost
+    # of the write+read path, not a cached frame.
+    "shard_write_census",
 ]
 
 

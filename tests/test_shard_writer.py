@@ -1,0 +1,125 @@
+"""Packed-shard writer (sources/shard_writer): the written bytes must
+re-derive the manifest exactly (census == manifest == assignment), rows
+inside each shard file must be in doc_id order (the loader concatenates
+top to bottom), the written spans must tile [0, total_tokens) with no
+gap or overlap, and the token-unit seam must carry through."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from gistdex_spark.operators.pipeline import shard_manifest
+from gistdex_spark.sources.shard_writer import (
+    read_shard_census,
+    read_shard_manifest,
+    write_packed_shards,
+)
+from gistdex_spark.sources.tables import load_table
+from tests.conftest import SF_CORRECTNESS
+
+SHARD_TOKENS = 2048
+
+
+def _frame(df):
+    return sorted(map(tuple, df.collect()))
+
+
+@pytest.fixture(scope="module")
+def written(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("shards") / "packed")
+    docs = load_table(spark, SF_CORRECTNESS, "documents")
+    write_packed_shards(docs, out, shard_tokens=SHARD_TOKENS)
+    return out
+
+
+def test_census_equals_manifest_equals_assignment(spark, written):
+    """Three-way: census from written bytes == the manifest sidecar ==
+    a fresh shard_manifest over the source corpus."""
+    docs = load_table(spark, SF_CORRECTNESS, "documents")
+    census = _frame(read_shard_census(spark, written))
+    sidecar = _frame(read_shard_manifest(spark, written))
+    fresh = _frame(shard_manifest(docs, shard_tokens=SHARD_TOKENS))
+    assert census == sidecar == fresh
+    assert len(census) > 1  # multiple shards, non-vacuous
+
+
+def test_in_shard_file_order_is_doc_id(written):
+    """Every written parquet file must hold doc_ids in ascending order —
+    in-shard order is part of the writer contract, read RAW (pyarrow,
+    no Spark reorder)."""
+    files = glob.glob(os.path.join(written, "shard_id=*", "*.parquet"))
+    assert files
+    checked = 0
+    for f in files:
+        ids = pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist()
+        assert ids == sorted(ids), f
+        checked += len(ids)
+    assert checked > 0
+
+
+def test_spans_tile_exactly(spark, written):
+    """The stored (start, n_tok) spans, ordered by doc_id, must tile
+    [0, total) exactly: each document starts where the previous ended.
+    This is the seek contract a loader relies on."""
+    rows = (
+        spark.read.parquet(written)
+        .select("doc_id", "n_tok", "start")
+        .orderBy("doc_id")
+        .collect()
+    )
+    docs_n = load_table(spark, SF_CORRECTNESS, "documents").count()
+    assert len(rows) == docs_n  # no dropped/duplicated docs
+    pos = 0
+    for r in rows:
+        assert r["start"] == pos, r["doc_id"]
+        pos += r["n_tok"]
+    assert pos == sum(r["n_tok"] for r in rows)
+
+
+def test_shard_id_matches_start(spark, written):
+    """Assignment rule on the written rows: shard_id (the hive
+    partition value) == floor(start / shard_tokens) for every row."""
+    bad = (
+        spark.read.parquet(written)
+        .filter(
+            F.col("shard_id").cast("bigint")
+            != F.floor(F.col("start") / F.lit(SHARD_TOKENS))
+        )
+        .count()
+    )
+    assert bad == 0
+
+
+def test_token_unit_seam_carries_through(spark, tmp_path):
+    """Writing with the BPE count column must produce a manifest equal
+    to shard_manifest under the same unit — the writer inherits the
+    token_count_col seam, not a private unit."""
+    from gistdex_spark.functions.bpe import bpe_token_count, load_merges
+
+    merges_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "fixtures",
+        "bpe_merges.json",
+    )
+    merges = load_merges(merges_path)
+    docs = load_table(spark, SF_CORRECTNESS, "documents").filter(
+        F.col("doc_id") < 100
+    )
+    out = str(tmp_path / "bpe_shards")
+    write_packed_shards(
+        docs, out, shard_tokens=512,
+        token_count_col=bpe_token_count("text", merges),
+    )
+    want = _frame(
+        shard_manifest(
+            docs, shard_tokens=512,
+            token_count_col=bpe_token_count("text", merges),
+        )
+    )
+    assert _frame(read_shard_census(spark, out)) == want
+    assert len(want) > 1

@@ -232,6 +232,11 @@ BENCH_QUERIES = [
     # packed shards and re-censuses the written bytes — the honest cost
     # of the write+read path, not a cached frame.
     "shard_write_census",
+    # Stored-benchmark decontamination: each lap writes the benchmark
+    # signature store and probes the corpus against it — the honest
+    # write+probe cost (production writes once; the probe is the
+    # recurring part).
+    "eval_decontaminate_minhash_stored",
 ]
 
 

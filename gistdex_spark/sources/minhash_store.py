@@ -279,6 +279,35 @@ def _new_old_pairs(
     )
 
 
+def decontaminate_pairs_stored(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    content_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 5,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination against a STORED benchmark: directed
+    (new_id = training doc, old_id = benchmark doc, est_jaccard) pairs
+    of ``batch`` probed against signatures persisted once by
+    :func:`write_minhash_store` — frame-equal to
+    ``operators/dedup.minhash_pairs_between(batch, benchmark)`` (same
+    banding expression, same first-agreeing-band dedup, same rounded
+    estimate; pinned in tests/test_minhash_store.py) with the benchmark
+    side never re-shingled. This is the daily-ingest hygiene shape: the
+    eval suites are fixed, so their signatures are written once and
+    every training batch probes them; pointing
+    ``streaming/ingest.stream_neardup_filter_minhash_stored`` at the
+    same store gives eval-decontamination-at-ADMISSION for free."""
+    return _new_old_pairs(
+        spark, path, batch, content_col=content_col, num_hashes=num_hashes,
+        bands=bands, n=n, threshold=threshold, id_col=id_col,
+    )
+
+
 def incremental_pairs_full(
     spark: SparkSession,
     path: str,

@@ -291,3 +291,27 @@ def test_id_col_honored_end_to_end(spark, split, tmp_path_factory):
     assert _frame(
         update_minhash_store(spark, path, b1_r, threshold=TH, id_col="item_id")
     ) == []
+
+
+def test_decontaminate_stored_equals_between(spark, tmp_path):
+    """Stored-benchmark decontamination: probing the corpus against a
+    persisted benchmark store must be frame-equal to the recompute
+    form's minhash_pairs_between(corpus, benchmark) — same banding
+    expression, same first-agreeing-band dedup, same rounded estimate.
+    The benchmark side is never re-shingled (the fixed-eval-suite
+    daily-ingest shape)."""
+    from gistdex_spark.operators.dedup import minhash_pairs_between
+    from gistdex_spark.sources.minhash_store import (
+        decontaminate_pairs_stored,
+    )
+
+    docs = load_table(spark, SF_CORRECTNESS, "documents")
+    bench = docs.filter(F.col("source") == "src0")
+    corpus = docs.filter(F.col("source") != "src0")
+    store = str(tmp_path / "bench_store")
+    write_minhash_store(bench, store)
+    want = _frame(minhash_pairs_between(corpus, bench, threshold=TH))
+    got = _frame(
+        decontaminate_pairs_stored(spark, store, corpus, threshold=TH)
+    )
+    assert got == want and len(got) > 0

@@ -93,6 +93,55 @@ _BRANCH_COVERAGE_MAX = 0.5
 _CURRENT = "_current"
 _VPREFIX = "v-"
 
+# auto_geometry's bucket-population target: with ~n/2^nbits rows per
+# bucket per table, probe work per batch row is ~target × n_tables
+# kernel comparisons — O(batch), independent of corpus size.
+_TARGET_BUCKET_ROWS = 256
+
+
+def auto_geometry(
+    n_rows: int,
+    dim: int,
+    target_bucket_rows: int = _TARGET_BUCKET_ROWS,
+    max_tables: int = 10,
+    min_nbits: int = 4,
+    max_nbits: int = 16,
+) -> tuple[int, int]:
+    """Pick (nbits, n_tables) from corpus size so bucket populations
+    stay BOUNDED as the corpus grows — the r13 timing artifact's own
+    caveat: at fixed nbits the per-bucket population is Θ(corpus), so
+    the new×old probe rescored ~batch × corpus/2^nbits × L pairs and
+    update only beat rebuild past ~160-320k rows. With
+    nbits ≈ log2(n / target) the probe's kernel work per batch row is
+    ~target × n_tables comparisons regardless of corpus size: the
+    incremental path's work tracks the BATCH, the rebuild's tracks the
+    corpus — which is the whole claim the store makes.
+
+    The multitable scheme slices DISJOINT sign dimensions per table
+    (``sign_bucket(offset=t*nbits)``), so ``n_tables × nbits ≤ dim`` is
+    a hard cap: at small dims raising nbits spends tables (recall) to
+    buy bucket sparsity (probe cost). Production embedding dims
+    (≥ 512) keep all ``max_tables`` tables up to corpora of
+    2^16 × target ≈ 16M rows per table-group; past ``max_nbits`` the
+    geometry saturates and bucket growth resumes — at that point shard
+    the store (or raise ``max_nbits``).
+
+    The chosen geometry is the GRAPH's definition for that corpus (the
+    candidate set is "agrees on ≥ 1 table"), recorded in the members
+    sidecar at write time; updates read it back (``nbits=None``) and
+    the existing guards reject mismatched explicit values.
+    """
+    import math  # noqa: PLC0415
+
+    need = max(1.0, float(n_rows) / float(max(target_bucket_rows, 1)))
+    nbits = math.ceil(math.log2(need)) if need > 1 else min_nbits
+    nbits = max(min_nbits, min(max_nbits, nbits))
+    # Hard cap: leave at least one table; prefer shrinking nbits over
+    # dropping below one table on tiny dims.
+    nbits = min(nbits, max(1, dim))
+    n_tables = max(1, min(max_tables, dim // nbits))
+    return nbits, n_tables
+
 
 def resolve_store_root(path: str, version: str | None = None) -> str | None:
     """The directory whose ``members/`` and ``edges/`` are live: the
@@ -251,8 +300,8 @@ def write_graph_store(
     emb: DataFrame,
     path: str,
     k: int = 5,
-    nbits: int = 6,
-    n_tables: int = 10,
+    nbits: int | None = 6,
+    n_tables: int | None = 10,
     id_col: str = "vec_id",
     keep_versions: int = 1,
 ) -> None:
@@ -267,7 +316,22 @@ def write_graph_store(
     the audit/rollback contract, not of whichever call happens to run
     — a routine default update must not silently sweep versions a
     ``keep_versions=N`` writer retained); later updates honor it
-    unless they explicitly override."""
+    unless they explicitly override.
+
+    ``nbits=None`` / ``n_tables=None``: derive via :func:`auto_geometry`
+    from the corpus size and embedding dim (one count + one first() —
+    write-time-only jobs), so bucket populations are bounded and the
+    daily probe's work stays O(batch) at any corpus size. The derived
+    geometry lands in the members sidecar like an explicit one; updates
+    read it back."""
+    if nbits is None or n_tables is None:
+        first = emb.select("embedding").first()
+        dim = len(first[0]) if first is not None and first[0] is not None else 0
+        a_nbits, a_tables = auto_geometry(emb.count(), dim)
+        if nbits is None:
+            nbits = a_nbits
+        if n_tables is None:
+            n_tables = max(1, min(a_tables, dim // nbits)) if dim else a_tables
     os.makedirs(path, exist_ok=True)
     _sweep_orphans(path)
     vname = _next_version_name(path)
@@ -441,13 +505,35 @@ def _new_old_candidates(
     return cand.groupBy("src", "nbr").agg(F.max("sim").alias("sim"))
 
 
+def _stored_geometry(
+    members: str, nbits: int | None, n_tables: int | None
+) -> tuple[int, int]:
+    """Resolve ``None`` geometry values from the members sidecar — the
+    store's recorded geometry IS the graph definition, so ``None`` is
+    the right default for maintenance calls (an explicit value is still
+    validated by the caller's guard)."""
+    from gistdex_spark.sources.store_meta import read_store_meta  # noqa: PLC0415
+
+    if nbits is not None and n_tables is not None:
+        return nbits, n_tables
+    meta = read_store_meta(members) or {}
+    got_nbits = nbits if nbits is not None else meta.get("nbits")
+    got_tables = n_tables if n_tables is not None else meta.get("n_tables")
+    if got_nbits is None or got_tables is None:
+        raise ValueError(
+            f"graph store at {os.path.dirname(members)} has no geometry "
+            f"sidecar; pass nbits/n_tables explicitly"
+        )
+    return int(got_nbits), int(got_tables)
+
+
 def incremental_graph_stored(
     spark: SparkSession,
     path: str,
     new: DataFrame,
     k: int = 5,
-    nbits: int = 6,
-    n_tables: int = 10,
+    nbits: int | None = None,
+    n_tables: int | None = None,
     id_col: str = "vec_id",
 ) -> DataFrame:
     """The merged multitable kNN graph over (stored corpus ∪ ``new``) —
@@ -456,12 +542,20 @@ def incremental_graph_stored(
     (old×old from ``edges/``, new×old from the kernel-scored bipartite
     probe — internally deduped, both directions — and new×new from the
     batch graph; a pair appears in exactly one part, so no cross-part
-    dedup exchange is needed) into one global window."""
+    dedup exchange is needed) into one global window.
+
+    ``nbits``/``n_tables`` default to ``None`` = the store's recorded
+    geometry (members sidecar) — with :func:`auto_geometry` writes the
+    geometry is a per-store fact, not something callers should have to
+    thread."""
     from gistdex_spark.operators.similarity import sign_bucket
 
     root = resolve_store_root(path)
     if root is None:
         raise FileNotFoundError(f"graph store at {path} is uninitialized")
+    nbits, n_tables = _stored_geometry(
+        os.path.join(root, "members"), nbits, n_tables
+    )
 
     bn = F.array(
         *[
@@ -498,15 +592,85 @@ def incremental_graph_stored(
     return _knn_rank(both_dirs.unionByName(nn).unionByName(oo), k)
 
 
+_REBUILD_MARGIN = 0.5
+
+
+def _rebuild_is_cheaper(
+    spark: SparkSession,
+    members: str,
+    new: DataFrame,
+    nbits: int,
+    n_tables: int,
+) -> bool:
+    """Work proxy for the ``rebuild_if_cheaper`` hatch, from two
+    bucket-histogram aggs (a narrow bucket-column scan of the members
+    table + a map-side agg of the batch — each result is
+    ≤ n_tables × 2^nbits rows, driver-trivial).
+
+    The incremental path's scored-pair mass (Σ_t,b new·old + Σ_t,b
+    new²) is BY CONSTRUCTION a subset of the rebuild's (Σ_t,b
+    (new+old)² — it skips exactly the old×old term), so a bare
+    mass comparison would never choose rebuild. What the incremental
+    route adds instead is everything AROUND the kernel: the probe-side
+    enumeration/materialization, the batch graph's own pipeline, the
+    stored-edge read and the three-part merge window, the
+    members-append — costs the timing artifacts (r13/r14) show
+    exceeding the saved old×old mass once the batch is a sizable
+    fraction of the corpus. The rule therefore flips to rebuild when
+    incremental saves LESS THAN HALF the kernel mass
+    (upd ≥ ``_REBUILD_MARGIN`` × reb ⇔ old×old ≤ ~half the total):
+    a giant batch into a small store rebuilds; a daily-sized batch
+    into a grown store stays incremental."""
+    from gistdex_spark.operators.similarity import sign_bucket  # noqa: PLC0415
+
+    old_rows = (
+        spark.read.parquet(members)
+        .select(
+            F.posexplode(
+                F.array(*[F.col(f"b{t}") for t in range(n_tables)])
+            ).alias("t", "b")
+        )
+        .groupBy("t", "b")
+        .count()
+        .collect()
+    )
+    new_rows = (
+        new.select(
+            F.posexplode(
+                F.array(
+                    *[
+                        sign_bucket("embedding", nbits, offset=t * nbits)
+                        for t in range(n_tables)
+                    ]
+                )
+            ).alias("t", "b")
+        )
+        .groupBy("t", "b")
+        .count()
+        .collect()
+    )
+    old_c = {(r["t"], r["b"]): r["count"] for r in old_rows}
+    new_c = {(r["t"], r["b"]): r["count"] for r in new_rows}
+    upd = sum(
+        n * old_c.get(key, 0) for key, n in new_c.items()
+    ) + sum(n * n for n in new_c.values())
+    reb = sum(
+        (old_c.get(key, 0) + new_c.get(key, 0)) ** 2
+        for key in set(old_c) | set(new_c)
+    )
+    return upd >= _REBUILD_MARGIN * reb
+
+
 def update_graph_store(
     spark: SparkSession,
     path: str,
     new: DataFrame,
     k: int = 5,
-    nbits: int = 6,
-    n_tables: int = 10,
+    nbits: int | None = None,
+    n_tables: int | None = None,
     id_col: str = "vec_id",
     keep_versions: int | None = None,
+    rebuild_if_cheaper: bool = False,
 ) -> DataFrame:
     """Apply a daily batch: merge the graph incrementally, then commit
     members-append + edges-replace as ONE atomic version flip (module
@@ -531,6 +695,15 @@ def update_graph_store(
     ``resolve_store_root(path, version=...)`` / :func:`list_versions`
     — rollback and yesterday-vs-today audits without any rebuild, the
     table-format snapshot-retention analog.
+
+    ``nbits``/``n_tables`` default to ``None`` = the store's recorded
+    geometry (with :func:`auto_geometry` writes, geometry is a
+    per-store fact); explicit values still hit the mismatch guard.
+    ``rebuild_if_cheaper``: estimate the incremental path's scored-pair
+    mass against a full rebuild's (:func:`_rebuild_is_cheaper`, two
+    bucket-histogram aggs) and take whichever is less work — the
+    result frame is identical either way; only the compute route and
+    its cost differ.
     """
     root = resolve_store_root(path)
     if root is None:
@@ -551,6 +724,11 @@ def update_graph_store(
         root_meta = read_store_meta(path)
     _sweep_orphans(path, keep_versions)
     members_src = os.path.join(root, "members")
+
+    # None geometry = the store's recorded geometry (auto_geometry
+    # writes make it a per-store fact); explicit values still hit the
+    # mismatch guard below.
+    nbits, n_tables = _stored_geometry(members_src, nbits, n_tables)
 
     # Geometry guard (r12 ADVICE): the members sidecar records the
     # nbits/n_tables the store was written with; a mismatched call
@@ -590,9 +768,26 @@ def update_graph_store(
         F.col(id_col).cast(target[id_col]).alias(id_col),
         F.col("embedding").cast(target["embedding"]).alias("embedding"),
     )
-    merged = incremental_graph_stored(
-        spark, path, new, k=k, nbits=nbits, n_tables=n_tables, id_col=id_col
-    ).localCheckpoint(eager=True)
+    # rebuild_if_cheaper: when the estimated scored-pair mass of the
+    # incremental path exceeds a full rebuild's (huge batch into a
+    # small store), build the merged graph directly from
+    # (stored members ∪ batch) — frame-identical by the store's
+    # equality contract, committed through the same version flip.
+    if rebuild_if_cheaper and _rebuild_is_cheaper(
+        spark, members_src, new, nbits, n_tables
+    ):
+        stored_members = spark.read.parquet(members_src).select(
+            id_col, "embedding"
+        )
+        merged = knn_graph_multitable(
+            stored_members.unionByName(new),
+            k=k, nbits=nbits, n_tables=n_tables, id_col=id_col,
+        ).localCheckpoint(eager=True)
+    else:
+        merged = incremental_graph_stored(
+            spark, path, new, k=k, nbits=nbits, n_tables=n_tables,
+            id_col=id_col,
+        ).localCheckpoint(eager=True)
 
     # Build the new version: hardlink the old member files (metadata-
     # only), append the batch's member rows, write the merged edges —

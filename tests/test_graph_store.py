@@ -480,3 +480,130 @@ def test_time_travel_rejects_uncommitted_attempt(spark, split, tmp_path):
     assert graph_store.resolve_store_root(path, version=cur) == os.path.join(
         path, cur
     )
+
+
+@pytest.mark.parametrize("nb,nt", [(4, 3), (8, 6)])
+def test_incremental_equals_rebuild_across_geometries(
+    spark, split, tmp_path, nb, nt
+):
+    """The store's equality contract must hold at MORE than the default
+    harness geometry (r13 verdict item 3: geometry now scales with
+    corpus size, so the contract has to be geometry-parametric):
+    merged == batch rebuild at a sparse (4,3) and a dense (8,6)
+    geometry, with None-geometry maintenance reading the sidecar."""
+    new, old = split
+    path = str(tmp_path / "store")
+    write_graph_store(old, path, k=K, nbits=nb, n_tables=nt)
+    want = _frame(
+        knn_graph_multitable(
+            old.unionByName(new), k=K, nbits=nb, n_tables=nt
+        )
+    )
+    # None geometry: resolved from the members sidecar
+    got = _frame(incremental_graph_stored(spark, path, new, k=K))
+    assert got == want and len(got) > 0
+
+
+def test_auto_geometry_write_and_sidecar_roundtrip(spark, split, tmp_path):
+    """nbits=None at write time derives the geometry from corpus size
+    and dim (auto_geometry), records it in the members sidecar, and a
+    None-geometry update reads it back and stays frame-equal to the
+    rebuild at THAT geometry."""
+    from gistdex_spark.sources.graph_store import auto_geometry
+    from gistdex_spark.sources.store_meta import read_store_meta
+
+    new, old = split
+    path = str(tmp_path / "store")
+    write_graph_store(old, path, k=K, nbits=None, n_tables=None)
+    dim = len(old.select("embedding").first()[0])
+    want_nb, want_nt = auto_geometry(old.count(), dim)
+    meta = read_store_meta(graph_store.members_path(path))
+    assert (meta["nbits"], meta["n_tables"]) == (want_nb, want_nt)
+    # geometry respects the disjoint-dimension cap
+    assert want_nb * want_nt <= dim
+    update_graph_store(spark, path, new, k=K)
+    got = _frame(
+        spark.read.parquet(graph_store.edges_path(path)).select(
+            "src_id", "nbr_id", "sim", "rk"
+        )
+    )
+    want = _frame(
+        knn_graph_multitable(
+            old.unionByName(new), k=K, nbits=want_nb, n_tables=want_nt
+        )
+    )
+    assert got == want
+
+
+def test_auto_geometry_bounds_bucket_population():
+    """The scaling law itself: at any corpus size the implied bucket
+    population n / 2^nbits stays within 2x of the target until the
+    max_nbits saturation point, and the dim cap always holds."""
+    from gistdex_spark.sources.graph_store import (
+        _TARGET_BUCKET_ROWS,
+        auto_geometry,
+    )
+
+    for n in [1_000, 20_000, 320_000, 5_000_000, 100_000_000]:
+        for dim in [64, 512, 1024]:
+            nb, nt = auto_geometry(n, dim)
+            assert nb * nt <= dim
+            assert nt >= 1
+            if nb < 16:  # below saturation the population is bounded
+                assert n / (2 ** nb) <= 2 * _TARGET_BUCKET_ROWS
+    # monotone: more rows never means coarser buckets
+    seq = [auto_geometry(n, 1024)[0] for n in [10**3, 10**5, 10**7, 10**9]]
+    assert seq == sorted(seq)
+
+
+def test_rebuild_if_cheaper_is_frame_identical(spark, split, tmp_path):
+    """The escape hatch must only change the compute route: a giant
+    batch into a tiny store (the mass estimator's rebuild regime) and a
+    small batch into a big store (incremental regime) both produce the
+    batch rebuild's exact frame."""
+    from gistdex_spark.sources.graph_store import _rebuild_is_cheaper
+
+    new, old = split
+    # giant batch into tiny store: estimator must pick rebuild
+    tiny = old.limit(20).localCheckpoint(eager=True)
+    rest = old.join(tiny.select("vec_id"), "vec_id", "left_anti").unionByName(
+        new
+    )
+    path = str(tmp_path / "tiny")
+    write_graph_store(tiny, path, k=K, nbits=NBITS, n_tables=NT)
+    assert _rebuild_is_cheaper(
+        spark, graph_store.members_path(path), rest, NBITS, NT
+    )
+    got = _frame(
+        update_graph_store(spark, path, rest, k=K, rebuild_if_cheaper=True)
+    )
+    want = _frame(
+        knn_graph_multitable(
+            tiny.unionByName(rest), k=K, nbits=NBITS, n_tables=NT
+        )
+    )
+    assert got == want
+    # ...and the stored state equals the rebuild too (committed via the
+    # same flip)
+    stored = _frame(
+        spark.read.parquet(graph_store.edges_path(path)).select(
+            "src_id", "nbr_id", "sim", "rk"
+        )
+    )
+    assert stored == want
+    # small batch into big store: estimator keeps the incremental path
+    path2 = str(tmp_path / "big")
+    write_graph_store(old, path2, k=K, nbits=NBITS, n_tables=NT)
+    small = new.limit(30)
+    assert not _rebuild_is_cheaper(
+        spark, graph_store.members_path(path2), small, NBITS, NT
+    )
+    got2 = _frame(
+        update_graph_store(spark, path2, small, k=K, rebuild_if_cheaper=True)
+    )
+    want2 = _frame(
+        knn_graph_multitable(
+            old.unionByName(small), k=K, nbits=NBITS, n_tables=NT
+        )
+    )
+    assert got2 == want2

@@ -40,6 +40,17 @@ Caller contract: ids are unique across store ∪ batch (re-ingesting an
 existing id is an upsert the caller must route through delete first,
 as with the other stores).
 
+When to use which path (GRAPH_STORE_TIMING_r14.json): with
+:func:`auto_geometry` both paths' KERNEL work is linear — update in
+the batch (≈ batch × target × L pair scores), rebuild in the corpus —
+so the asymptotic advantage is the corpus/batch ratio. But update
+carries ~25 Spark jobs of fixed choreography; on the test box that
+floor is ~15-25 s, putting the measured wall-clock crossover near
+~320k rows for a 1000-row batch. Below roughly 10× that, just rebuild
+(:func:`write_graph_store`); above it, daily increments win by the
+corpus/batch ratio. ``rebuild_if_cheaper`` automates only the
+giant-batch regime (kernel-mass comparison, box-independent).
+
 Durability (round 13): the store is a two-table state (members +
 edges) that must change ATOMICALLY — r12's layout appended members and
 then swapped ``edges/``, so a crash between the two left members whose

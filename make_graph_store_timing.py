@@ -38,7 +38,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 FRACTIONS = [0.05, 0.10, 0.20, 0.40]
 K, NBITS, NT = 5, 6, 10
-SCALES = [1, 2, 4, 8, 16]
+# Fixed-geometry scaling stops at x4 (r13's artifact already documents
+# its behavior to 320k: update degrades toward Theta(corpus)); the
+# auto-geometry series — the r14 scaling law — runs to x16 (320k rows).
+SCALES_FIXED = [1, 2, 4]
+SCALES_AUTO = [1, 2, 4, 8, 16]
 
 
 def main() -> int:
@@ -158,17 +162,17 @@ def main() -> int:
 
         dim = len(emb.select("embedding").first()[0])
         scaling_fixed, scaling_auto = [], []
-        for s in SCALES:
+        for s in SCALES_AUTO:
             rep = replicate(s)
             n_rep = rep.count()
             batch = rep.orderBy(F.desc("vec_id")).limit(1000)
             pivot2 = batch.agg(F.min("vec_id")).first()[0]
             store_side = rep.filter(F.col("vec_id") < pivot2)
 
-            for label, (nb, nt), acc in [
-                ("fixed", (NBITS, NT), scaling_fixed),
-                ("auto", auto_geometry(n_rep, dim), scaling_auto),
-            ]:
+            series = [("auto", auto_geometry(n_rep, dim), scaling_auto)]
+            if s in SCALES_FIXED:
+                series.insert(0, ("fixed", (NBITS, NT), scaling_fixed))
+            for label, (nb, nt), acc in series:
                 knn_graph_multitable(
                     rep, k=K, nbits=nb, n_tables=nt
                 ).write.format("noop").mode("overwrite").save()  # warm

@@ -237,6 +237,10 @@ BENCH_QUERIES = [
     # write+probe cost (production writes once; the probe is the
     # recurring part).
     "eval_decontaminate_minhash_stored",
+    # Subword Heaps-law curve + the BPE-unit shard writer (real write
+    # each lap, like shard_write_census).
+    "heaps_law_bpe",
+    "shard_write_census_bpe",
 ]
 
 

@@ -1323,6 +1323,7 @@ def vocab_growth(
     content_col: str = "text",
     buckets: int = 10,
     materialize=None,
+    tokens_col=None,
 ) -> DataFrame:
     """Heaps-law audit: cumulative distinct vocabulary vs cumulative
     token count across a doc_id-ordered corpus split into ``buckets``
@@ -1348,17 +1349,27 @@ def vocab_growth(
             schema="bucket INT, cum_tokens BIGINT, cum_vocab BIGINT, "
             "type_token_ratio DOUBLE",
         )
-    idx = global_row_index(
-        df.select("doc_id", F.col(content_col).alias("__txt")),
-        ["doc_id"],
-        materialize=materialize,
-    )
-    bucketed = idx.select(
-        F.expr(f"CAST((global_idx - 1) * {buckets} DIV {n} AS INT)").alias(
-            "bucket"
-        ),
-        tokens(F.col("__txt")).alias("__toks"),
-    )
+    bucket_expr = F.expr(
+        f"CAST((global_idx - 1) * {buckets} DIV {n} AS INT)"
+    ).alias("bucket")
+    if tokens_col is not None:
+        # Token-STREAM unit seam (the build_vocab/oov_rate discipline):
+        # the array column is computed BEFORE the range exchange, so a
+        # UDF-backed unit (BPE) runs once and its output rides the
+        # materialized ranged frame.
+        idx = global_row_index(
+            df.select("doc_id", tokens_col.alias("__toks")),
+            ["doc_id"],
+            materialize=materialize,
+        )
+        bucketed = idx.select(bucket_expr, F.col("__toks"))
+    else:
+        idx = global_row_index(
+            df.select("doc_id", F.col(content_col).alias("__txt")),
+            ["doc_id"],
+            materialize=materialize,
+        )
+        bucketed = idx.select(bucket_expr, tokens(F.col("__txt")).alias("__toks"))
     toks = bucketed.groupBy("bucket").agg(
         F.sum(F.size("__toks")).alias("__tok_n")
     )

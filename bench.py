@@ -241,6 +241,11 @@ BENCH_QUERIES = [
     # each lap, like shard_write_census).
     "heaps_law_bpe",
     "shard_write_census_bpe",
+    # The two writer compositions: curated corpus -> packed shards
+    # under one oracle, and write-then-APPEND converging to the
+    # one-shot assignment (each lap really writes both passes).
+    "curated_shard_write_census",
+    "shard_append_census",
 ]
 
 

@@ -101,6 +101,77 @@ def write_packed_shards(
     manifest.write.mode(mode).parquet(os.path.join(out_path, "_manifest"))
 
 
+def append_packed_shards(
+    spark: SparkSession,
+    df: DataFrame,
+    out_path: str,
+    shard_tokens: int = 2048,
+    content_col: str = "text",
+    token_count_col=None,
+    materialize=None,
+) -> None:
+    """Daily-ingest form: continue the token stream where the written
+    shards end. The batch's spans start at the stored stream length
+    (= max ``token_end``, which the tiling invariant makes equal to the
+    total token count), so ``write(b1); append(b2)`` produces exactly
+    the shards of ``write(b1 ∪ b2)`` — census-equal, same assignment
+    rule, NO rewrite of existing rows (a straddle-continuing batch adds
+    files to the last shard's directory; cross-file in-shard order is
+    by ``doc_id``/``start``, which every row carries).
+
+    Monotone-ingest contract (raises otherwise): the batch's doc_ids
+    must all exceed the stored maximum — the assignment rule is a
+    function of the doc_id-ordered stream, so an out-of-order batch
+    would need to rewrite history (route it through a full rewrite
+    instead). The stored offset/max come from one census read
+    (manifest-sized, not corpus-sized). The manifest sidecar is
+    refreshed from the WRITTEN bytes afterwards, preserving the
+    census == manifest invariant.
+    """
+    from gistdex_spark.functions.text import tokens  # noqa: PLC0415
+
+    stored = read_shard_census(spark, out_path).agg(
+        F.max("token_end").alias("stream_end"),
+        F.max("doc_to").alias("max_doc"),
+    ).first()
+    stream_end = int(stored["stream_end"] or 0)
+    max_doc = stored["max_doc"]
+    if max_doc is not None:
+        behind = df.filter(F.col("doc_id") <= F.lit(max_doc)).head(1)
+        if behind:
+            raise ValueError(
+                f"append_packed_shards: batch contains doc_id <= stored "
+                f"max {max_doc} — assignment is a function of the doc_id-"
+                f"ordered stream; out-of-order ingest needs a full rewrite"
+            )
+    n_tok = (
+        token_count_col
+        if token_count_col is not None
+        else F.size(tokens(F.col(content_col)))
+    )
+    toks = df.select(
+        "doc_id",
+        F.col(content_col).alias("text"),
+        n_tok.cast("bigint").alias("n_tok"),
+    )
+    spans = global_prefix_sum(
+        toks, ["doc_id"], "n_tok", out_col="start", materialize=materialize
+    ).withColumn("start", (F.col("start") + F.lit(stream_end)).cast("bigint"))
+    b = F.lit(shard_tokens).cast("bigint")
+    staged = spans.withColumn(
+        "shard_id", F.floor(F.col("start") / b).cast("bigint")
+    )
+    (
+        staged.repartition("shard_id")
+        .sortWithinPartitions("doc_id")
+        .write.mode("append")
+        .partitionBy("shard_id")
+        .parquet(out_path)
+    )
+    manifest = read_shard_census(spark, out_path)
+    manifest.write.mode("overwrite").parquet(os.path.join(out_path, "_manifest"))
+
+
 def read_shard_census(spark: SparkSession, out_path: str) -> DataFrame:
     """Per-shard census derived purely from the WRITTEN shard rows —
     the same seven manifest columns, re-aggregated from stored

@@ -123,3 +123,63 @@ def test_token_unit_seam_carries_through(spark, tmp_path):
     )
     assert _frame(read_shard_census(spark, out)) == want
     assert len(want) > 1
+
+
+def test_append_converges_to_single_write(spark, tmp_path):
+    """write(b1); append(b2); append(b3) must census-equal
+    write(b1∪b2∪b3) — the daily-ingest contract: spans continue at the
+    stored stream end, existing rows never rewritten."""
+    docs = load_table(spark, SF_CORRECTNESS, "documents").select(
+        "doc_id", "text"
+    )
+    from gistdex_spark.sources.shard_writer import append_packed_shards
+
+    out_inc = str(tmp_path / "inc")
+    out_all = str(tmp_path / "all")
+    b1 = docs.filter(F.col("doc_id") < 150)
+    b2 = docs.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 320))
+    b3 = docs.filter(F.col("doc_id") >= 320)
+    write_packed_shards(b1, out_inc, shard_tokens=SHARD_TOKENS)
+    append_packed_shards(spark, b2, out_inc, shard_tokens=SHARD_TOKENS)
+    append_packed_shards(spark, b3, out_inc, shard_tokens=SHARD_TOKENS)
+    write_packed_shards(docs, out_all, shard_tokens=SHARD_TOKENS)
+    got = _frame(read_shard_census(spark, out_inc))
+    want = _frame(read_shard_census(spark, out_all))
+    assert got == want and len(got) > 1
+    # manifest sidecar refreshed to the full census
+    assert _frame(read_shard_manifest(spark, out_inc)) == want
+    # the appended spans still tile exactly
+    rows = (
+        spark.read.parquet(out_inc)
+        .select("n_tok", "start")
+        .orderBy("doc_id")
+        .collect()
+    )
+    pos = 0
+    for r in rows:
+        assert r["start"] == pos
+        pos += r["n_tok"]
+
+
+def test_append_rejects_non_monotone_batch(spark, tmp_path):
+    """Assignment is a function of the doc_id-ordered stream: a batch
+    containing an id at or below the stored maximum must raise (history
+    would need rewriting), and the store must be untouched."""
+    docs = load_table(spark, SF_CORRECTNESS, "documents").select(
+        "doc_id", "text"
+    )
+    from gistdex_spark.sources.shard_writer import append_packed_shards
+
+    out = str(tmp_path / "mono")
+    write_packed_shards(
+        docs.filter(F.col("doc_id") >= 100), out, shard_tokens=SHARD_TOKENS
+    )
+    before = _frame(read_shard_census(spark, out))
+    with pytest.raises(ValueError, match="doc_id <= stored max"):
+        append_packed_shards(
+            spark,
+            docs.filter(F.col("doc_id") < 100),
+            out,
+            shard_tokens=SHARD_TOKENS,
+        )
+    assert _frame(read_shard_census(spark, out)) == before

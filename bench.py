@@ -246,6 +246,9 @@ BENCH_QUERIES = [
     # one-shot assignment (each lap really writes both passes).
     "curated_shard_write_census",
     "shard_append_census",
+    # Domain-mixture resampling materialized into shards (surrogate-id
+    # stream; real write each lap).
+    "resampled_shard_write_census",
 ]
 
 

@@ -202,6 +202,76 @@ def _neardup_admission(
     return writer.start()
 
 
+def stream_shard_append(
+    docs: DataFrame,
+    out_path: str,
+    shard_tokens: int = 2048,
+    checkpoint_dir: str | None = None,
+    query_name: str = "stream_shard_append",
+):
+    """Streaming packed-shard WRITER: each micro-batch of (doc_id,
+    text) rows is appended to a ``sources/shard_writer`` store —
+    spans continue at the stored stream end, so the shards on disk
+    converge to exactly the single-shot ``write_packed_shards`` over
+    everything seen (tests/test_stream_ingest.py mirror discipline;
+    the batch operator is :func:`~gistdex_spark.sources.shard_writer.
+    append_packed_shards` verbatim).
+
+    Redelivery guard: foreachBatch is at-least-once, and the writer's
+    monotone-doc_id contract gives the guard for free — replayed rows
+    are exactly those at or below the stored max doc_id, so the batch
+    is filtered against it (one manifest-sized census read) and a full
+    replay becomes a no-op instead of raising or double-appending. The
+    first batch bootstraps the store.
+    """
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        spark = batch_df.sparkSession
+        from gistdex_spark.sources.shard_writer import (  # noqa: PLC0415
+            append_packed_shards,
+            read_shard_census,
+            write_packed_shards,
+        )
+
+        batch = batch_df.select("doc_id", "text")
+        from pyspark.errors import AnalysisException  # noqa: PLC0415
+
+        try:
+            stored = read_shard_census(spark, out_path).agg(
+                F.max("doc_to").alias("m")
+            ).first()
+            max_doc = stored["m"]
+        except AnalysisException:
+            # Store not created yet (first batch): PATH_NOT_FOUND /
+            # UNABLE_TO_INFER_SCHEMA. Anything else (corrupt footer, FS
+            # error) must SURFACE — swallowing it would bootstrap a
+            # second store over a readable one.
+            write_packed_shards(batch, out_path, shard_tokens=shard_tokens)
+            return
+        fresh = (
+            batch.filter(F.col("doc_id") > F.lit(max_doc))
+            if max_doc is not None
+            else batch
+        )
+        if not fresh.head(1):
+            return
+        append_packed_shards(
+            spark, fresh, out_path, shard_tokens=shard_tokens
+        )
+
+    writer = (
+        docs.writeStream.foreachBatch(handle)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
 def stream_graph_update(
     emb: DataFrame,
     store_path: str,

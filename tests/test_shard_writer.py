@@ -183,3 +183,62 @@ def test_append_rejects_non_monotone_batch(spark, tmp_path):
             shard_tokens=SHARD_TOKENS,
         )
     assert _frame(read_shard_census(spark, out)) == before
+
+
+def test_stream_shard_append_matches_single_write(spark, tmp_path):
+    """Streaming mirror: micro-batched docs appended through
+    stream_shard_append must leave shards census-equal to one
+    write_packed_shards over everything — and a REPLAYED (already
+    stored) micro-batch must be a no-op via the monotone-id guard."""
+    import json as _json
+
+    from gistdex_spark.streaming.ingest import stream_shard_append
+
+    docs = load_table(spark, SF_CORRECTNESS, "documents").select(
+        "doc_id", "text"
+    )
+    rows = sorted(docs.collect(), key=lambda r: r.doc_id)[:200]
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+    thirds = [rows[:70], rows[70:140], rows[140:]]
+    for i, chunk in enumerate(thirds):
+        with open(f"{src}/b{i}.json", "w") as f:
+            for r in chunk:
+                f.write(
+                    _json.dumps({"doc_id": r.doc_id, "text": r.text}) + "\n"
+                )
+        # The file source orders batches by modification time; the
+        # writer's contract is monotone INGEST order, so the test must
+        # deliver monotone batches (distinct mtimes — same-second
+        # writes can reorder).
+        os.utime(f"{src}/b{i}.json", (1_700_000_000 + i, 1_700_000_000 + i))
+    stream = (
+        spark.readStream.schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    out = str(tmp_path / "out")
+    q = stream_shard_append(
+        stream, out, shard_tokens=SHARD_TOKENS,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(180)
+
+    batch_df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    out_all = str(tmp_path / "all")
+    write_packed_shards(batch_df, out_all, shard_tokens=SHARD_TOKENS)
+    got = _frame(read_shard_census(spark, out))
+    assert got == _frame(read_shard_census(spark, out_all))
+    # replay of an already-applied slice: no-op (no raise, no rows)
+    from gistdex_spark.sources.shard_writer import append_packed_shards  # noqa: F401
+    from gistdex_spark.streaming.ingest import stream_shard_append as _s  # noqa: F401
+
+    n_before = spark.read.parquet(out).count()
+    stream2 = spark.readStream.schema("doc_id BIGINT, text STRING").json(src)
+    q2 = stream_shard_append(
+        stream2, out, shard_tokens=SHARD_TOKENS,
+        checkpoint_dir=str(tmp_path / "ckpt2"),  # fresh ckpt = redelivery
+    )
+    q2.awaitTermination(180)
+    assert spark.read.parquet(out).count() == n_before
+    assert _frame(read_shard_census(spark, out)) == got

@@ -249,6 +249,8 @@ BENCH_QUERIES = [
     # Domain-mixture resampling materialized into shards (surrogate-id
     # stream; real write each lap).
     "resampled_shard_write_census",
+    # Curriculum (quality-DESC) ordering materialized into shards.
+    "curriculum_shard_write_census",
 ]
 
 

@@ -280,6 +280,15 @@ def ab_main(argv: list[str]) -> None:
     ap.add_argument("--runs", type=int, default=3,
                     help="timed laps per side (min is reported)")
     ap.add_argument("--out", default=None, help="also write JSON here")
+    ap.add_argument(
+        "--with-null", action="store_true",
+        help="after the A/B laps, run the same queries against a SECOND "
+        "head worker (head vs head on byte-identical code) and report "
+        "null_ratio_min per query — the harness's own noise floor. The "
+        "r14 null experiment measured first-spawned-worker ratios up to "
+        "~1.27 on identical code; a ratio_min under the null floor is "
+        "NOT evidence of a regression.",
+    )
     args = ap.parse_args(argv)
 
     here = os.path.dirname(os.path.abspath(__file__))
@@ -318,6 +327,7 @@ def ab_main(argv: list[str]) -> None:
 
     head = spawn(here, "head")
     refw = spawn(ref, "ref")
+    procs = [head, refw]
     try:
         results: dict[str, dict] = {}
         # per-side untimed warm-up of every query (JIT/footers), then
@@ -341,11 +351,40 @@ def ab_main(argv: list[str]) -> None:
                     f" ref {results[q]['ref'][-1]:.2f}s",
                     file=sys.stderr, flush=True,
                 )
+        if args.with_null:
+            # Null calibration: the SAME protocol, head vs a second
+            # head worker on byte-identical code. Whatever ratio this
+            # yields is pure harness/process bias (spawn order, JVM
+            # heap layout, ambient steal) — the floor below which the
+            # main ratios carry no signal.
+            null = spawn(here, "null")
+            procs.append(null)
+            for q in names:
+                ask(null, q)
+                results[q]["null_a"] = []
+                results[q]["null_b"] = []
+            for lap in range(args.runs):
+                for q in names:
+                    order = (
+                        [("null_a", head), ("null_b", null)]
+                        if lap % 2 == 0
+                        else [("null_b", null), ("null_a", head)]
+                    )
+                    for label, p in order:
+                        results[q][label].append(round(ask(p, q), 3))
+                    print(
+                        f"# null lap{lap} {q}: a "
+                        f"{results[q]['null_a'][-1]:.2f}s b "
+                        f"{results[q]['null_b'][-1]:.2f}s",
+                        file=sys.stderr, flush=True,
+                    )
+            null.stdin.write(json.dumps({"cmd": "quit"}) + "\n")
+            null.stdin.flush()
         for p in (head, refw):
             p.stdin.write(json.dumps({"cmd": "quit"}) + "\n")
             p.stdin.flush()
     finally:
-        for p in (head, refw):
+        for p in procs:
             if p.poll() is None:
                 p.terminate()
 
@@ -353,6 +392,10 @@ def ab_main(argv: list[str]) -> None:
         r["head_min"] = min(r["head"])
         r["ref_min"] = min(r["ref"])
         r["ratio_min"] = round(r["head_min"] / r["ref_min"], 3)
+        if "null_a" in r:
+            r["null_ratio_min"] = round(
+                min(r["null_a"]) / min(r["null_b"]), 3
+            )
     payload = {
         "metric": "ab_paired_interleaved",
         "sf_dir": sf_dir,

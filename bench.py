@@ -251,6 +251,9 @@ BENCH_QUERIES = [
     "resampled_shard_write_census",
     # Curriculum (quality-DESC) ordering materialized into shards.
     "curriculum_shard_write_census",
+    # Byte-budget media shards (binary payloads through the same
+    # writer; octet-length unit).
+    "media_shard_write_census",
 ]
 
 

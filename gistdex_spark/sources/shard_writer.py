@@ -73,9 +73,11 @@ def write_packed_shards(
         if token_count_col is not None
         else F.size(tokens(F.col(content_col)))
     )
+    # The payload keeps ITS name — the writer is content-agnostic
+    # (text shards, or binary media shards under a byte-count unit).
     toks = df.select(
         "doc_id",
-        F.col(content_col).alias("text"),
+        F.col(content_col),
         n_tok.cast("bigint").alias("n_tok"),
     )
     spans = global_prefix_sum(
@@ -151,7 +153,7 @@ def append_packed_shards(
     )
     toks = df.select(
         "doc_id",
-        F.col(content_col).alias("text"),
+        F.col(content_col),
         n_tok.cast("bigint").alias("n_tok"),
     )
     spans = global_prefix_sum(

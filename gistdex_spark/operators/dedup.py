@@ -967,20 +967,32 @@ def connected_components(
         return as_labels(edges)
     n_p = max(1, edges.rdd.getNumPartitions())  # materialized — no recompute
     needed = cnt // fit_partition_rows + 1
-    # The budget is per TASK, so the average (cnt / n_p) isn't enough:
-    # a band-skewed caller plan can land most edges in one partition.
-    # Max partition size is one cheap agg over the checkpointed blocks;
-    # round-robin repartition (keeping parallelism: at least n_p) evens
-    # it whenever any single partition exceeds the union-find row budget.
-    max_rows = (
-        edges.groupBy(F.spark_partition_id().alias("__p"))
-        .count()
-        .agg(F.max("count"))
-        .first()[0]
-    )
-    if needed > n_p or max_rows > fit_partition_rows:
-        n_p = max(needed, n_p)
-        edges = cut(edges.repartition(n_p))
+    if needed == 1 and cnt * level_shrink <= fit_partition_rows:
+        # Small graph (the whole edge set fits ONE union-find task with
+        # level_shrink× slack): skip the shrink schedule outright — one
+        # single-partition pass is already the exact global answer, so
+        # the intermediate star levels and their per-level skew audits
+        # (2 extra map passes + 2 aggs on a shallow graph) buy nothing.
+        # The row count is already known from the materialized cut, so
+        # this scheduling decision is free; at scale needed > 1 and the
+        # multi-level schedule below runs unchanged.
+        n_p = 1
+        edges = edges.coalesce(1)
+    elif n_p > 1 or needed > n_p:
+        # The budget is per TASK, so the average (cnt / n_p) isn't enough:
+        # a band-skewed caller plan can land most edges in one partition.
+        # Max partition size is one cheap agg over the checkpointed blocks;
+        # round-robin repartition (keeping parallelism: at least n_p) evens
+        # it whenever any single partition exceeds the union-find row budget.
+        max_rows = (
+            edges.groupBy(F.spark_partition_id().alias("__p"))
+            .count()
+            .agg(F.max("count"))
+            .first()[0]
+        )
+        if needed > n_p or max_rows > fit_partition_rows:
+            n_p = max(needed, n_p)
+            edges = cut(edges.repartition(n_p))
     levels = 0
     while levels < max_iter:
         star = cut(_uf_star_pass(edges, "u", "v"))

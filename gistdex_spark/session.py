@@ -46,6 +46,23 @@ def get_spark(
         # Keep parquet scans splittable at 128MB; on 100 TB this yields
         # ~800k input splits which Spark schedules fine.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # FileOutputCommitter v2: task outputs move into place at TASK
+        # commit (parallel) instead of a sequential driver-side merge at
+        # JOB commit. With v1 the hive-partitioned store writers (packed
+        # shards, minhash/band stores) pay one driver-serial rename per
+        # partition directory — measured 20.5 s -> 7.3 s on the 365-dir
+        # media shard write, and at cluster scale the serial job-commit
+        # rename storm is the canonical object-store write bottleneck.
+        # Trade-off (documented, deliberate): a job that dies mid-write
+        # can leave partial task outputs visible. Every store write here
+        # is either per-run scratch (overwritten next run) or guarded by
+        # its own commit protocol (graph_store's atomic pointer flip,
+        # _meta.json sidecars written after data), so job-level rename
+        # atomicity buys nothing this engine relies on.
+        .config(
+            "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
+            "2",
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

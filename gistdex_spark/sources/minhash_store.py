@@ -193,15 +193,30 @@ def _new_old_pairs(
         .localCheckpoint(eager=True)
     )
 
+    # ONE agg computes each band's distinct-value COUNT plus a slice of
+    # at most _PREFILTER_CAP + 1 values: the driver learns whether the
+    # prefilter applies without ever receiving an unbounded value list
+    # (a corpus-sized probe batch used to ship every band value to the
+    # driver only to throw them away on the over-cap fallback). When the
+    # total count is within the cap, every band's set fits its slice, so
+    # the collected values are exactly the full sets.
     sets_row = new_sig.select(
         *[
-            F.collect_set(F.col(f"band{b}")).alias(f"s{b}")
+            F.size(F.collect_set(F.col(f"band{b}"))).alias(f"n{b}")
             for b in range(bands)
-        ]
+        ],
+        *[
+            F.slice(
+                F.array_sort(F.collect_set(F.col(f"band{b}"))),
+                1,
+                _PREFILTER_CAP + 1,
+            ).alias(f"s{b}")
+            for b in range(bands)
+        ],
     ).first()
-    band_sets = [sorted(sets_row[f"s{b}"]) for b in range(bands)]
 
-    if sum(len(s) for s in band_sets) <= _PREFILTER_CAP:
+    if sum(sets_row[f"n{b}"] for b in range(bands)) <= _PREFILTER_CAP:
+        band_sets = [list(sets_row[f"s{b}"]) for b in range(bands)]
         branches = []
         for b, vals in enumerate(band_sets):
             if not vals:

@@ -21,15 +21,20 @@ module closes that gap:
   mangled assignment, or wrote wrong spans cannot pass (the registry's
   ``shard_write_census`` carries exactly that oracle).
 
-Write shape at scale: the assignment comes from ONE
-``global_prefix_sum`` (range exchange — no corpus-wide window), then
-one shuffle on ``shard_id`` so each shard's rows land in one task →
-one file per shard, sorted by ``sortWithinPartitions(doc_id)`` (rows
-inside a parquet file keep task-local sort order). Shards carry equal
-token mass by construction, so the shuffle is skew-free; choose
-``shard_tokens`` so one shard ≈ one target file size (the test
-harness's 2048 tokens is a toy — a 100 TB run uses ~10⁸ tokens/shard,
-keeping the partition count in the thousands).
+Write shape at scale (r14-opt): ONE corpus pass — the assignment comes
+from ONE ``global_prefix_sum`` (range exchange — no corpus-wide
+window) whose materialized staged frame feeds BOTH the data write and
+the manifest aggregation (until r14-opt the manifest was a second full
+``shard_manifest(df)`` pass: a second tokenize of the corpus, a second
+range exchange, and — under a BPE ``token_count_col`` — a second run
+of the tokenizer UDF per document). Then one shuffle on ``shard_id``
+so each shard's rows land in one task → one file per shard, sorted by
+``sortWithinPartitions(doc_id)`` (rows inside a parquet file keep
+task-local sort order). Shards carry equal token mass by construction,
+so the shuffle is skew-free; choose ``shard_tokens`` so one shard ≈
+one target file size (the test harness's 2048 tokens is a toy — a
+100 TB run uses ~10⁸ tokens/shard, keeping the partition count in the
+thousands).
 
 In-shard ORDER is part of the contract (a sequence-packing loader
 concatenates the file top to bottom): pinned in
@@ -46,7 +51,83 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from gistdex_spark.operators.pipeline import global_prefix_sum, shard_manifest
+from gistdex_spark.operators.pipeline import global_prefix_sum
+
+
+def _census_agg(rows: DataFrame) -> DataFrame:
+    """The seven manifest columns aggregated from per-row
+    (shard_id, doc_id, n_tok, start) — ONE definition shared by the
+    write-side manifest (aggregated from the staged frame), the
+    read-side census (aggregated from the written bytes), and the
+    append-side merge, so the three cannot drift. Identical math to
+    ``operators/pipeline.shard_manifest``'s aggregation (equality
+    pinned in tests/test_shard_writer.py)."""
+    return rows.groupBy(
+        F.col("shard_id").cast("bigint").alias("shard_id")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min("doc_id").cast("bigint").alias("doc_from"),
+        F.max("doc_id").cast("bigint").alias("doc_to"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        F.min("start").cast("bigint").alias("token_start"),
+        F.max(F.col("start") + F.col("n_tok"))
+        .cast("bigint")
+        .alias("token_end"),
+    )
+
+
+def _merge_manifests(parts: DataFrame) -> DataFrame:
+    """Merge manifest rows covering DISJOINT row sets of one store
+    (stored census ∪ appended batch): only the boundary shard a
+    straddle-continuing batch lands in appears in both halves, and
+    sum/min/max over the union equals the census over all rows because
+    every underlying row is counted in exactly one half."""
+    return parts.groupBy("shard_id").agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.min("doc_from").cast("bigint").alias("doc_from"),
+        F.max("doc_to").cast("bigint").alias("doc_to"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.min("token_start").cast("bigint").alias("token_start"),
+        F.max("token_end").cast("bigint").alias("token_end"),
+    )
+
+
+def _staged_spans(
+    df: DataFrame,
+    shard_tokens: int,
+    content_col: str,
+    token_count_col,
+    materialize,
+    offset: int = 0,
+) -> DataFrame:
+    """(doc_id, payload, n_tok, start, shard_id): one tokenize pass +
+    one range-exchange prefix sum, shifted by ``offset`` for appends.
+    ``global_prefix_sum`` materializes the ranged frame, so consuming
+    the result twice (data write + manifest aggregation) re-reads the
+    checkpoint instead of re-running the tokenize/UDF pass."""
+    from gistdex_spark.functions.text import tokens  # noqa: PLC0415
+
+    n_tok = (
+        token_count_col
+        if token_count_col is not None
+        else F.size(tokens(F.col(content_col)))
+    )
+    toks = df.select(
+        "doc_id",
+        F.col(content_col),
+        n_tok.cast("bigint").alias("n_tok"),
+    )
+    spans = global_prefix_sum(
+        toks, ["doc_id"], "n_tok", out_col="start", materialize=materialize
+    )
+    if offset:
+        spans = spans.withColumn(
+            "start", (F.col("start") + F.lit(offset)).cast("bigint")
+        )
+    b = F.lit(shard_tokens).cast("bigint")
+    return spans.withColumn(
+        "shard_id", F.floor(F.col("start") / b).cast("bigint")
+    )
 
 
 def write_packed_shards(
@@ -62,45 +143,28 @@ def write_packed_shards(
     ``doc_id`` and ``content_col``). ``token_count_col`` is the token
     unit seam shared with the manifest/packing operators (whitespace
     words by default, a BPE count column for tokenizer-aware budgets).
-    The data pass and the manifest pass each run one prefix sum; both
-    are pure functions of (doc_id order, token counts), so the two
-    frames agree by construction — and :func:`read_shard_census`
-    verifies it from the written bytes."""
-    from gistdex_spark.functions.text import tokens  # noqa: PLC0415
-
-    n_tok = (
-        token_count_col
-        if token_count_col is not None
-        else F.size(tokens(F.col(content_col)))
+    The data write and the manifest are both pure functions of the ONE
+    materialized staged frame (module docstring), so they agree by
+    construction — and :func:`read_shard_census` verifies it from the
+    written bytes."""
+    staged = _staged_spans(
+        df, shard_tokens, content_col, token_count_col, materialize
     )
-    # The payload keeps ITS name — the writer is content-agnostic
-    # (text shards, or binary media shards under a byte-count unit).
-    toks = df.select(
-        "doc_id",
-        F.col(content_col),
-        n_tok.cast("bigint").alias("n_tok"),
-    )
-    spans = global_prefix_sum(
-        toks, ["doc_id"], "n_tok", out_col="start", materialize=materialize
-    )
-    b = F.lit(shard_tokens).cast("bigint")
-    staged = spans.withColumn(
-        "shard_id", F.floor(F.col("start") / b).cast("bigint")
-    )
+    # Sorting by (shard_id, doc_id) is the SAME total order as doc_id
+    # alone (shard_id is monotone in doc_id) but satisfies the dynamic-
+    # partition writer's required ordering, so no task-side sort is
+    # injected and the in-file doc_id contract never depends on the
+    # injected sort being stable.
     (
         staged.repartition("shard_id")
-        .sortWithinPartitions("doc_id")
+        .sortWithinPartitions("shard_id", "doc_id")
         .write.mode(mode)
         .partitionBy("shard_id")
         .parquet(out_path)
     )
-    manifest = shard_manifest(
-        df,
-        shard_tokens=shard_tokens,
-        content_col=content_col,
-        token_count_col=token_count_col,
+    _census_agg(staged).write.mode(mode).parquet(
+        os.path.join(out_path, "_manifest")
     )
-    manifest.write.mode(mode).parquet(os.path.join(out_path, "_manifest"))
 
 
 def append_packed_shards(
@@ -111,6 +175,7 @@ def append_packed_shards(
     content_col: str = "text",
     token_count_col=None,
     materialize=None,
+    stored_census: DataFrame | None = None,
 ) -> None:
     """Daily-ingest form: continue the token stream where the written
     shards end. The batch's spans start at the stored stream length
@@ -125,14 +190,28 @@ def append_packed_shards(
     must all exceed the stored maximum — the assignment rule is a
     function of the doc_id-ordered stream, so an out-of-order batch
     would need to rewrite history (route it through a full rewrite
-    instead). The stored offset/max come from one census read
-    (manifest-sized, not corpus-sized). The manifest sidecar is
-    refreshed from the WRITTEN bytes afterwards, preserving the
-    census == manifest invariant.
-    """
-    from gistdex_spark.functions.text import tokens  # noqa: PLC0415
+    instead). The guard census is aggregated from the WRITTEN bytes
+    (exact under at-least-once redelivery even if a previous manifest
+    refresh crashed), but reads ONLY the narrow span columns — the
+    payload bytes are never re-read. r14-opt: that ONE census is then
+    reused for the manifest refresh (stored census ⊎ batch aggregation,
+    :func:`_merge_manifests`) instead of a second full-store scan, so
+    an append scans the store's span columns once, not twice. The
+    refreshed manifest still equals the written-bytes census by the
+    disjoint-merge argument (pinned in tests/test_shard_writer.py).
 
-    stored = read_shard_census(spark, out_path).agg(
+    ``stored_census``: advanced seam for callers (the streaming mirror)
+    that already aggregated this store's census THIS batch — must be
+    the frame of :func:`read_shard_census` over ``out_path``, current
+    as of this append; anything staler breaks the redelivery guard.
+    """
+    if stored_census is None:
+        stored_census = read_shard_census(spark, out_path)
+    # Shard-count rows; materialized so the guard, the offset scalar and
+    # the manifest merge all read one computed copy (and the manifest
+    # overwrite cannot race its own input scan).
+    stored_census = stored_census.localCheckpoint(eager=True)
+    stored = stored_census.agg(
         F.max("token_end").alias("stream_end"),
         F.max("doc_to").alias("max_doc"),
     ).first()
@@ -146,32 +225,23 @@ def append_packed_shards(
                 f"max {max_doc} — assignment is a function of the doc_id-"
                 f"ordered stream; out-of-order ingest needs a full rewrite"
             )
-    n_tok = (
-        token_count_col
-        if token_count_col is not None
-        else F.size(tokens(F.col(content_col)))
-    )
-    toks = df.select(
-        "doc_id",
-        F.col(content_col),
-        n_tok.cast("bigint").alias("n_tok"),
-    )
-    spans = global_prefix_sum(
-        toks, ["doc_id"], "n_tok", out_col="start", materialize=materialize
-    ).withColumn("start", (F.col("start") + F.lit(stream_end)).cast("bigint"))
-    b = F.lit(shard_tokens).cast("bigint")
-    staged = spans.withColumn(
-        "shard_id", F.floor(F.col("start") / b).cast("bigint")
+    staged = _staged_spans(
+        df, shard_tokens, content_col, token_count_col, materialize,
+        offset=stream_end,
     )
     (
         staged.repartition("shard_id")
-        .sortWithinPartitions("doc_id")
+        .sortWithinPartitions("shard_id", "doc_id")
         .write.mode("append")
         .partitionBy("shard_id")
         .parquet(out_path)
     )
-    manifest = read_shard_census(spark, out_path)
-    manifest.write.mode("overwrite").parquet(os.path.join(out_path, "_manifest"))
+    manifest = _merge_manifests(
+        stored_census.unionByName(_census_agg(staged))
+    )
+    manifest.write.mode("overwrite").parquet(
+        os.path.join(out_path, "_manifest")
+    )
 
 
 def read_shard_census(spark: SparkSession, out_path: str) -> DataFrame:
@@ -180,15 +250,7 @@ def read_shard_census(spark: SparkSession, out_path: str) -> DataFrame:
     (doc_id, n_tok, start) under the hive ``shard_id`` partition
     column. Equality with the manifest (and with the registry's DuckDB
     prefix-sum oracle) is the writer's end-to-end verification."""
-    rows = spark.read.parquet(out_path)
-    return rows.groupBy(F.col("shard_id").cast("bigint").alias("shard_id")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.min("doc_id").cast("bigint").alias("doc_from"),
-        F.max("doc_id").cast("bigint").alias("doc_to"),
-        F.sum("n_tok").cast("bigint").alias("n_tokens"),
-        F.min("start").cast("bigint").alias("token_start"),
-        F.max(F.col("start") + F.col("n_tok")).cast("bigint").alias("token_end"),
-    )
+    return _census_agg(spark.read.parquet(out_path))
 
 
 def read_shard_manifest(spark: SparkSession, out_path: str) -> DataFrame:

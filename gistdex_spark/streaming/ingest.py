@@ -240,10 +240,14 @@ def stream_shard_append(
         from pyspark.errors import AnalysisException  # noqa: PLC0415
 
         try:
-            stored = read_shard_census(spark, out_path).agg(
-                F.max("doc_to").alias("m")
-            ).first()
-            max_doc = stored["m"]
+            # ONE store scan per micro-batch (r14-opt): the census is
+            # materialized here, drives the redelivery filter, and is
+            # handed to append_packed_shards (stored_census seam) so the
+            # append's guard + manifest refresh reuse it instead of
+            # re-scanning the store.
+            census = read_shard_census(spark, out_path).localCheckpoint(
+                eager=True
+            )
         except AnalysisException:
             # Store not created yet (first batch): PATH_NOT_FOUND /
             # UNABLE_TO_INFER_SCHEMA. Anything else (corrupt footer, FS
@@ -251,6 +255,7 @@ def stream_shard_append(
             # second store over a readable one.
             write_packed_shards(batch, out_path, shard_tokens=shard_tokens)
             return
+        max_doc = census.agg(F.max("doc_to").alias("m")).first()["m"]
         fresh = (
             batch.filter(F.col("doc_id") > F.lit(max_doc))
             if max_doc is not None
@@ -259,7 +264,8 @@ def stream_shard_append(
         if not fresh.head(1):
             return
         append_packed_shards(
-            spark, fresh, out_path, shard_tokens=shard_tokens
+            spark, fresh, out_path, shard_tokens=shard_tokens,
+            stored_census=census,
         )
 
     writer = (

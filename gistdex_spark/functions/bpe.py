@@ -48,7 +48,7 @@ from __future__ import annotations
 
 import re
 from collections import Counter
-from typing import Iterable
+from typing import Iterable, Iterator
 
 import pandas as pd
 
@@ -192,13 +192,17 @@ def bpe_tokens_udf(merges: list[list[str]]):
     same closure/memo shape as :func:`bpe_token_count_udf`, returning
     the sequence instead of its length. Map-only; the downstream
     explode is the same shape as the whitespace-token explodes the
-    registry already carries."""
+    registry already carries. Iterator form (guide §4.5): the ranks
+    table and the distinct-word memo are built once per TASK and
+    amortized over every Arrow batch in the partition — the Series
+    form re-derived both every ``maxRecordsPerBatch`` rows, re-running
+    the merge loop for words already seen in the previous batch."""
     from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
 
     frozen = [tuple(m) for m in merges]
 
     @pandas_udf("array<string>")
-    def _toks(texts: pd.Series) -> pd.Series:
+    def _toks(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         ranks = {p: i for i, p in enumerate(frozen)}
         memo: dict[str, list[str]] = {}
 
@@ -212,7 +216,8 @@ def bpe_tokens_udf(merges: list[list[str]]):
                 out.extend(toks)
             return out
 
-        return texts.map(one)
+        for texts in batches:
+            yield texts.map(one)
 
     return _toks
 
@@ -223,16 +228,17 @@ def bpe_tokens(col: Column | str, merges: list[list[str]]) -> Column:
 
 
 def bpe_token_count_udf(merges: list[list[str]]):
-    """Arrow-batched pandas UDF: BPE token count per document. The
-    ranks table is rebuilt lazily on each executor from the closure's
-    merges list; a per-batch word memo collapses the merge loop to one
-    run per distinct word."""
+    """Arrow-batched pandas UDF: BPE token count per document. Iterator
+    form (guide §4.5): the ranks table is built once per TASK from the
+    closure's merges list, and the distinct-word memo spans every batch
+    in the partition — one merge-loop run per distinct word per task,
+    not per batch."""
     from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
 
     frozen = [tuple(m) for m in merges]
 
     @pandas_udf("bigint")
-    def _count(texts: pd.Series) -> pd.Series:
+    def _count(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         ranks = {p: i for i, p in enumerate(frozen)}
         memo: dict[str, int] = {}
 
@@ -246,7 +252,8 @@ def bpe_token_count_udf(merges: list[list[str]]):
                 n += c
             return n
 
-        return texts.map(one)
+        for texts in batches:
+            yield texts.map(one)
 
     return _count
 

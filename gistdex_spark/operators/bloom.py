@@ -7,8 +7,9 @@ filter of the (much smaller) key side — Spark's own runtime filter
 but its `bloom_filter_agg` expression is internal-only, so this module
 builds the same structure from public primitives:
 
-- build: each key sets ``n_hashes`` positions (md5-derived — the
-  repo-standard engine-portable hash) in a ``m_bits`` universe. The
+- build: each key sets ``n_hashes`` positions (seeded xxhash64 — the
+  native long hash, no string digest on the hot probe path) in a
+  ``m_bits`` universe. The
   DISTINCT occupied positions are collected (bounded by the m_bits
   PARAMETER, never the key count — positions saturate) and laid out as a
   dense BOOLEAN array in one broadcast row. Spark's own runtime filter
@@ -16,7 +17,7 @@ builds the same structure from public primitives:
   the collect here is the same bounded step. Dense-array layout matters:
   Spark's ``element_at`` on a MAP is a LINEAR scan (measured 110s at
   sf0.1 with a 131k-entry map), on an ARRAY it is O(1) indexing.
-- probe: ONE md5 + ONE O(1) array index per hash seed, ANDed — a narrow
+- probe: ONE xxhash64 + ONE O(1) array index per hash seed, ANDed — a narrow
   map-side expression, no shuffle, no Python; the fact scan streams past
   the ~m_bits/8-byte broadcast row.
 
@@ -34,16 +35,17 @@ from pyspark.sql import functions as F
 
 
 def _hash_pos(key: Column, seed: int, m_bits: int) -> Column:
-    """60-bit md5 of 'seed:key' mod m_bits — same value in DuckDB via
-    ('0x' || substr(md5(...), 1, 15))::BIGINT % m_bits."""
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat_ws(":", F.lit(str(seed)), key.cast("string"))), 1, 15
-        ),
-        16,
-        10,
-    ).cast("long")
-    return h % F.lit(m_bits)
+    """xxhash64(seed, key) mod m_bits (r14-opt). The original md5-hex →
+    conv(…,16,10) chain cost a string digest + base conversion per seed
+    per probed row — on the 100 TB fact side that is 5 string md5s per
+    row for a predicate whose only contract is "deterministic hash
+    family with no false negatives". xxhash64 is a native codegen'd
+    long hash (the same primitive Spark's internal runtime bloom filter
+    hashes with), and the hash CHOICE is invisible to every caller: the
+    query oracle is the plain join, and false-positive sets only shift
+    which non-matching rows pay the real join. pmod because xxhash64 is
+    signed."""
+    return F.pmod(F.xxhash64(F.lit(seed), key), F.lit(m_bits))
 
 
 def build_bloom(
@@ -81,7 +83,7 @@ def might_contain(
     bf: Column, key: Column, m_bits: int = 131072, n_hashes: int = 5
 ) -> Column:
     """True unless some hash position is unoccupied — the map-side probe
-    predicate: exactly one md5 and one O(1) array index per seed."""
+    predicate: exactly one xxhash64 and one O(1) array index per seed."""
     test = F.lit(True)
     for s in range(n_hashes):
         idx = (_hash_pos(key, s, m_bits) + F.lit(1)).cast("int")

@@ -97,33 +97,16 @@ def repetition_stats(
     sf0.1. Zero shuffles either way; thresholds follow the Gopher rules'
     shape (Rae et al. 2021), tuned for this corpus's 31-word vocabulary.
     """
-    d = df.withColumn("__t", F.split(F.col(content_col), " ")).filter(
-        F.size("__t") >= 2
-    )
-    top_count = (
-        "aggregate(array_sort({arr}), "
-        "struct(cast(null as string) AS prev, 0 AS run, 0 AS best), "
-        "(a, x) -> struct(x AS prev, "
-        "CASE WHEN x <=> a.prev THEN a.run + 1 ELSE 1 END AS run, "
-        "greatest(a.best, CASE WHEN x <=> a.prev THEN a.run + 1 ELSE 1 END)"
-        " AS best), "
-        "a -> a.best)"
-    )
-    bigrams = (
-        "transform(sequence(0, size(__t) - 2), "
-        "i -> concat(__t[i], ' ', __t[i + 1]))"
-    )
+    d = _tokenized_gate_input(df, content_col)
     # No in-engine rounding: int/int division is bit-identical IEEE 754 in
     # Spark and DuckDB, while round()'s tie rule is not guaranteed to match
     # across engines at exact 2^-k fractions (e.g. 1/128 at 6 dp).
     d = d.select(
         "doc_id",
-        (F.size(F.array_distinct("__t")) / F.size("__t")).alias("unique_frac"),
-        (F.expr(top_count.format(arr="__t")) / F.size("__t")).alias(
-            "top_word_frac"
-        ),
+        _unique_frac().alias("unique_frac"),
+        _top_word_frac().alias("top_word_frac"),
         (
-            F.expr(top_count.format(arr=bigrams)) / (F.size("__t") - F.lit(1))
+            F.expr(_TOP_COUNT.format(arr=_BIGRAMS)) / (F.size("__t") - F.lit(1))
         ).alias("top_bigram_frac"),
     )
     return d.withColumn(
@@ -131,6 +114,64 @@ def repetition_stats(
         (F.col("top_word_frac") <= max_top_word_frac)
         & (F.col("unique_frac") >= min_unique_frac),
     )
+
+
+# Shared expression pieces of the Gopher repetition gate — ONE definition
+# for the stats frame (:func:`repetition_stats`) and the in-place filter
+# (:func:`quality_gate`), so the two cannot drift.
+_TOP_COUNT = (
+    "aggregate(array_sort({arr}), "
+    "struct(cast(null as string) AS prev, 0 AS run, 0 AS best), "
+    "(a, x) -> struct(x AS prev, "
+    "CASE WHEN x <=> a.prev THEN a.run + 1 ELSE 1 END AS run, "
+    "greatest(a.best, CASE WHEN x <=> a.prev THEN a.run + 1 ELSE 1 END)"
+    " AS best), "
+    "a -> a.best)"
+)
+_BIGRAMS = (
+    "transform(sequence(0, size(__t) - 2), "
+    "i -> concat(__t[i], ' ', __t[i + 1]))"
+)
+
+
+def _tokenized_gate_input(df: DataFrame, content_col: str) -> DataFrame:
+    return df.withColumn("__t", F.split(F.col(content_col), " ")).filter(
+        F.size("__t") >= 2
+    )
+
+
+def _unique_frac():
+    return F.size(F.array_distinct("__t")) / F.size("__t")
+
+
+def _top_word_frac():
+    return F.expr(_TOP_COUNT.format(arr="__t")) / F.size("__t")
+
+
+def quality_gate(
+    df: DataFrame,
+    content_col: str = "text",
+    max_top_word_frac: float = 0.10,
+    min_unique_frac: float = 0.40,
+) -> DataFrame:
+    """``df`` filtered to the rows :func:`repetition_stats` flags
+    ``quality_pass`` — the gate applied IN PLACE as a zero-shuffle
+    filter (r14-opt, guide §2.4). The curation compositions used to
+    materialize the stats frame and join the corpus back to its passing
+    doc_ids: a corpus-sized self-join (two scans + an exchange on each
+    side at 100 TB) whose only purpose was re-attaching the columns the
+    stats projection had dropped. ``quality_pass`` is a pure per-row
+    function of the content column, so filtering where the rows already
+    are computes the identical frame — same rows (doc_id is unique),
+    same columns — with zero shuffles and one scan, and the gate
+    expressions evaluate fused into whatever stage consumes the
+    survivors. The bigram fraction (reported by the stats frame, unused
+    by the gate) is skipped entirely here."""
+    d = _tokenized_gate_input(df, content_col)
+    return d.filter(
+        (_top_word_frac() <= max_top_word_frac)
+        & (_unique_frac() >= min_unique_frac)
+    ).drop("__t")
 
 
 def pii_redact(
@@ -545,12 +586,11 @@ def curate_with_metrics(docs: DataFrame):
     obs_kept = Observation("curation_kept")
 
     docs = docs.observe(obs_in, F.count(F.lit(1)).alias("n"))
-    stats = repetition_stats(docs)
-    gated = docs.join(
-        stats.filter(F.col("quality_pass")).select("doc_id"), "doc_id"
-    ).observe(obs_gate, F.count(F.lit(1)).alias("n"))
+    gated = quality_gate(docs).observe(
+        obs_gate, F.count(F.lit(1)).alias("n")
+    )
     # Explicit bucket partitions, NOT the auto_salt audit: `gated` is a
-    # derived (join + stats) frame with no cache, and the audit's
+    # derived (gate-filtered) frame with no cache, and the audit's
     # decision collect would re-execute that whole upstream once per
     # CALL — at plan-construction time, before any action. The explicit
     # round-robin measured fastest here anyway (r11 A/B: 3.99 s vs the

@@ -183,7 +183,10 @@ def tokenizer_fertility(
 
 
 def token_entropy(
-    df: DataFrame, content_col: str = "text", gate_bits: float = 4.7
+    df: DataFrame,
+    content_col: str = "text",
+    gate_bits: float = 4.7,
+    extra_cols: tuple = (),
 ) -> DataFrame:
     """Shannon entropy (bits) of each document's TOKEN distribution plus
     the low-entropy gate a spam/keyword-stuffing filter keys on — low
@@ -211,12 +214,18 @@ def token_entropy(
         lambda acc, c: acc
         - (c.cast("double") / n) * F.log2(c.cast("double") / n),
     )
+    # ``extra_cols`` passes input columns through the projection (r14-opt):
+    # lets a composition (the curation funnel) compute several map-only
+    # metric operators in ONE corpus pass instead of joining their
+    # narrow frames back together on doc_id. Default () keeps the
+    # registered query's schema byte-identical.
     return staged.select(
         "doc_id",
         n.cast("bigint").alias("n_tokens"),
         F.size(F.array_distinct(t)).alias("n_types"),
         F.round(ent, ROUND).alias("entropy_bits"),
         (F.round(ent, ROUND) >= F.lit(gate_bits)).alias("entropy_pass"),
+        *[F.col(c) for c in extra_cols],
     )
 
 
@@ -226,6 +235,7 @@ def line_quality_gate(
     line_tokens: int = 7,
     min_line_tokens: int = 5,
     min_distinct_frac: float = 0.7,
+    extra_cols: tuple = (),
 ) -> DataFrame:
     """C4-style LINE-level quality filtering with document reassembly:
     split each document into lines, drop lines that fail the per-line
@@ -258,6 +268,7 @@ def line_quality_gate(
         "__n_lines", n_lines
     )
     kept = F.col("__kept")
+    # extra_cols: see token_entropy — one-pass metric composition seam.
     return staged.select(
         "doc_id",
         F.col("__n_lines").alias("n_lines"),
@@ -272,4 +283,5 @@ def line_quality_gate(
         F.array_join(
             F.transform(kept, lambda ln: F.array_join(ln, " ")), "\n"
         ).alias("clean_text"),
+        *[F.col(c) for c in extra_cols],
     )

@@ -85,7 +85,7 @@ def main() -> None:
                     "exec_jobs": j2 - j1,
                 }
             )
-        best = min(laps, key=lambda r: r["build_sec"] + r["exec_sec"])
+        best = dict(min(laps, key=lambda r: r["build_sec"] + r["exec_sec"]))
         best["laps"] = laps
         results[name] = best
         print(

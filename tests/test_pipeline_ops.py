@@ -79,6 +79,60 @@ def test_repetition_stats_flags_degenerate_doc(spark):
     assert got[2]["top_bigram_frac"] == 1.0 / 3.0
 
 
+def test_quality_gate_equals_stats_join(spark):
+    # r14-opt: quality_gate replaces the curation compositions'
+    # docs ⋈ repetition_stats.filter(quality_pass) self-join with an
+    # in-place zero-shuffle filter — this pins the frame equality the
+    # swap rests on (same rows, same columns), including the implicit
+    # <2-word drop the stats frame's pre-filter used to apply.
+    from gistdex_spark.operators.pipeline import quality_gate
+
+    df = _docs(
+        spark,
+        [
+            (1, "spam spam spam spam"),        # fails top_word_frac
+            (2, "all words here differ now"),  # passes
+            (3, "one"),                        # <2 words: dropped
+            (4, "x y z w v u t s r q"),        # passes
+            (5, "a a a a b c d e f g"),        # 0.4 top_word: fails
+        ],
+    )
+    stats = repetition_stats(df)
+    joined = df.join(
+        stats.filter(F.col("quality_pass")).select("doc_id"), "doc_id"
+    )
+    gated = quality_gate(df)
+    assert gated.columns == joined.columns
+    assert sorted(map(tuple, gated.collect())) == sorted(
+        map(tuple, joined.collect())
+    )
+    # and the gate really is shuffle-free: no exchange in its plan
+    plan = gated._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_metric_extra_cols_passthrough(spark):
+    # r14-opt one-pass funnel metrics: extra_cols must pass base columns
+    # through unchanged and leave the default schema byte-identical.
+    from gistdex_spark.operators.textstats import (
+        line_quality_gate,
+        token_entropy,
+    )
+
+    df = _docs(spark, [(1, "a b c d e f g h"), (2, "k k k k k k k")])
+    base = {r["doc_id"]: r for r in token_entropy(df).collect()}
+    chained = line_quality_gate(
+        token_entropy(df, extra_cols=("text",)), extra_cols=("entropy_bits",)
+    )
+    lq = {r["doc_id"]: r for r in line_quality_gate(df).collect()}
+    for r in chained.collect():
+        assert r["entropy_bits"] == base[r["doc_id"]]["entropy_bits"]
+        assert r["kept_frac"] == lq[r["doc_id"]]["kept_frac"]
+    assert token_entropy(df).columns == [
+        "doc_id", "n_tokens", "n_types", "entropy_bits", "entropy_pass",
+    ]
+
+
 def test_contamination_plan_broadcasts_benchmark(spark):
     corpus = _docs(spark, [(i, f"a b c d{i} e") for i in range(20)])
     bench = _docs(spark, [(99, "a b c d e")])

@@ -72,10 +72,18 @@ from gistdex_spark.sources.store_meta import read_store_meta, write_store_meta
 _PREFILTER_CAP = 4096
 
 
-def _p0(band0_col):
-    """Partition key: first byte of band0's md5 hex — 256 directories,
-    derivable from the band value on both the write and probe sides."""
-    return F.substring(band0_col, 1, 2)
+def _p0(band0_col, p0_chars: int = 2):
+    """Partition key: leading ``p0_chars`` hex chars of band0's md5 —
+    16**p0_chars directories, derivable from the band value on both the
+    write and probe sides. The width is a LAYOUT property recorded in
+    the store sidecar (r14-opt, guide §2/§6 scale-adaptive
+    partitioning): a corpus-scale store wants 256 dirs so probe pruning
+    skips ~255/256 of the bytes, but a small fixed store (a benchmark
+    suite's signatures) pays ~256 near-empty directory commits and
+    listings per write for pruning that saves nothing — 16 dirs is the
+    right layout there, at toy SF and on a cluster alike. Results never
+    depend on the width; only IO skipping does."""
+    return F.substring(band0_col, 1, p0_chars)
 
 
 def _with_doc_id(df: DataFrame, id_col: str) -> DataFrame:
@@ -99,20 +107,29 @@ def write_minhash_store(
     bands: int = 4,
     n: int = 5,
     mode: str = "overwrite",
+    p0_chars: int | None = None,
 ) -> None:
     """Signature + band-key columns, hive-partitioned by the band0
-    prefix byte. On APPEND the sidecar geometry is validated BEFORE any
-    rows land (the lsh_store discipline)."""
+    prefix (``p0_chars`` hex chars — see :func:`_p0`; default 2 =
+    256 dirs, the corpus-scale layout; pass 1 for small fixed stores).
+    On APPEND the sidecar geometry — including the partition width —
+    is validated BEFORE any rows land (the lsh_store discipline)."""
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
-    facts = {"num_hashes": num_hashes, "bands": bands, "n": n}
-    if mode == "append":
-        existing = read_store_meta(path)
-        if existing is not None and existing != facts:
-            raise ValueError(
-                f"minhash_store geometry mismatch on append: store has "
-                f"{existing}, batch writes {facts}"
-            )
+    existing = read_store_meta(path) if mode == "append" else None
+    if p0_chars is None:
+        # Appends inherit the store's layout; fresh writes default to
+        # the corpus-scale width.
+        p0_chars = int((existing or {}).get("p0_chars", 2))
+    facts = {
+        "num_hashes": num_hashes, "bands": bands, "n": n,
+        "p0_chars": int(p0_chars),
+    }
+    if existing is not None and _meta_facts(existing) != facts:
+        raise ValueError(
+            f"minhash_store geometry mismatch on append: store has "
+            f"{existing}, batch writes {facts}"
+        )
     sig = minhash_signatures(
         _with_doc_id(docs, id_col), content_col, num_hashes, n
     )
@@ -120,7 +137,7 @@ def write_minhash_store(
         sig = sig.select(F.col("doc_id").alias(id_col), "sig")
     banded = sig.select(
         id_col, "sig", *minhash_band_keys("sig", num_hashes, bands)
-    ).withColumn("p0", _p0(F.col("band0")))
+    ).withColumn("p0", _p0(F.col("band0"), p0_chars))
     (
         banded.repartition("p0")
         .write.mode(mode)
@@ -130,17 +147,33 @@ def write_minhash_store(
     write_store_meta(path, **facts)
 
 
+def _meta_facts(meta: dict) -> dict:
+    """A stored meta dict normalized for geometry comparison: stores
+    written before the layout width was recorded are 2-char (256-dir)
+    by construction."""
+    out = dict(meta)
+    out["p0_chars"] = int(out.get("p0_chars", 2))
+    return out
+
+
 def _validated_geometry(
     path: str, num_hashes: int, bands: int, n: int
-) -> None:
+) -> int:
+    """Raise on signature-geometry mismatch; return the store's
+    partition-prefix width (the LAYOUT fact the probe needs for its
+    pruning predicate — not part of the caller-visible geometry)."""
     meta = read_store_meta(path)
-    if meta is not None and meta != {
-        "num_hashes": num_hashes, "bands": bands, "n": n,
-    }:
+    if meta is None:
+        return 2
+    facts = _meta_facts(meta)
+    if {
+        k: facts[k] for k in ("num_hashes", "bands", "n") if k in facts
+    } != {"num_hashes": num_hashes, "bands": bands, "n": n}:
         raise ValueError(
             f"minhash_store geometry mismatch: store has {meta}; caller "
             f"passed num_hashes={num_hashes}, bands={bands}, n={n}"
         )
+    return facts["p0_chars"]
 
 
 def incremental_pairs_stored(
@@ -184,7 +217,7 @@ def _new_old_pairs(
     admission filter needs to know which BATCH document matched."""
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
-    _validated_geometry(path, num_hashes, bands, n)
+    p0_chars = _validated_geometry(path, num_hashes, bands, n)
     rpb = num_hashes // bands
 
     new_sig = (
@@ -227,8 +260,9 @@ def _new_old_pairs(
                 # band0's values determine their p0 prefixes exactly, so
                 # the prefix IN-list is a pure partition predicate
                 # (directories pruned before IO) layered UNDER the
-                # pushed band0 string filter.
-                prefixes = sorted({v[:2] for v in vals})
+                # pushed band0 string filter. Width comes from the
+                # store's recorded layout.
+                prefixes = sorted({v[:p0_chars] for v in vals})
                 cond = F.col("p0").isin(prefixes) & cond
             branches.append(
                 scan.filter(cond).select(

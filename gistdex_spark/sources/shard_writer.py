@@ -21,20 +21,26 @@ module closes that gap:
   mangled assignment, or wrote wrong spans cannot pass (the registry's
   ``shard_write_census`` carries exactly that oracle).
 
-Write shape at scale (r14-opt): ONE corpus pass — the assignment comes
-from ONE ``global_prefix_sum`` (range exchange — no corpus-wide
-window) whose materialized staged frame feeds BOTH the data write and
-the manifest aggregation (until r14-opt the manifest was a second full
-``shard_manifest(df)`` pass: a second tokenize of the corpus, a second
-range exchange, and — under a BPE ``token_count_col`` — a second run
-of the tokenizer UDF per document). Then one shuffle on ``shard_id``
-so each shard's rows land in one task → one file per shard, sorted by
-``sortWithinPartitions(doc_id)`` (rows inside a parquet file keep
-task-local sort order). Shards carry equal token mass by construction,
-so the shuffle is skew-free; choose ``shard_tokens`` so one shard ≈
-one target file size (the test harness's 2048 tokens is a toy — a
-100 TB run uses ~10⁸ tokens/shard, keeping the partition count in the
-thousands).
+Write shape at scale (r14-opt): decide with small rows, move big rows
+once (the §8 discipline of the optimization guide). The assignment
+comes from ONE ``global_prefix_sum`` over NARROW metadata —
+(doc_id, n_tok) only; one range exchange, no corpus-wide window, and
+the materialized checkpoint holds a few dozen bytes per document no
+matter how large the payloads are (the pre-r14-opt shape ran the
+prefix sum over the payload-bearing rows, checkpointing the whole
+corpus and shuffling payload bytes through the range exchange, and
+then ran a SECOND full tokenize pass for the manifest). The narrow
+assignment frame feeds the manifest aggregation directly and joins
+back to the payload rows for the data write — broadcast when it fits,
+a co-shuffled doc_id join past that — so payload bytes cross exactly
+one exchange locally (the final ``repartition("shard_id")``) and are
+never checkpointed. Each shard's rows land in one task → one file per
+shard, sorted by ``sortWithinPartitions(shard_id, doc_id)`` (rows
+inside a parquet file keep task-local sort order). Shards carry equal
+token mass by construction, so the shuffle is skew-free; choose
+``shard_tokens`` so one shard ≈ one target file size (the test
+harness's 2048 tokens is a toy — a 100 TB run uses ~10⁸ tokens/shard,
+keeping the partition count in the thousands).
 
 In-shard ORDER is part of the contract (a sequence-packing loader
 concatenates the file top to bottom): pinned in
@@ -92,7 +98,7 @@ def _merge_manifests(parts: DataFrame) -> DataFrame:
     )
 
 
-def _staged_spans(
+def _narrow_spans(
     df: DataFrame,
     shard_tokens: int,
     content_col: str,
@@ -100,11 +106,21 @@ def _staged_spans(
     materialize,
     offset: int = 0,
 ) -> DataFrame:
-    """(doc_id, payload, n_tok, start, shard_id): one tokenize pass +
-    one range-exchange prefix sum, shifted by ``offset`` for appends.
-    ``global_prefix_sum`` materializes the ranged frame, so consuming
-    the result twice (data write + manifest aggregation) re-reads the
-    checkpoint instead of re-running the tokenize/UDF pass."""
+    """NARROW assignment frame (doc_id, n_tok, start, shard_id): one
+    tokenize pass + one range-exchange prefix sum over metadata only,
+    shifted by ``offset`` for appends.
+
+    r14-opt (guide §8 — decide with small rows, move big rows once):
+    the payload column stays OUT of this frame. The previous shape ran
+    the prefix sum over (doc_id, payload, n_tok), so the payload rode
+    the range exchange AND was materialized wholesale in the prefix
+    sum's localCheckpoint — at 100 TB that checkpoints the entire
+    corpus to decide byte offsets that depend only on (doc_id, n_tok).
+    Now the checkpoint holds a few dozen bytes per document regardless
+    of payload size; ``global_prefix_sum`` still materializes the
+    ranged frame, so every consumer (data-write join, manifest
+    aggregation, append guard math) reads ONE evaluated copy and the
+    sample-seeded range boundaries cannot disagree between them."""
     from gistdex_spark.functions.text import tokens  # noqa: PLC0415
 
     n_tok = (
@@ -114,7 +130,6 @@ def _staged_spans(
     )
     toks = df.select(
         "doc_id",
-        F.col(content_col),
         n_tok.cast("bigint").alias("n_tok"),
     )
     spans = global_prefix_sum(
@@ -127,6 +142,22 @@ def _staged_spans(
     b = F.lit(shard_tokens).cast("bigint")
     return spans.withColumn(
         "shard_id", F.floor(F.col("start") / b).cast("bigint")
+    )
+
+
+def _attach_payload(
+    df: DataFrame, spans: DataFrame, content_col: str
+) -> DataFrame:
+    """(doc_id, payload, n_tok, start, shard_id): the materialized
+    narrow assignment joined back to the payload rows. doc_id is unique,
+    so this is 1:1. The planner broadcasts the spans side whenever it
+    fits (locally it always does — narrow rows), in which case the
+    payload's ONLY exchange is the final repartition("shard_id") into
+    its output shard; past broadcast scale it degrades to a co-shuffled
+    join on doc_id, which still never materializes payload bytes in a
+    checkpoint (guide §8.4's attach discussion)."""
+    return df.select("doc_id", F.col(content_col)).join(
+        spans, "doc_id"
     )
 
 
@@ -144,12 +175,15 @@ def write_packed_shards(
     unit seam shared with the manifest/packing operators (whitespace
     words by default, a BPE count column for tokenizer-aware budgets).
     The data write and the manifest are both pure functions of the ONE
-    materialized staged frame (module docstring), so they agree by
-    construction — and :func:`read_shard_census` verifies it from the
-    written bytes."""
-    staged = _staged_spans(
+    materialized narrow assignment frame (module docstring), so they
+    agree by construction — and :func:`read_shard_census` verifies it
+    from the written bytes. The manifest aggregates the narrow frame
+    directly: the payload never feeds it, so its branch touches no
+    payload bytes at all."""
+    spans = _narrow_spans(
         df, shard_tokens, content_col, token_count_col, materialize
     )
+    staged = _attach_payload(df, spans, content_col)
     # Sorting by (shard_id, doc_id) is the SAME total order as doc_id
     # alone (shard_id is monotone in doc_id) but satisfies the dynamic-
     # partition writer's required ordering, so no task-side sort is
@@ -162,7 +196,7 @@ def write_packed_shards(
         .partitionBy("shard_id")
         .parquet(out_path)
     )
-    _census_agg(staged).write.mode(mode).parquet(
+    _census_agg(spans).write.mode(mode).parquet(
         os.path.join(out_path, "_manifest")
     )
 
@@ -225,10 +259,11 @@ def append_packed_shards(
                 f"max {max_doc} — assignment is a function of the doc_id-"
                 f"ordered stream; out-of-order ingest needs a full rewrite"
             )
-    staged = _staged_spans(
+    spans = _narrow_spans(
         df, shard_tokens, content_col, token_count_col, materialize,
         offset=stream_end,
     )
+    staged = _attach_payload(df, spans, content_col)
     (
         staged.repartition("shard_id")
         .sortWithinPartitions("shard_id", "doc_id")
@@ -237,7 +272,7 @@ def append_packed_shards(
         .parquet(out_path)
     )
     manifest = _merge_manifests(
-        stored_census.unionByName(_census_agg(staged))
+        stored_census.unionByName(_census_agg(spans))
     )
     manifest.write.mode("overwrite").parquet(
         os.path.join(out_path, "_manifest")

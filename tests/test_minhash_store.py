@@ -293,6 +293,38 @@ def test_id_col_honored_end_to_end(spark, split, tmp_path_factory):
     ) == []
 
 
+def test_p0_width_is_layout_only(spark, split, tmp_path_factory):
+    """r14-opt: the partition-prefix width is a LAYOUT property recorded
+    in the sidecar — a 16-dir store (p0_chars=1) must (a) record the
+    width, (b) derive 1-char pruning prefixes in the probe, (c) return
+    pair frames identical to the default 256-dir store, and (d) guard
+    appends: an explicit mismatching width raises before rows land,
+    while an unspecified width inherits the store's."""
+    new, old = split
+    path1 = str(tmp_path_factory.mktemp("minhash_p01") / "store")
+    write_minhash_store(old, path1, p0_chars=1)
+    meta = __import__(
+        "gistdex_spark.sources.store_meta", fromlist=["read_store_meta"]
+    ).read_store_meta(path1)
+    assert meta["p0_chars"] == 1
+    df = incremental_pairs_stored(spark, path1, new, threshold=TH)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[p0#\d+ INSET ((?:\w+)(?:, \w+)*)", plan)
+    assert m and all(len(v) == 1 for v in m.group(1).split(", "))
+    path2 = str(tmp_path_factory.mktemp("minhash_p02") / "store")
+    write_minhash_store(old, path2)
+    want = _frame(incremental_pairs_stored(spark, path2, new, threshold=TH))
+    assert _frame(df) == want and len(want) > 0
+    # appends: explicit mismatch raises before any rows land …
+    n_before = spark.read.parquet(path1).count()
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        write_minhash_store(new, path1, mode="append", p0_chars=2)
+    assert spark.read.parquet(path1).count() == n_before
+    # … and an unspecified width inherits the store's layout
+    write_minhash_store(new, path1, mode="append")
+    assert spark.read.parquet(path1).count() == n_before + new.count()
+
+
 def test_decontaminate_stored_equals_between(spark, tmp_path):
     """Stored-benchmark decontamination: probing the corpus against a
     persisted benchmark store must be frame-equal to the recompute

@@ -737,8 +737,9 @@ def test_rag_pipeline_broadcasts_selection_not_corpus(q):
 def test_bloom_probe_prunes_before_the_join(q):
     """The bloom predicate must sit on the lineitem side BELOW the
     equi-join (probe-then-join, not join-then-probe): in the plan tree
-    the md5 probe filter prints after the equi-join node and before the
-    lineitem scan it guards."""
+    the hash probe filter prints after the equi-join node and before the
+    lineitem scan it guards. r14-opt: the probe hash is seeded xxhash64
+    (native codegen long hash), no longer the md5-hex -> conv chain."""
     df = q("bloom_prefilter_revenue")
     plan = executed_plan(df)
     assert "CartesianProduct" not in plan
@@ -750,7 +751,8 @@ def test_bloom_probe_prunes_before_the_join(q):
     # the probe predicate rides the bloom-attach BNLJ's join condition
     l_probe = next(
         i for i, ln in enumerate(lines)
-        if "md5" in ln and ("Filter" in ln or "BroadcastNestedLoopJoin" in ln)
+        if "xxhash64" in ln
+        and ("Filter" in ln or "BroadcastNestedLoopJoin" in ln)
     )
     l_scan = next(
         i for i, ln in enumerate(lines) if "lineitem.parquet" in ln

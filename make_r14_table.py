@@ -11,8 +11,9 @@ bq, fq = base["queries"], fin["queries"]
 TOUCHED = {
     **{q: ("1,2 (writer one-pass/narrow-spans + committer v2)")
        for q in ["shard_write_census", "shard_write_census_bpe",
-                  "media_shard_write_census", "curriculum_shard_write_census",
-                  "resampled_shard_write_census", "shard_append_census"]},
+                  "media_shard_write_census", "resampled_shard_write_census", "shard_append_census"]},
+    "curriculum_shard_write_census":
+        "1,2,12 (writer one-pass + narrow-rank stamp)",
     "curated_shard_write_census": "1,2,8 (writer + zero-shuffle gate)",
     "eval_decontaminate_minhash_stored": "4,5 (bounded prefilter + p0 layout)",
     **{q: "3 (CC small-graph fast path)"

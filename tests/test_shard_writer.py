@@ -242,3 +242,33 @@ def test_stream_shard_append_matches_single_write(spark, tmp_path):
     q2.awaitTermination(180)
     assert spark.read.parquet(out).count() == n_before
     assert _frame(read_shard_census(spark, out)) == got
+
+
+def test_curriculum_writer_ranks_narrow_rows(spark, monkeypatch):
+    """curriculum_shard_write_census must stamp its curriculum order on
+    NARROW (doc_id, quality) rows — the global_row_index docstring's own
+    rule: the rank depends only on (quality, doc_id), so the range
+    exchange and the materialized (checkpointed) ranged frame must never
+    carry the text payload. The payload joins the rank map by doc_id
+    once, on its way into the writer. Regression guard for the r14-opt
+    restructure; the VALUE is separately oracle-gated (parity suite)."""
+    from gistdex_spark.operators import pipeline as pipeline_mod
+    from gistdex_spark.queries import REGISTRY
+
+    seen: list[list[str]] = []
+    real = pipeline_mod.global_row_index
+
+    def spy(df, *args, **kwargs):
+        seen.append(list(df.columns))
+        return real(df, *args, **kwargs)
+
+    monkeypatch.setattr(
+        "gistdex_spark.queries.P.global_row_index", spy
+    )
+    REGISTRY["curriculum_shard_write_census"](spark, SF_CORRECTNESS).collect()
+    assert seen, "curriculum writer no longer routes through global_row_index"
+    for cols in seen:
+        assert "text" not in cols, (
+            f"rank input must be narrow, got {cols}: payload bytes would "
+            "cross the range exchange and be materialized by the checkpoint"
+        )

@@ -54,11 +54,15 @@ def get_spark(
         # media shard write, and at cluster scale the serial job-commit
         # rename storm is the canonical object-store write bottleneck.
         # Trade-off (documented, deliberate): a job that dies mid-write
-        # can leave partial task outputs visible. Every store write here
-        # is either per-run scratch (overwritten next run) or guarded by
-        # its own commit protocol (graph_store's atomic pointer flip,
-        # _meta.json sidecars written after data), so job-level rename
-        # atomicity buys nothing this engine relies on.
+        # can leave partial task outputs visible. Store writes here are
+        # per-run scratch (overwritten next run), guarded by their own
+        # commit protocol (graph_store's atomic pointer flip, _meta.json
+        # sidecars written after data), or — for the one path where
+        # partial visibility WOULD corrupt recovery, the persistent
+        # packed-shard append whose redelivery guard filters on stored
+        # max doc_id — explicitly scoped back to v1 per-write plus a
+        # stream-contiguity check (sources/shard_writer._with_committer
+        # / _check_untorn; r14 ADVICE high).
         .config(
             "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
             "2",

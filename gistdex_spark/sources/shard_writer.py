@@ -32,10 +32,15 @@ corpus and shuffling payload bytes through the range exchange, and
 then ran a SECOND full tokenize pass for the manifest). The narrow
 assignment frame feeds the manifest aggregation directly and joins
 back to the payload rows for the data write — broadcast when it fits,
-a co-shuffled doc_id join past that — so payload bytes cross exactly
-one exchange locally (the final ``repartition("shard_id")``) and are
-never checkpointed. Each shard's rows land in one task → one file per
-shard, sorted by ``sortWithinPartitions(shard_id, doc_id)`` (rows
+a co-shuffled doc_id join past that — so payload bytes are never
+checkpointed and cross ONE exchange while the spans side broadcasts
+(the final ``repartition("shard_id")``) or TWO past broadcast scale
+(the doc_id join's co-shuffle plus the shard repartition; at 100 TB
+the spans frame is corpus-row-count-sized, so the two-exchange shape
+is the honest production expectation — still strictly better than the
+pre-r14 form, which checkpointed every payload byte AND shuffled it
+through the range exchange). Each shard's rows land in one task → one
+file per shard, sorted by ``sortWithinPartitions(shard_id, doc_id)`` (rows
 inside a parquet file keep task-local sort order). Shards carry equal
 token mass by construction, so the shuffle is skew-free; choose
 ``shard_tokens`` so one shard ≈ one target file size (the test
@@ -58,6 +63,52 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gistdex_spark.operators.pipeline import global_prefix_sum
+
+
+def _with_committer(writer, committer_version):
+    """Per-WRITE FileOutputCommitter algorithm override: DataFrameWriter
+    options are injected into the write job's Hadoop conf
+    (``newHadoopConfWithOptions``), so this scopes the committer to one
+    write without touching the session-wide v2 default (session.py).
+    The streaming shard-append path passes ``"1"``: v2 publishes task
+    outputs immediately, so a job dying mid-append leaves a torn batch
+    VISIBLE, and the replay's max-doc redelivery guard would then drop
+    the batch's unwritten lower-doc rows forever (r14 ADVICE). With v1
+    nothing is visible until job commit; the remaining tear window (a
+    crash inside job commit itself) is caught by the contiguity
+    verification in :func:`append_packed_shards`. Plumbing is
+    empirically pinned by tests/test_shard_writer.py (an invalid
+    version must raise from inside the committer)."""
+    if committer_version is not None:
+        writer = writer.option(
+            "mapreduce.fileoutputcommitter.algorithm.version",
+            str(committer_version),
+        )
+    return writer
+
+
+def _check_untorn(stored, out_path: str) -> None:
+    """Torn-store detection from the census scalars: written spans are
+    disjoint by construction and a correct store tiles [0, total)
+    exactly (test-pinned), so min(token_start) == 0 and
+    sum(n_tokens) == max(token_end) iff no interior rows are missing. A
+    tear that lost only the TOP of a batch is indistinguishable from a
+    shorter successful append and heals on replay; any interior hole
+    means a committer published part of a crashed job (v2 semantics) —
+    appending past it would freeze the gap into the stream, so raise
+    loudly instead of silently dropping the replayed rows."""
+    stream_end = int(stored["stream_end"] or 0)
+    sum_tokens = int(stored["sum_tokens"] or 0)
+    min_start = int(stored["min_start"] or 0)
+    if min_start != 0 or sum_tokens != stream_end:
+        raise ValueError(
+            f"shard store at {out_path} is torn: stored spans cover "
+            f"{sum_tokens} tokens but the stream claims "
+            f"[{min_start}, {stream_end}) — a previous write crashed "
+            f"after publishing partial task output. Repair by "
+            f"rewriting the store (write_packed_shards over the full "
+            f"source) before appending."
+        )
 
 
 def _census_agg(rows: DataFrame) -> DataFrame:
@@ -169,6 +220,7 @@ def write_packed_shards(
     token_count_col=None,
     materialize=None,
     mode: str = "overwrite",
+    committer_version: str | None = None,
 ) -> None:
     """Write the packed shards + manifest for ``df`` (must carry
     ``doc_id`` and ``content_col``). ``token_count_col`` is the token
@@ -179,7 +231,17 @@ def write_packed_shards(
     agree by construction — and :func:`read_shard_census` verifies it
     from the written bytes. The manifest aggregates the narrow frame
     directly: the payload never feeds it, so its branch touches no
-    payload bytes at all."""
+    payload bytes at all.
+
+    ``df`` must be DETERMINISTIC (stable rows across re-evaluation):
+    the narrow spans are frozen by the prefix-sum materialization, but
+    the payload branch re-evaluates ``df``'s lineage when it joins back
+    — a nondeterministic ``df`` (fresh ``rand()``, a re-sampled
+    source) could write text that disagrees with the frozen
+    (n_tok, start), and the census cannot detect it because ``n_tok``
+    is written from the spans rather than recomputed from the written
+    payload. Pass a materialized (checkpointed/persisted) frame when in
+    doubt; every in-repo caller reads deterministic parquet lineage."""
     spans = _narrow_spans(
         df, shard_tokens, content_col, token_count_col, materialize
     )
@@ -190,9 +252,12 @@ def write_packed_shards(
     # injected and the in-file doc_id contract never depends on the
     # injected sort being stable.
     (
-        staged.repartition("shard_id")
-        .sortWithinPartitions("shard_id", "doc_id")
-        .write.mode(mode)
+        _with_committer(
+            staged.repartition("shard_id")
+            .sortWithinPartitions("shard_id", "doc_id")
+            .write.mode(mode),
+            committer_version,
+        )
         .partitionBy("shard_id")
         .parquet(out_path)
     )
@@ -210,6 +275,7 @@ def append_packed_shards(
     token_count_col=None,
     materialize=None,
     stored_census: DataFrame | None = None,
+    committer_version: str | None = None,
 ) -> None:
     """Daily-ingest form: continue the token stream where the written
     shards end. The batch's spans start at the stored stream length
@@ -238,6 +304,10 @@ def append_packed_shards(
     that already aggregated this store's census THIS batch — must be
     the frame of :func:`read_shard_census` over ``out_path``, current
     as of this append; anything staler breaks the redelivery guard.
+
+    ``df`` must be DETERMINISTIC, exactly as for
+    :func:`write_packed_shards` (same spans-vs-payload split, same
+    hazard).
     """
     if stored_census is None:
         stored_census = read_shard_census(spark, out_path)
@@ -245,29 +315,45 @@ def append_packed_shards(
     # the manifest merge all read one computed copy (and the manifest
     # overwrite cannot race its own input scan).
     stored_census = stored_census.localCheckpoint(eager=True)
+    # ONE agg carries every guard scalar (r15-opt: the monotone guard's
+    # separate full-batch scan is gone too — see below) plus the
+    # torn-store tiling check (r14 ADVICE: with committer v2 a crashed
+    # append can publish partial task output; the max-doc redelivery
+    # guard alone would then drop the replay's missing rows forever).
     stored = stored_census.agg(
         F.max("token_end").alias("stream_end"),
         F.max("doc_to").alias("max_doc"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.min("token_start").alias("min_start"),
     ).first()
+    _check_untorn(stored, out_path)
     stream_end = int(stored["stream_end"] or 0)
     max_doc = stored["max_doc"]
+    spans = _narrow_spans(
+        df, shard_tokens, content_col, token_count_col, materialize,
+        offset=stream_end,
+    )
+    # Monotone-ingest guard on the MATERIALIZED narrow spans (one tiny
+    # agg over checkpointed (doc_id, n_tok) rows) instead of a second
+    # scan of the batch source — same contract, one fewer pass; the
+    # error path now pays the tokenize before raising, which is fine
+    # for an exceptional path.
     if max_doc is not None:
-        behind = df.filter(F.col("doc_id") <= F.lit(max_doc)).head(1)
-        if behind:
+        min_doc = spans.agg(F.min("doc_id").alias("m")).first()["m"]
+        if min_doc is not None and min_doc <= max_doc:
             raise ValueError(
                 f"append_packed_shards: batch contains doc_id <= stored "
                 f"max {max_doc} — assignment is a function of the doc_id-"
                 f"ordered stream; out-of-order ingest needs a full rewrite"
             )
-    spans = _narrow_spans(
-        df, shard_tokens, content_col, token_count_col, materialize,
-        offset=stream_end,
-    )
     staged = _attach_payload(df, spans, content_col)
     (
-        staged.repartition("shard_id")
-        .sortWithinPartitions("shard_id", "doc_id")
-        .write.mode("append")
+        _with_committer(
+            staged.repartition("shard_id")
+            .sortWithinPartitions("shard_id", "doc_id")
+            .write.mode("append"),
+            committer_version,
+        )
         .partitionBy("shard_id")
         .parquet(out_path)
     )

@@ -223,6 +223,18 @@ def stream_shard_append(
     is filtered against it (one manifest-sized census read) and a full
     replay becomes a no-op instead of raising or double-appending. The
     first batch bootstraps the store.
+
+    Crash safety (r14 ADVICE high): this PERSISTENT max-doc-guarded
+    store must not inherit the session-wide FileOutputCommitter v2 —
+    v2 publishes task output immediately, so a job dying mid-append
+    leaves a torn batch visible and the max-doc filter would drop the
+    replay's unwritten lower-doc rows forever. Every write on this path
+    therefore scopes the committer back to v1 per-write
+    (``committer_version="1"`` — nothing visible before job commit),
+    and the guard additionally VERIFIES stream contiguity from the
+    census before trusting max_doc (the tiling check also runs inside
+    ``append_packed_shards``), so even a tear inside v1's job-commit
+    window surfaces as a loud error instead of a silent gap.
     """
     from pyspark.sql import functions as F  # noqa: PLC0415
 
@@ -253,9 +265,28 @@ def stream_shard_append(
             # UNABLE_TO_INFER_SCHEMA. Anything else (corrupt footer, FS
             # error) must SURFACE — swallowing it would bootstrap a
             # second store over a readable one.
-            write_packed_shards(batch, out_path, shard_tokens=shard_tokens)
+            write_packed_shards(
+                batch, out_path, shard_tokens=shard_tokens,
+                committer_version="1",
+            )
             return
-        max_doc = census.agg(F.max("doc_to").alias("m")).first()["m"]
+        from gistdex_spark.sources.shard_writer import (  # noqa: PLC0415
+            _check_untorn,
+        )
+
+        # One agg for the redelivery scalar AND the torn-store tiling
+        # check — the check must run BEFORE the fresh-empty early
+        # return: a tear that kept the batch's highest doc_id would
+        # otherwise look like "already appended" and freeze the gap in
+        # forever (docstring).
+        stored = census.agg(
+            F.max("doc_to").alias("max_doc"),
+            F.max("token_end").alias("stream_end"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.min("token_start").alias("min_start"),
+        ).first()
+        _check_untorn(stored, out_path)
+        max_doc = stored["max_doc"]
         fresh = (
             batch.filter(F.col("doc_id") > F.lit(max_doc))
             if max_doc is not None
@@ -265,7 +296,7 @@ def stream_shard_append(
             return
         append_packed_shards(
             spark, fresh, out_path, shard_tokens=shard_tokens,
-            stored_census=census,
+            stored_census=census, committer_version="1",
         )
 
     writer = (

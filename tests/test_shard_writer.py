@@ -272,3 +272,64 @@ def test_curriculum_writer_ranks_narrow_rows(spark, monkeypatch):
             f"rank input must be narrow, got {cols}: payload bytes would "
             "cross the range exchange and be materialized by the checkpoint"
         )
+
+
+def test_committer_version_option_reaches_the_committer(spark, tmp_path):
+    """The per-write committer override (r14 ADVICE high: the streaming
+    shard-append path must not inherit session-wide v2) works by
+    injecting a DataFrameWriter option into the write job's Hadoop conf
+    — pin that plumbing EMPIRICALLY: an invalid algorithm version must
+    raise from inside FileOutputCommitter (if the option silently never
+    reached it, the write would succeed under the session default and
+    the crash-safety story would be fiction), and v1 must produce a
+    census identical to the default-committer write."""
+    docs = load_table(spark, SF_CORRECTNESS, "documents").select(
+        "doc_id", "text"
+    )
+    from py4j.protocol import Py4JJavaError
+
+    out_bad = str(tmp_path / "bad")
+    with pytest.raises(Py4JJavaError, match="algorithm version"):
+        write_packed_shards(
+            docs, out_bad, shard_tokens=SHARD_TOKENS, committer_version="3"
+        )
+    out_v1 = str(tmp_path / "v1")
+    out_def = str(tmp_path / "default")
+    write_packed_shards(
+        docs, out_v1, shard_tokens=SHARD_TOKENS, committer_version="1"
+    )
+    write_packed_shards(docs, out_def, shard_tokens=SHARD_TOKENS)
+    assert _frame(read_shard_census(spark, out_v1)) == _frame(
+        read_shard_census(spark, out_def)
+    )
+
+
+def test_torn_store_append_raises_not_drops(spark, tmp_path):
+    """Torn-store detection (r14 ADVICE high): if a crashed append
+    published only part of a batch (committer-v2 semantics), the stored
+    spans no longer tile [0, total). A later append — including the
+    streaming redelivery path — must RAISE, not trust max(doc_to) and
+    silently drop the replayed batch's unwritten lower-doc rows."""
+    import shutil
+
+    docs = load_table(spark, SF_CORRECTNESS, "documents").select(
+        "doc_id", "text"
+    )
+    from gistdex_spark.sources.shard_writer import append_packed_shards
+
+    out = str(tmp_path / "torn")
+    write_packed_shards(docs, out, shard_tokens=SHARD_TOKENS)
+    shard_dirs = sorted(
+        d for d in os.listdir(out) if d.startswith("shard_id=")
+    )
+    assert len(shard_dirs) >= 3, "need an interior shard to tear out"
+    # Tear an INTERIOR shard out: a hole the max-doc guard cannot see.
+    shutil.rmtree(os.path.join(out, shard_dirs[len(shard_dirs) // 2]))
+    max_doc = (
+        spark.read.parquet(out).agg(F.max("doc_id").alias("m")).first()["m"]
+    )
+    late = spark.range(max_doc + 1, max_doc + 4).select(
+        F.col("id").alias("doc_id"), F.lit("tail doc").alias("text")
+    )
+    with pytest.raises(ValueError, match="torn"):
+        append_packed_shards(spark, late, out, shard_tokens=SHARD_TOKENS)

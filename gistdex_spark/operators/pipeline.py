@@ -1035,6 +1035,7 @@ def global_row_index(
     index_col: str = "global_idx",
     partitions: int | None = None,
     materialize=None,
+    materialize_input: bool = False,
 ) -> DataFrame:
     """Contiguous 1-based global row index in ``order_by`` order WITHOUT
     a single-partition window over the data — the DataFrame-native
@@ -1071,11 +1072,25 @@ def global_row_index(
     on where the sampled range boundaries happen to fall — boundary
     jitter moves rows between partitions but local rank + offset
     reproduces the same global rank.
+
+    ``materialize_input`` (r15-opt, guide §1.2): materialize ``df``
+    through the seam BEFORE the range exchange.
+    ``repartitionByRange``'s boundary-sampling pass evaluates the child
+    plan over every row, so the exchange input is computed TWICE per
+    call (measured: 2x UDF invocations) — a caller whose input rows are
+    expensive to derive (a BPE tokenizer UDF, a quality-score pass) and
+    narrow should opt in; a caller whose input is a cheap wide scan
+    (raw text straight off parquet) should not, because checkpointing
+    the payload costs more than the second scan. Requires a
+    ``materialize`` seam that accepts multiple calls per invocation
+    (queries._ckpt_seq).
     """
     from pyspark.sql import Column, Window
 
     cols = [c if isinstance(c, Column) else F.col(c) for c in order_by]
     n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    if materialize_input and materialize is not None:
+        df = materialize(df)
     ranged = df.repartitionByRange(n, *cols).withColumn(
         "__pid", F.spark_partition_id()
     )
@@ -1128,11 +1143,23 @@ def global_prefix_sum(
     only single-partition window runs over one row per partition, and
     offsets join back as a broadcast. ``order_by`` must be a total
     order.
+
+    r15-opt (guide §1.2 — don't compute things you throw away): when a
+    ``materialize`` seam is provided, the INPUT is materialized first.
+    ``repartitionByRange`` runs a reservoir-sampling pass that evaluates
+    the child plan over EVERY row before the shuffle re-evaluates it
+    (measured: 2x UDF invocations), so without this the value column —
+    a full tokenize, or a BPE UDF — is computed twice per call. The
+    input here is always narrow (an id and a number), so the extra
+    checkpoint is a few dozen bytes per row; the seam must accept being
+    called more than once per invocation (queries._ckpt_seq).
     """
     from pyspark.sql import Column, Window  # noqa: PLC0415
 
     cols = [c if isinstance(c, Column) else F.col(c) for c in order_by]
     n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    if materialize is not None:
+        df = materialize(df)
     ranged = df.repartitionByRange(n, *cols).withColumn(
         "__pid", F.spark_partition_id()
     )
@@ -1396,11 +1423,17 @@ def vocab_growth(
         # Token-STREAM unit seam (the build_vocab/oov_rate discipline):
         # the array column is computed BEFORE the range exchange, so a
         # UDF-backed unit (BPE) runs once and its output rides the
-        # materialized ranged frame.
+        # materialized ranged frame. materialize_input because the range
+        # exchange's sampling pass would otherwise evaluate the BPE UDF
+        # over the whole corpus a second time (global_row_index
+        # docstring); the raw-text branch below stays input-unmaterialized
+        # — its input is a plain parquet scan, cheaper to re-read than to
+        # checkpoint twice.
         idx = global_row_index(
             df.select("doc_id", tokens_col.alias("__toks")),
             ["doc_id"],
             materialize=materialize,
+            materialize_input=materialize is not None,
         )
         bucketed = idx.select(bucket_expr, F.col("__toks"))
     else:

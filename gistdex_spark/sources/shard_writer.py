@@ -191,9 +191,22 @@ def _narrow_spans(
             "start", (F.col("start") + F.lit(offset)).cast("bigint")
         )
     b = F.lit(shard_tokens).cast("bigint")
-    return spans.withColumn(
+    spans = spans.withColumn(
         "shard_id", F.floor(F.col("start") / b).cast("bigint")
     )
+    # r15-opt: materialize the FINAL spans too (3rd seam call — still a
+    # few dozen bytes/row). global_prefix_sum's internal checkpoint pins
+    # the range boundaries, but the local-sum window + the broadcast
+    # offsets join above it stayed lazy, so every consumer — the data
+    # write's join, the manifest aggregation, the append guard —
+    # replayed that machinery over the full metadata frame (profiled:
+    # the manifest write alone re-ran ~4 jobs of window/broadcast
+    # choreography). One evaluated copy serves all three; values are
+    # identical (the plan is a deterministic function of the pinned
+    # ranged frame).
+    if materialize is not None:
+        spans = materialize(spans)
+    return spans
 
 
 def _attach_payload(

@@ -98,6 +98,20 @@ HEAVY = [
     "sequence_packing_stats_bpe",
     "shard_manifest_census",
     "eval_decontaminate_minhash",
+    # Round-15 additions (r14 verdict item 1): the queries whose r14/r15
+    # optimizations are plan-shape claims that sf0.1 (fixed-cost bound,
+    # 8c/32c ratio ~0.92) cannot measure — the packed-shard writer
+    # family where payload bytes dominate at 10x data, the zero-shuffle
+    # curation gate, the narrow curriculum rank, and the stored-
+    # decontamination write+probe. All documents-only, sf1-compatible.
+    "shard_write_census",
+    "shard_write_census_bpe",
+    "curated_shard_write_census",
+    "curriculum_shard_write_census",
+    "resampled_shard_write_census",
+    "shard_append_census",
+    "media_shard_write_census",
+    "eval_decontaminate_minhash_stored",
 ]
 
 

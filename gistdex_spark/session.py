@@ -70,6 +70,37 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    # file:// without libhadoop.so (every pip-installed PySpark node,
+    # this sandbox included) forks /bin/chmod per created path —
+    # RawLocalFileSystem.setPermission falls back to Shell.execCommand,
+    # and both mkdir and file create call it. A hive-partitioned store
+    # write pays one fork per directory and per file: measured ~2,900
+    # forks / ~6 s of the 363-dir media shard write. The vendored
+    # NoForkLocalFileSystem (gistdex_spark/vendor/hadoopfs — compiled
+    # Java source committed alongside) is byte-identical LocalFileSystem
+    # behavior, checksums included, with setPermission a no-op (created
+    # paths keep process-umask modes — the same 644/755 the forked
+    # chmod set). HDFS/S3 paths never route through fs.file.impl, so
+    # this is scoped to local-disk I/O on any deployment. Kill switch:
+    # SPARK_GRAFT_LOCAL_FS_NOFORK=0.
+    nofork_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "vendor", "hadoopfs"
+    )
+    if os.environ.get(
+        "SPARK_GRAFT_LOCAL_FS_NOFORK", "1"
+    ) != "0" and os.path.exists(
+        os.path.join(
+            nofork_dir, "gistdexspark", "fs", "NoForkLocalFileSystem.class"
+        )
+    ):
+        builder = (
+            builder.config("spark.driver.extraClassPath", nofork_dir)
+            .config("spark.executor.extraClassPath", nofork_dir)
+            .config(
+                "spark.hadoop.fs.file.impl",
+                "gistdexspark.fs.NoForkLocalFileSystem",
+            )
+        )
     # Propagate the (possibly shim-augmented) PYTHONPATH to executor-side
     # Python workers on a real cluster; local mode inherits it anyway.
     if os.environ.get("PYTHONPATH"):

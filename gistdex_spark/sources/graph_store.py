@@ -634,34 +634,41 @@ def _rebuild_is_cheaper(
     into a grown store stays incremental."""
     from gistdex_spark.operators.similarity import sign_bucket  # noqa: PLC0415
 
-    old_rows = (
+    # ONE action for both histograms (r15-opt, r14 verdict item 4): the
+    # two sides union under a side tag, so the estimator costs one
+    # driver round-trip instead of two; each result is still
+    # <= 2 x n_tables x 2^nbits rows, driver-trivial.
+    old_part = (
         spark.read.parquet(members)
         .select(
             F.posexplode(
                 F.array(*[F.col(f"b{t}") for t in range(n_tables)])
             ).alias("t", "b")
         )
-        .groupBy("t", "b")
+        .withColumn("side", F.lit(0))
+    )
+    new_part = new.select(
+        F.posexplode(
+            F.array(
+                *[
+                    sign_bucket("embedding", nbits, offset=t * nbits)
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("t", "b")
+    ).withColumn("side", F.lit(1))
+    rows = (
+        old_part.unionByName(new_part)
+        .groupBy("side", "t", "b")
         .count()
         .collect()
     )
-    new_rows = (
-        new.select(
-            F.posexplode(
-                F.array(
-                    *[
-                        sign_bucket("embedding", nbits, offset=t * nbits)
-                        for t in range(n_tables)
-                    ]
-                )
-            ).alias("t", "b")
-        )
-        .groupBy("t", "b")
-        .count()
-        .collect()
-    )
-    old_c = {(r["t"], r["b"]): r["count"] for r in old_rows}
-    new_c = {(r["t"], r["b"]): r["count"] for r in new_rows}
+    old_c = {
+        (r["t"], r["b"]): r["count"] for r in rows if r["side"] == 0
+    }
+    new_c = {
+        (r["t"], r["b"]): r["count"] for r in rows if r["side"] == 1
+    }
     upd = sum(
         n * old_c.get(key, 0) for key, n in new_c.items()
     ) + sum(n * n for n in new_c.values())

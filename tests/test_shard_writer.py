@@ -333,3 +333,24 @@ def test_torn_store_append_raises_not_drops(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="torn"):
         append_packed_shards(spark, late, out, shard_tokens=SHARD_TOKENS)
+
+
+def test_nofork_local_fs_installed_and_checksummed(spark, tmp_path):
+    """The vendored NoForkLocalFileSystem (r15-opt: kills the
+    per-created-path /bin/chmod fork of libhadoop-less local FS) must be
+    the active file:// implementation, and must preserve
+    ChecksumFileSystem semantics — CRC sidecars still written, values
+    unchanged through a partitioned write+read roundtrip."""
+    assert (
+        spark.conf.get("spark.hadoop.fs.file.impl")
+        == "gistdexspark.fs.NoForkLocalFileSystem"
+    )
+    docs = load_table(spark, SF_CORRECTNESS, "documents").select(
+        "doc_id", "text"
+    )
+    out = str(tmp_path / "nofork")
+    write_packed_shards(docs, out, shard_tokens=SHARD_TOKENS)
+    got = _frame(read_shard_census(spark, out))
+    assert len(got) > 1
+    crcs = glob.glob(os.path.join(out, "shard_id=*", ".*.crc"))
+    assert crcs, "checksum sidecars must survive the no-fork FS swap"
